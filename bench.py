@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion via a count-style action that forces
+every row through the full plan (collect of aggregates where results are
+small, write-to-noop otherwise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from dataintegration_csvprovider_spark.queries import all_queries  # noqa: E402
+from dataintegration_csvprovider_spark.session import get_spark  # noqa: E402
+
+#: headline set: one per operator family, heaviest variants
+HEADLINE = (
+    "q1_pricing_summary",
+    "q_join_inner",
+    "q_join_left",
+    "q_semijoin",
+    "q_range_join",
+    "q_agg_stats",
+    "q_rollup",
+    "q_window_topk_per_group",
+    "q_window_running",
+    "q_topk",
+    "q_union",
+)
+
+
+def _force(df) -> int:
+    """Execute the full plan. ``noop`` write forces materialization of
+    every output row without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    registry[names[0]].fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        _force(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Query registry: the oracle-checkable operator inventory.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL can
+express the semantics) an equivalent ANSI-SQL oracle string that DuckDB
+runs over the same parquet tables. ``__spark_entry__.py`` exposes this
+registry to the driver.
+
+Cross-engine determinism rules (so order-insensitive value hashes match):
+
+- Money/measure sums go through exact decimal arithmetic:
+  ``sum(cast(x as decimal(18,6)))`` then cast back to double. Per-row
+  double expressions are IEEE-identical across engines; decimal sums are
+  order-independent; the final decimal->double cast is deterministic.
+- Averages are derived as exact-decimal-sum / count in double.
+- Every computed column is explicitly aliased, identically in both the
+  Spark plan and the oracle SQL (driver compares by sorted column name).
+- Ties in top-k / window ranks are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: exact-decimal accumulator type used for cross-engine-stable sums
+DEC = "decimal(18,6)"
+
+
+@dataclass
+class Query:
+    """One oracle-checkable query."""
+
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its SQL oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all query modules (side-effect registration) and return the
+    full registry."""
+    from . import relational  # noqa: F401
+    from . import csvops  # noqa: F401
+    from . import llm  # noqa: F401
+    from . import streaming  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent sum of a double expression: exact decimal
+    accumulation, double result (see module docstring)."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-independent mean: exact decimal sum / count, double result."""
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB oracle twin of :func:`davg`."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults are sized for the test harness (local[N] single JVM);
+every setting here also holds on a real cluster: AQE re-plans shuffles at
+runtime (partition coalescing + skew-join splitting), UTC session timezone
+makes results independent of cluster locale (designing out the reference's
+current-culture dependence, CSVSourceReader.cs:237), and Arrow transfer
+keeps the Python boundary vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dataintegration_csvprovider_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]`` and size shuffle partitions to the core
+    count (the stock 200 over-parallelizes small data and under-parallelizes
+    100 TB — at scale callers pass an explicit value or rely on AQE
+    coalescing from a high initial number).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

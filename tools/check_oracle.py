@@ -1,0 +1,142 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its ``oracle_sql()``
+on DuckDB over the same parquet tables, then compares row count, sorted
+column names, and an order-insensitive value hash. Stricter than the
+driver is likely to be (exact float bits via repr), so green here should
+imply green there.
+
+Usage:
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v) -> str:
+    """Canonical string for one cell, identical across engines."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return len(rows), sorted_cols, h
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as ent
+    from dataintegration_csvprovider_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(args.sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    names = args.names or list(qs)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            sn, scols_sorted, shash = result_fingerprint(scols, srows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        if name not in oracles:
+            status = "ROWS" if sn >= 0 else "FAIL"
+            n_rows_only += 1
+            print(f"{status}  {name}: rows={sn} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            dn, dcols_sorted, dhash = result_fingerprint(dcols, drows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        ok = (sn == dn) and (scols_sorted == dcols_sorted) and (shash == dhash)
+        if ok:
+            n_pass += 1
+            print(f"ok    {name}: rows={sn} hash={shash[:10]} [{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: spark(rows={sn}, cols={scols_sorted})")
+            print(f"      vs duck(rows={dn}, cols={dcols_sorted}) hash "
+                  f"{shash[:10]} vs {dhash[:10]}")
+            if args.show_diff:
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = {tuple(canon(r[i]) for i in order_s) for r in srows}
+                dset = {tuple(canon(r[i]) for i in order_d) for r in drows}
+                for label, diff in (
+                    ("spark-only", sset - dset),
+                    ("duck-only", dset - sset),
+                ):
+                    for row in list(diff)[:5]:
+                        print(f"      {label}: {row}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
