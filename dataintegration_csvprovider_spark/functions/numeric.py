@@ -1,0 +1,61 @@
+"""Locale-aware numeric normalization (reference T1/T2).
+
+The reference rewrites decimal separators when the destination column is
+double/float: either an explicit source-separator swap
+(CSVSourceReader.cs:235-238) or lenient auto-detection via
+``Converter.ToDouble`` (CSVSourceReader.cs:231-234). Its behavior depends
+on the host culture — a bug class we design out by pinning invariant
+('.') semantics and making the separator an explicit option
+(CSVProvider.cs:719-727 options: system culture, auto, '.', ',').
+
+Everything here is a pure Column expression → whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: accepted decimal-separator modes (CSVProvider.cs:719-727)
+DECIMAL_MODES = ("auto", ".", ",")
+
+
+def normalize_decimal(col: Column, mode: str = "auto") -> Column:
+    """Return ``col`` (a string column) normalized to a '.'-decimal string
+    castable to double.
+
+    - mode '.'  : source already uses '.' decimals; ',' is a thousands
+      separator and is removed.
+    - mode ','  : source uses ',' decimals; '.' is a thousands separator —
+      drop '.', then swap ',' → '.'.
+    - mode 'auto': detect per value, like the reference's lenient parse:
+      if both separators occur, the right-most one is the decimal point;
+      a single ',' is a decimal point (e.g. '1,5' → 1.5); '.' is kept.
+    """
+    if mode == ".":
+        return F.regexp_replace(col, ",", "")
+    if mode == ",":
+        return F.regexp_replace(F.regexp_replace(col, "\\.", ""), ",", ".")
+    if mode != "auto":
+        raise ValueError(f"decimal separator mode must be one of {DECIMAL_MODES}")
+
+    dot = F.instr(col, ".")
+    comma = F.instr(col, ",")
+    last_dot = F.length(col) - F.instr(F.reverse(col), ".")
+    last_comma = F.length(col) - F.instr(F.reverse(col), ",")
+    as_dot_decimal = F.regexp_replace(col, ",", "")
+    as_comma_decimal = F.regexp_replace(F.regexp_replace(col, "\\.", ""), ",", ".")
+    return (
+        F.when((dot > 0) & (comma > 0),
+               F.when(last_dot > last_comma, as_dot_decimal)
+                .otherwise(as_comma_decimal))
+        .when(comma > 0, as_comma_decimal)  # lone ',' is a decimal point
+        .otherwise(col)
+    )
+
+
+def parse_double(col: Column, mode: str = "auto") -> Column:
+    """Normalize then cast to double (unparseable → NULL; the reference
+    rethrows or skips per its defective-row flag, which the caller
+    controls via read mode)."""
+    return normalize_decimal(col, mode).try_cast("double")

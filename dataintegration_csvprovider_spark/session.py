@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the reference's encoding surface includes cp1252/cp1251
+        # (CSVProvider.cs:603-616); Spark 4 gates non-core charsets
+        .config("spark.sql.legacy.javaCharsets", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

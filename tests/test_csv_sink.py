@@ -1,0 +1,102 @@
+"""CSV sink semantics (SURVEY.md §2.2; reference CSVDestinationWriter)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dataintegration_csvprovider_spark.sinks.csv_sink import CsvSink, CsvSinkOptions
+from dataintegration_csvprovider_spark.sources.csv_source import (
+    CsvSource,
+    CsvSourceOptions,
+)
+
+
+def test_quoting_and_null_sentinel(spark, tmp_path):
+    # K3: non-NULL quoted; NULL unquoted sentinel (CSVDestinationWriter.cs:129-131)
+    df = spark.createDataFrame([("a", None), (None, "b")], "x string, y string")
+    sink = CsvSink(folder=str(tmp_path))
+    path = sink.write(df, "out")
+    lines = open(path).read().splitlines()
+    assert lines[0] == '"x";"y"'  # K2 quoted header
+    assert sorted(lines[1:]) == ['"a";NULL', 'NULL;"b"']
+
+
+def test_newline_scrub(spark, tmp_path):
+    # T7: embedded newlines stripped from written rows (CSVDestinationWriter.cs:89)
+    df = spark.createDataFrame([("a\nb\r\nc",)], "x string")
+    sink = CsvSink(folder=str(tmp_path))
+    path = sink.write(df, "out")
+    assert open(path).read().splitlines()[1] == '"abc"'
+
+
+def test_quote_escaping_divergence(spark, tmp_path):
+    # deliberate improvement over the reference's no-escape concat
+    # (CSVDestinationWriter.cs:114,135) — embedded quotes are doubled
+    df = spark.createDataFrame([('say "hi"',)], "x string")
+    sink = CsvSink(folder=str(tmp_path))
+    path = sink.write(df, "out")
+    assert open(path).read().splitlines()[1] == '"say ""hi"""'
+
+
+def test_header_toggle_and_filename(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x int")
+    sink = CsvSink(
+        folder=str(tmp_path),
+        options=CsvSinkOptions(first_row_contains_column_names=False),
+    )
+    path = sink.write(df, "mytable")
+    assert path.endswith("mytable.csv")
+    assert open(path).read() == '"1"\n'
+
+
+def test_timestamped_filename(spark, tmp_path):
+    # K1: optional timestamp suffix (CSVDestinationWriter.cs:24-27)
+    df = spark.createDataFrame([(1,)], "x int")
+    sink = CsvSink(
+        folder=str(tmp_path),
+        options=CsvSinkOptions(include_timestamp_in_filename=True),
+    )
+    ts = dt.datetime(2026, 1, 2, 3, 4, 5, 678901)
+    path = sink.write(df, "t", timestamp=ts)
+    assert path.endswith("t20260102-0304056789010.csv")
+
+
+def test_encoding_utf16_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("café",)], "x string")
+    sink = CsvSink(folder=str(tmp_path), options=CsvSinkOptions(encoding="UTF-16"))
+    path = sink.write(df, "out")
+    text = open(path, encoding="utf-16").read()
+    assert '"café"' in text
+
+
+def test_multi_part_scale_mode(spark, tmp_path):
+    # single_file=False: parallel directory write, identical row bytes
+    df = spark.range(100).selectExpr("cast(id as string) AS x").repartition(4)
+    sink = CsvSink(folder=str(tmp_path))
+    out = sink.write(df, "big", single_file=False)
+    import glob
+
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) >= 2  # stayed parallel
+    src = CsvSource(
+        file=None,
+        folder=None,
+        options=CsvSourceOptions(first_row_contains_column_names=False),
+    )
+    # read the directory back with spark directly (glob consumers)
+    rd = spark.read.options(**src.options.spark_read_options()).csv(out + "/part-*")
+    assert rd.count() == 100
+
+
+def test_roundtrip_through_source(spark, tmp_path):
+    # write → read back through CsvSource preserves values and nulls
+    df = spark.createDataFrame(
+        [("1", "alpha", None), ("2", None, "x;y"), ("3", 'q"q', "z")],
+        "id string, a string, b string",
+    )
+    sink = CsvSink(folder=str(tmp_path / "out"))
+    sink.write(df, "t")
+    src = CsvSource(folder=str(tmp_path / "out"))
+    back = src.read(spark, "t").collect()
+    got = sorted(tuple(r) for r in back)
+    assert got == [("1", "alpha", None), ("2", None, "x;y"), ("3", 'q"q', "z")]

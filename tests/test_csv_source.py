@@ -1,0 +1,179 @@
+"""CSV source semantics (SURVEY.md §2.1/§2.3/§2.5; fixtures per FIXTURES.md B)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataintegration_csvprovider_spark.sources.csv_source import (
+    CsvSource,
+    CsvSourceOptions,
+    DuplicateHeaderError,
+    SourceFilesChangingError,
+    positional_column_name,
+)
+
+
+def _write(tmp_path, name, text, encoding="utf-8"):
+    p = tmp_path / name
+    p.write_text(text, encoding=encoding)
+    return str(p)
+
+
+def test_basic_header_all_string_schema(spark, tmp_path):
+    # all columns inferred string (CSVProvider.cs:303); default ';' + '"'
+    _write(tmp_path, "t.csv", 'id;name;amount\n1;"a";2.5\n2;"b";3.5\n')
+    src = CsvSource(folder=str(tmp_path))
+    schemas = src.infer_schema(spark)
+    assert list(schemas) == ["t"]
+    assert [f.name for f in schemas["t"].fields] == ["id", "name", "amount"]
+    assert all(f.dataType.simpleString() == "string" for f in schemas["t"].fields)
+    rows = src.read(spark, "t").collect()
+    assert rows[0].asDict() == {"id": "1", "name": "a", "amount": "2.5"}
+
+
+def test_no_header_positional_names(spark, tmp_path):
+    # headerless → "Column 1..N", 1-based (CSVProvider.cs:292-295)
+    _write(tmp_path, "t.csv", "1;a\n2;b\n")
+    opts = CsvSourceOptions(first_row_contains_column_names=False)
+    src = CsvSource(folder=str(tmp_path), options=opts)
+    df = src.read(spark, "t")
+    assert df.columns == ["Column 1", "Column 2"]
+    assert df.count() == 2
+    assert positional_column_name(0) == "Column 1"
+
+
+def test_null_sentinel_decode(spark, tmp_path):
+    # unquoted NULL → SQL null (CSVSourceReader.cs:221-223); quoted "NULL"
+    # also parses to the bare text NULL → null (parser strips quotes first)
+    _write(tmp_path, "t.csv", 'a;b\nNULL;"NULL"\nx;\n')
+    src = CsvSource(folder=str(tmp_path))
+    rows = src.read(spark, "t").collect()
+    assert rows[0].a is None and rows[0].b is None
+    assert rows[1].a == "x"
+
+
+def test_duplicate_header_rejected(spark, tmp_path):
+    # E3: repeated non-empty header names throw (CSVSourceReader.cs:245-273)
+    _write(tmp_path, "t.csv", "id;name;name\n1;a;b\n")
+    src = CsvSource(folder=str(tmp_path))
+    with pytest.raises(DuplicateHeaderError, match="name"):
+        src.read(spark, "t")
+    # headerless mode is the suggested workaround and must succeed
+    src2 = CsvSource(
+        folder=str(tmp_path),
+        options=CsvSourceOptions(first_row_contains_column_names=False),
+    )
+    assert src2.read(spark, "t").count() == 2
+
+
+def test_whitespace_trimmed_at_scan(spark, tmp_path):
+    # trim at scan (CSVSourceReader.cs:48)
+    _write(tmp_path, "t.csv", "a;b\n  x  ; y\n")
+    src = CsvSource(folder=str(tmp_path))
+    r = src.read(spark, "t").collect()[0]
+    assert r.a == "x" and r.b == "y"
+    # ...and not when trim disabled
+    src2 = CsvSource(folder=str(tmp_path), options=CsvSourceOptions(trim=False))
+    r2 = src2.read(spark, "t").collect()[0]
+    assert r2.a == "  x  "
+
+
+def test_defective_rows_skip_and_failfast(spark, tmp_path):
+    # E1: DROPMALFORMED with the flag on (CSVSourceReader.cs:64-68,168-199)
+    _write(tmp_path, "t.csv", "a;b\n1;2\nonlyone\n3;4\n")
+    ok = CsvSource(
+        folder=str(tmp_path), options=CsvSourceOptions(ignore_defective_rows=True)
+    )
+    vals = [tuple(r) for r in ok.read(spark, "t").collect()]
+    assert ("1", "2") in vals and ("3", "4") in vals
+    assert len(vals) == 2
+    # E2: FAILFAST raises without the flag
+    strict = CsvSource(folder=str(tmp_path))
+    with pytest.raises(Exception):
+        strict.read(spark, "t").collect()
+
+
+def test_defective_rows_audit_trail(spark, tmp_path):
+    # PERMISSIVE audit variant: bad rows land in _corrupt_record
+    _write(tmp_path, "t.csv", "a;b\n1;2\nonlyone\n")
+    src = CsvSource(folder=str(tmp_path))
+    df = src.read_with_audit(spark, "t")
+    bad = df.filter(df["_corrupt_record"].isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "onlyone"
+
+
+def test_multi_table_folder_discovery(spark, tmp_path):
+    # S2: one table per top-level *.csv, named by basename
+    _write(tmp_path, "cust.csv", "id\n1\n")
+    _write(tmp_path, "ord.csv", "id\n2\n")
+    _write(tmp_path, "notes.txt", "not a table")
+    (tmp_path / "sub").mkdir()
+    _write(tmp_path / "sub", "nested.csv", "id\n3\n")
+    src = CsvSource(folder=str(tmp_path))
+    assert src.tables() == ["cust", "ord"]
+    # a selected file overrides the folder (CSVProvider.cs:478-485)
+    src2 = CsvSource(folder=str(tmp_path), file=str(tmp_path / "cust.csv"))
+    assert src2.tables() == ["cust"]
+    assert src2.path_for_table("anything").endswith("cust.csv")
+
+
+def test_malformed_file_dropped_from_schema(spark, tmp_path):
+    # E4: undecodable file → table dropped, others survive
+    _write(tmp_path, "good.csv", "id;v\n1;2\n")
+    (tmp_path / "bad.csv").write_bytes(b"\xff\xfe\x00\x00garbage")
+    src = CsvSource(folder=str(tmp_path))
+    schemas = src.infer_schema(spark)
+    assert "good" in schemas
+
+
+def test_validation_errors(tmp_path):
+    with pytest.raises(ValueError, match="no source"):
+        CsvSource().validate()
+    with pytest.raises(ValueError, match="not a .csv"):
+        CsvSource(file=str(tmp_path / "x.txt")).validate()
+    with pytest.raises(ValueError, match="does not exist"):
+        CsvSource(file=str(tmp_path / "x.csv")).validate()
+    with pytest.raises(ValueError, match="no .csv files"):
+        CsvSource(folder=str(tmp_path)).validate()
+    _write(tmp_path, "t.csv", "a\n1\n")
+    assert CsvSource(folder=str(tmp_path)).validate() == []
+    warnings = CsvSource(
+        folder=str(tmp_path), file=str(tmp_path / "t.csv")
+    ).validate()
+    assert len(warnings) == 1  # both-set warning (CSVProvider.cs:274-277)
+
+
+def test_stability_gate(tmp_path):
+    f = _write(tmp_path, "t.csv", "a\n1\n")
+    src = CsvSource(folder=str(tmp_path))
+    src.check_source_files_changing(pause_sec=0.05)  # stable → no raise
+    import threading
+
+    def grow():
+        with open(f, "a") as fh:
+            fh.write("2\n")
+
+    t = threading.Timer(0.05, grow)
+    t.start()
+    with pytest.raises(SourceFilesChangingError):
+        src.check_source_files_changing(pause_sec=0.2)
+    t.join()
+
+
+def test_delete_source_files(tmp_path):
+    _write(tmp_path, "t.csv", "a\n1\n")
+    src = CsvSource(folder=str(tmp_path))
+    deleted = src.delete_source_files()
+    assert len(deleted) == 1 and not list(tmp_path.glob("*.csv"))
+
+
+def test_encoding_variants(spark, tmp_path):
+    # K1 encoding map: same content, multiple encodings
+    for enc_label, enc in [("UTF-8", "utf-8"), ("UTF-16", "utf-16"),
+                           ("Windows-1252", "cp1252")]:
+        d = tmp_path / enc_label
+        d.mkdir()
+        (d / "t.csv").write_text("a;b\ncafé;naïve\n", encoding=enc)
+        src = CsvSource(folder=str(d), options=CsvSourceOptions(encoding=enc_label))
+        r = src.read(spark, "t").collect()[0]
+        assert (r.a, r.b) == ("café", "naïve"), enc_label
