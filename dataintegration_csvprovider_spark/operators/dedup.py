@@ -1,0 +1,375 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Four families, all expressed over DataFrames so Catalyst keeps the shuffle
+plan visible and AQE can re-plan skew:
+
+- exact: hash-groupBy keep-first — one shuffle on the dedup key.
+- MinHash + LSH: shingle → 64-hash signature (one pass, JVM expressions,
+  no Python) → band-bucket join for candidates → exact signature-overlap
+  verify → connected components → keep component representative. The
+  classic near-dup pipeline (Broder '97; Lee et al. "Deduplicating
+  Training Data Makes Language Models Better").
+- SimHash: 64-bit sign-of-weighted-sum fingerprint (Charikar '02) with
+  16-bit band blocking for hamming-distance candidates.
+- n-gram Jaccard: exact token-shingle set similarity via an inverted-index
+  self-join (explode token → equi-join → count) — no O(n²) cross join.
+
+Scale notes: every pairwise step is an equi-join on a hash bucket, so it
+shuffles on bucket keys and broadcasts nothing; the only iterative stage
+(connected components) runs label-propagation rounds with localCheckpoint
+to truncate lineage. Skewed buckets (a shingle appearing in every doc)
+are capped via a frequency filter before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, keys: list[str], tiebreaker: str) -> DataFrame:
+    """Keep exactly one row per distinct ``keys`` — the one with the
+    smallest ``tiebreaker`` (deterministic, unlike dropDuplicates).
+    One hash shuffle on ``keys``."""
+    w = W.partitionBy(*keys).orderBy(F.col(tiebreaker))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash
+# --------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column — pure array expressions
+    (split → sliding windows via transform over an index sequence)."""
+    words = F.split(text, "\\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(words, i + 1, k)
+    )
+    return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism when the input has
+    fewer partitions — expression-heavy per-row operators (minhash/simhash)
+    otherwise run on however few splits the file had (a single small
+    parquet file = one core doing all the hashing)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Add a ``signature`` array<bigint> column: for each of ``num_hashes``
+    seeded hash functions, the min hash over the doc's shingles.
+
+    Two narrow passes, no shuffle: the shingle array is materialized as its
+    own projection first — inlining it into the per-seed lambda would
+    re-shingle the document once per hash function (a measured 30×
+    slowdown) — then each seed takes an array_min over xxhash64(shingle,
+    seed). All whole-stage codegen, no UDF."""
+    base = _spread(df.select(id_col, text_col)).withColumn(
+        "__shingles", word_shingles(F.col(text_col), shingle_size)
+    )
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sig = F.transform(
+        seeds,
+        lambda seed: F.array_min(
+            F.transform(F.col("__shingles"), lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return base.withColumn("signature", sig).drop("__shingles")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) buckets.
+    Returns candidate (a, b) pairs with a < b, deduplicated across bands.
+    Shuffle key = (band index, band hash): uniformly distributed unless
+    the corpus is degenerate, and AQE skew-join splits hot buckets."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            ).alias("bucket"),
+        ),
+    )
+    exploded = (
+        sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("bb"))
+        .select("id", "bb.band", "bb.bucket")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, est_jaccard): LSH candidates verified by
+    exact signature overlap (fraction of equal minhash positions — an
+    unbiased Jaccard estimate)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    # signatures feed three plan branches (banding + both verify sides);
+    # persist so the hash work runs once
+    sigs = sigs.persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    ).cast("double")
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Label propagation over undirected edges (a, b) → (id, component)
+    where component = min id reachable. Each round is one shuffle;
+    localCheckpoint truncates lineage so plans stay bounded. Converges in
+    O(log n) rounds for near-dup graphs (components are tiny cliques)."""
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(sym.a.alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Remove near-duplicates: keep each connected component's min-id
+    representative plus every unpaired doc."""
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold, **kwargs)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 2,
+) -> DataFrame:
+    """64-bit SimHash: per bit, the sign of the sum of ±1 votes from each
+    feature hash. Features are word ``shingle_size``-grams — unigrams are
+    too coarse when documents share a small vocabulary (every doc hashes
+    near every other); bigrams+ capture ordering."""
+    words = word_shingles(F.col(text_col), shingle_size)
+    # materialize the word-hash array once so the 64 bit-votes below fold
+    # over a precomputed column instead of re-hashing per bit
+    base = _spread(df.select(id_col, text_col)).withColumn(
+        "__hashes", F.transform(words, lambda w: F.xxhash64(w))
+    )
+    # votes[i] = sum over words of (bit i of hash ? +1 : -1); shiftright
+    # needs a literal bit position, hence the Python-side loop
+    def _vote_fn(bit: int):
+        # a real 2-arg closure: pyspark derives HOF arity from the lambda
+        # signature, so a default-arg trick would read as a 3-arg merge fn
+        def fn(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fn
+
+    fingerprint = None
+    for i in range(64):
+        vote = F.aggregate(F.col("__hashes"), F.lit(0), _vote_fn(i))
+        # bit 63 of a signed long is its sign bit
+        bit_val = F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint")
+        term = F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return base.withColumn("simhash", fingerprint).drop("__hashes")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_size: int = 2,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming, blocked on
+    16-bit chunks (any pair within distance 3 shares at least one of the
+    four chunks — pigeonhole), so the join is equi, never cross."""
+    fps = simhash(df, text_col, id_col, shingle_size)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    blocked = fps.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(chunks).alias("ck")
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_token_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram sets, computed with an
+    inverted-index self-join (explode ngram → equi-join on ngram → count
+    per pair) — work is Σ df(token)², never |docs|².
+
+    ``max_token_doc_freq`` drops tokens appearing in more docs than the
+    cap (stopword shingles), the standard skew guard at corpus scale."""
+    grams = _spread(df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("grams"),
+    )).withColumn("set_size", F.size("grams"))
+    inv = grams.select("id", "set_size", F.explode("grams").alias("gram"))
+    if max_token_doc_freq is not None:
+        freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(
+            freq.filter(F.col("df") <= max_token_doc_freq).select("gram"), "gram"
+        )
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.set_size").alias("size_a"),
+            F.col("r.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jaccard = (
+        F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

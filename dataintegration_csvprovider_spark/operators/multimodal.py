@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed in Arrow batches via mapInPandas.
+
+The Spark-side contract is real and tested — schema convention, batch
+iteration, partition sizing — while the actual media decode is stubbed
+(codec libraries aren't in this container): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic pseudo-decoder derived from the payload bytes stands in, so
+the pipeline shape (including feature vectors and resize metadata) is
+exercised end to end.
+
+Scale notes: media blobs dominate partition size — repartition so that
+``rows_per_partition × avg_blob`` stays under executor memory, and keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` low (the default 10k
+batches of multi-MB images would OOM the Python worker).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal schema fragment: payload + typed metadata
+MEDIA_FIELDS = [
+    T.StructField("media_type", T.StringType()),  # image|audio|video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField(
+        "meta",
+        T.StructType(
+            [
+                T.StructField("mime", T.StringType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("duration_ms", T.IntegerType()),
+            ]
+        ),
+    ),
+]
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture helper: synthesize a deterministic binary payload + metadata
+    from a text column so the multimodal path can run on the stock tables."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.length(text_col) % 640).cast("int").alias("width"),
+            (F.length(text_col) % 480).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _pseudo_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: md5 bytes → FEATURE_DIM
+    floats in [0, 1). Stable across runs/partitions."""
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an image payload to features. Real codecs are not available
+    in this environment — STUB: use ``fake=True`` for the deterministic
+    pseudo-decoder, or plug a real decoder in production."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True "
+            "or wire a real decoder (PIL/torchvision) here"
+        )
+    return _pseudo_features(payload)
+
+
+def extract_features(
+    df: DataFrame, fake: bool = True, batch_rows: int = 256
+) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads via
+    mapInPandas. The batch iterator shape is the real production contract;
+    only the per-payload decode is stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # bounded sub-batches keep peak memory at
+            # batch_rows × avg_payload even if Arrow hands us more
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": chunk["doc_id"],
+                        "media_type": chunk["media_type"],
+                        "payload_bytes": chunk["payload"].map(len),
+                        "feature": chunk["payload"].map(
+                            lambda p: decode_image(bytes(p), fake=fake)
+                        ),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def resize_metadata(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Plan a resize: compute target dims preserving aspect ratio — pure
+    column math on metadata; the pixel work would ride the same
+    mapInPandas path as extract_features."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(max_side) / F.greatest(w, F.lit(1)),
+        F.lit(max_side) / F.greatest(h, F.lit(1)),
+        F.lit(1.0),
+    )
+    return df.withColumn(
+        "resize_to",
+        F.struct(
+            F.round(w * scale).cast("int").alias("width"),
+            F.round(h * scale).cast("int").alias("height"),
+        ),
+    )

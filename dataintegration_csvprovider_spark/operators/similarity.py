@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: one narrow pass computing
+the score (JVM array expressions — no Python, no shuffle) plus a global
+top-k (TakeOrderedAndProject, no full sort). The scale path is IVF
+(inverted-file) partitioning: assign every vector to its nearest
+centroid once, then search only the query's closest ``n_probe``
+partitions — the standard recall/latency trade (cf. FAISS IVF design).
+
+All arithmetic runs in double with sequential fold order so results are
+reproducible and match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    """cosine(a, b) as a pure Column expression (double)."""
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. Ties broken
+    by id for determinism."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.withColumn("cosine", cosine_similarity_expr(F.col(vec_col), q))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def assign_ivf_partitions(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, min id on
+    ties). Centroids are broadcast — the assignment is a map-side pass."""
+    joined = df.crossJoin(F.broadcast(centroids))
+    sim = cosine_similarity_expr(F.col(vec_col), F.col(centroid_vec_col))
+    scored = joined.withColumn("__sim", sim)
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(centroid_id_col), F.col(vec_col)),
+            # lexicographic: highest sim, then lowest centroid id
+            F.struct(F.col("__sim"), (-F.col(centroid_id_col)).cast("double")),
+        ).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col(f"__best.{centroid_id_col}").alias(centroid_id_col),
+        F.col(f"__best.{vec_col}").alias(vec_col),
+    )
+
+
+def knn_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: IVF bucketing with deterministic seed centroids
+    (the ``num_centroids`` lowest-id vectors — reproducible without a
+    k-means dependency; swap in trained centroids for production), probing
+    the ``n_probe`` partitions nearest the query.
+
+    At scale the assignment is precomputed and the probe prunes to
+    n_probe/num_centroids of the data; here both run in one job."""
+    centroids = (
+        df.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    assigned = assign_ivf_partitions(df, centroids, vec_col, id_col)
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.withColumn(
+            "__qsim", cosine_similarity_expr(F.col("centroid"), q)
+        )
+        .orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    scored = candidates.withColumn(
+        "cosine", cosine_similarity_expr(F.col(vec_col), q)
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), blocked by IVF
+    partition: only vectors sharing a centroid are compared (near-dups
+    land in the same partition for thresholds near 1). Equi-join on
+    centroid_id — no cross join."""
+    centroids = (
+        df.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    )
+    assigned = assign_ivf_partitions(df, centroids, vec_col, id_col)
+    l = assigned.select(
+        F.col(id_col).alias("a"), F.col("centroid_id"), F.col(vec_col).alias("va")
+    )
+    r = assigned.select(
+        F.col(id_col).alias("b"), F.col("centroid_id"), F.col(vec_col).alias("vb")
+    )
+    pairs = l.join(r, ["centroid_id"]).filter(F.col("a") < F.col("b"))
+    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

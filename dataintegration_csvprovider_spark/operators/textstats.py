@@ -1,0 +1,122 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure Column expressions (codegen'd, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic.
+#: Real pipelines plug fastText/CLD3 in via pandas_udf; the heuristic is
+#: the dependency-free baseline and is exactly SQL-expressible.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+#: BPE-ish token regex: word pieces, numbers, or single non-space symbols
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(words(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style regex (bigint)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    ws = words(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+    return (hits / F.greatest(F.size(ws), F.lit(1))).cast("double")
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add quality-signal columns: lengths, token counts, punct/digit/
+    uppercase ratios, mean word length, stopword ratio — the standard
+    cheap filters (C4/Gopher-style) before expensive model scoring."""
+    t = F.col(text_col)
+    ws = words(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(ws).cast("bigint")
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", bpe_token_count(t))
+        .withColumn(
+            "punct_ratio",
+            (F.regexp_count(t, F.lit("[.,;:!?]")) / safe_chars).cast("double"),
+        )
+        .withColumn(
+            "digit_ratio",
+            (F.regexp_count(t, F.lit("[0-9]")) / safe_chars).cast("double"),
+        )
+        .withColumn(
+            "upper_ratio",
+            (F.regexp_count(t, F.lit("[A-Z]")) / safe_chars).cast("double"),
+        )
+        .withColumn(
+            "mean_word_len",
+            (
+                F.aggregate(
+                    ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+                )
+                / F.greatest(F.size(ws), F.lit(1))
+            ).cast("double"),
+        )
+        .withColumn("stopword_ratio", stopword_ratio(t, LANG_STOPWORDS["en"]))
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the heuristic's evidence)."""
+    ws = F.transform(words(text), F.lower)
+    out: dict[str, Column] = {}
+    for lang, stops in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast("int")
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classify via argmax of stopword-profile scores, 'und' (undetermined)
+    when no profile hits; ties broken by language code order. Deliberately
+    branch-explicit (CASE chain) so the SQL oracle is the same program."""
+    scores = language_scores(F.col(text_col))
+    langs = sorted(scores)  # deterministic tie order: first max wins
+    mx = F.greatest(*scores.values())
+    chain = F.when((mx > 0) & (scores[langs[0]] == mx), F.lit(langs[0]))
+    for lang in langs[1:]:
+        chain = chain.when((mx > 0) & (scores[lang] == mx), F.lit(lang))
+    detected = F.coalesce(chain, F.lit("und"))
+    out = df.withColumn("detected_lang", detected)
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive 64-bit rolling fingerprint: fold word hashes with a
+    multiply-xor step (same spirit as Rabin-Karp; content-defined, cheap,
+    and stable across partitionings since it's per-row)."""
+    hashes = F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))
+    fp = F.aggregate(
+        hashes,
+        F.lit(1469598103934665603).cast("bigint"),  # FNV offset basis
+        lambda acc, h: F.xxhash64(acc, h),
+    )
+    return df.select(id_col, F.col(text_col)).withColumn("fingerprint", fp)

@@ -1,3 +1,362 @@
-"""LLM-data-pipeline queries (SURVEY.md §2.10) — populated with M3."""
+"""LLM-data-pipeline queries (SURVEY.md §2.10) over the ``documents`` and
+``embeddings`` fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + IVF), text
+analysis (token counts, quality, language ID, fingerprints), multimodal
+plumbing.
+
+Oracle strategy: everything whose arithmetic both engines can fold in the
+same order gets a full SQL oracle (verified bit-exact: dot products via
+sequential double folds match DuckDB's list_sum over list_zip). Hash-based
+ops (xxhash64 signatures, fingerprints) and Arrow-batched multimodal
+extraction have no DuckDB twin → rows-only.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    dedup_exact,
+    dedup_near_minhash,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.multimodal import attach_fake_media, extract_features, resize_metadata
+from ..operators.similarity import (
+    cosine_similarity_expr,
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+)
+from ..operators.textstats import doc_fingerprint, language_id, text_quality
+from .registry import register
+
+# DuckDB fragments reused across oracles ------------------------------------
+
+_DUCK_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' '))), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+)
+
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = f"sqrt({_DUCK_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DUCK_DOT.format(a=b, b=b)})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+    doc="Exact dedup on (lang, source), deterministic min-doc_id keeper.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+    doc="Exact word-bigram Jaccard near-dup pairs via inverted-index join "
+        "(oracle does the O(n²) brute force; the operator never does).",
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # xxhash64 signatures have no DuckDB twin → rows-only
+    doc="MinHash(64) + LSH(16x4) near-dup pairs, est_jaccard >= 0.5.",
+    tags=("dedup", "minhash"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+
+
+@register(
+    "q_dedup_minhash_full",
+    oracle=None,
+    doc="Full near-dedup: LSH pairs → connected components → keep "
+        "component representative; returns surviving doc ids.",
+    tags=("dedup", "minhash"),
+)
+def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_near_minhash(docs, threshold=0.5).select("doc_id", "lang")
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,
+    doc="SimHash-64 (bigram features) near-dup pairs within hamming "
+        "distance 6, 16-bit-chunk blocked.",
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             {_duck_cos('a.embedding', 'b.embedding')} AS cosine
+      FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT a, b, cosine FROM p WHERE cosine >= 0.25
+    """,
+    doc="Exact embedding-cosine near-dup pairs on a 1-in-5 sample "
+        "(bit-exact double folds on both engines).",
+    tags=("dedup", "embedding"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = l.join(r, F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.25)
+        .select("a", "b", "cosine")
+    )
+
+
+@register(
+    "q_embedding_neardup_ivf",
+    oracle=None,  # IVF blocking is the approximate scale path → rows-only
+    doc="IVF-blocked embedding near-dup pairs (equi-join on centroid).",
+    tags=("dedup", "embedding", "ivf"),
+)
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_duck_cos('embedding', 'qv')} AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Exact cosine top-10 against the vec_id=0 query vector.",
+    tags=("similarity",),
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "q_knn_ivf",
+    oracle=None,  # approximate by design → rows-only
+    doc="IVF top-10: deterministic seed centroids, probe 4 of 16 "
+        "partitions.",
+    tags=("similarity", "ivf"),
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, _query_vec(spark, sf_dir), k=10, n_probe=4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / greatest(len(text), 1) AS digit_ratio,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w)))
+                AS DOUBLE) / greatest(len(string_split(text, ' ')), 1)
+             AS mean_word_len,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is','that'], w)))
+                AS DOUBLE) / greatest(len(string_split(text, ' ')), 1)
+             AS stopword_ratio
+    FROM documents
+    """,
+    doc="Quality-signal columns: char/token/BPE-ish counts, digit ratio, "
+        "mean word length, stopword ratio.",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_quality(docs).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "digit_ratio",
+        "mean_word_len",
+        "stopword_ratio",
+    )
+
+
+def _duck_lang_score(words_expr: str, stops: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stops)
+    return f"len(list_filter({words_expr}, w -> list_contains([{lst}], w)))"
+
+
+@register(
+    "q_text_langid",
+    oracle=None,  # built dynamically below (needs the stopword tables)
+    doc="Stopword-profile language ID with deterministic argmax.",
+    tags=("text", "langid"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return language_id(docs).select(
+        "doc_id", "lang", "detected_lang",
+        "score_de", "score_en", "score_es", "score_fr",
+    )
+
+
+def _langid_oracle() -> str:
+    from ..operators.textstats import LANG_STOPWORDS
+
+    ws = "string_split(lower(text), ' ')"
+    scores = {
+        lang: _duck_lang_score(ws, stops)
+        for lang, stops in sorted(LANG_STOPWORDS.items())
+    }
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {mx} > 0 AND s_{lang} = {mx} THEN '{lang}'" for lang in scores
+    ) + " ELSE 'und' END"
+    inner_cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    outer_scores = ", ".join(f"CAST(s_{lang} AS INT) AS score_{lang}" for lang in scores)
+    return f"""
+    SELECT doc_id, lang, {case} AS detected_lang, {outer_scores}
+    FROM (SELECT doc_id, lang, text, {inner_cols} FROM documents) t
+    """
+
+
+# patch the registry entry with the generated oracle
+from .registry import _REGISTRY  # noqa: E402
+
+_REGISTRY["q_text_langid"].oracle = _langid_oracle()
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=None,  # xxhash64 fold has no DuckDB twin
+    doc="Order-sensitive 64-bit rolling document fingerprints.",
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # Arrow-batched stub decoder → rows-only
+    doc="Binary media columns → mapInPandas feature extraction (stubbed "
+        "decoder, real batch plumbing) → per-media-type stats.",
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_features(media, fake=True)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.avg(F.element_at("feature", 1)).alias("mean_f0"),
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) % 640 AS INT) AS width,
+           CAST(len(text) % 480 AS INT) AS height,
+           CAST(round((len(text) % 640) * least(
+             224.0 / greatest(len(text) % 640, 1),
+             224.0 / greatest(len(text) % 480, 1), 1.0)) AS INT) AS target_w,
+           CAST(round((len(text) % 480) * least(
+             224.0 / greatest(len(text) % 640, 1),
+             224.0 / greatest(len(text) % 480, 1), 1.0)) AS INT) AS target_h
+    FROM documents
+    """,
+    doc="Resize planning over media metadata (pure column math).",
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = resize_metadata(attach_fake_media(docs), max_side=224)
+    return media.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("resize_to.width").alias("target_w"),
+        F.col("resize_to.height").alias("target_h"),
+    )
