@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: canonical fixture tables (TESTDATA.md)
 TABLES = (
@@ -30,8 +31,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. Parquet scan → columnar, pushdown-capable."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table. Parquet scan → columnar, pushdown-capable.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    raw long (nanosAsLong) — convert to a microsecond timestamp with exact
+    integer division (the values exceed 2^53, so float math would corrupt
+    them). Truncation matches DuckDB's nanos→micros conversion."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

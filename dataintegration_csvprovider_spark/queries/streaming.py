@@ -1,3 +1,177 @@
-"""Structured Streaming queries (SURVEY.md §2.8) — populated with M4."""
+"""Structured Streaming queries (SURVEY.md §2.8) over the ``events``
+fixture. Each runs a real streaming query (file source → watermarked
+windows → memory sink) to completion with an availableNow trigger, then
+returns the materialized batch result — deterministic, so the tumbling /
+sliding / session aggregations carry full SQL oracles (gaps-and-islands
+for sessions); only semantics DuckDB can't express stay rows-only.
+"""
 
 from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming.events import (
+    dedup_within_watermark,
+    run_to_completion,
+    session_agg,
+    sliding_agg,
+    stream_from_parquet,
+    tumbling_agg,
+)
+from .registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage events into a microsecond-timestamp parquet landing dir (the
+    fixture's TIMESTAMP(NANOS) isn't streamable) and open a file-source
+    stream over it."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="events_stage_")
+    events.write.mode("overwrite").parquet(d)
+    return stream_from_parquet(spark, d, events.schema)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling 1h window agg (watermarked, availableNow).",
+    tags=("streaming",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_agg(_events_stream(spark, sf_dir), window="1 hour")
+    out = run_to_completion(agg, output_mode="complete")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS s FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR FROM events)
+    SELECT strftime(s, '{_TS_FMT_DUCK}') AS win_start, COUNT(*) AS n
+    FROM starts GROUP BY s
+    """,
+    doc="Streaming sliding window (2h size, 1h slide): each event counts "
+        "in two windows.",
+    tags=("streaming",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_agg(_events_stream(spark, sf_dir), window="2 hours", slide="1 hour")
+    out = run_to_completion(agg, output_mode="complete")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("win_start"), "n"
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Streaming session windows (30 min gap) vs the classic "
+        "gaps-and-islands SQL.",
+    tags=("streaming", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_agg(_events_stream(spark, sf_dir), gap="30 minutes")
+    out = run_to_completion(agg, output_mode="complete")
+    fmt = _TS_FMT_SPARK + ".SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", fmt).alias("session_start"),
+        F.date_format("session_window.end", fmt).alias("session_end"),
+        "n_events",
+        "total",
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="dropDuplicatesWithinWatermark on (user_id, event_type): bounded-"
+        "state streaming dedup.",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = dedup_within_watermark(
+        _events_stream(spark, sf_dir), keys=("user_id", "event_type")
+    )
+    out = run_to_completion(deduped, output_mode="append")
+    return out.select("user_id", "event_type")
+
+
+@register(
+    "q_stream_csv_source",
+    oracle=None,  # exercises the CSV file-stream path; rows-only
+    doc="CSV file-source stream through the engine's dialect options → "
+        "windowed counts (subsumes the S4 stability gate).",
+    tags=("streaming", "csv"),
+)
+def q_stream_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.csv_sink import CsvSink
+    from ..sources.csv_source import CsvSource
+    from ..streaming.events import stream_from_csv_source
+
+    events = load_table(spark, sf_dir, "events").limit(1000)
+    d = tempfile.mkdtemp(prefix="stream_csv_")
+    CsvSink(folder=d).write(
+        events.select(
+            F.col("ts").cast("string").alias("ts"), "event_type", "value"
+        ),
+        "events",
+    )
+    src = CsvSource(folder=d)
+    stream = stream_from_csv_source(spark, src, "events").select(
+        F.col("ts").try_cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").try_cast("double").alias("value"),
+    )
+    agg = tumbling_agg(stream, window="1 hour", group_cols=("event_type",))
+    out = run_to_completion(agg, output_mode="complete")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+    )

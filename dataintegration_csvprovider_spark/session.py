@@ -47,6 +47,9 @@ def get_spark(
         # the reference's encoding surface includes cp1252/cp1251
         # (CSVProvider.cs:603-616); Spark 4 gates non-core charsets
         .config("spark.sql.legacy.javaCharsets", "true")
+        # parquet TIMESTAMP(NANOS) (events fixture) is unreadable without
+        # this; the catalog converts the raw nanos to microsecond timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,137 @@
+"""Structured Streaming slice (SURVEY.md §2.8).
+
+The reference is batch-only; its closest streaming-adjacent behavior is
+the source-file stability sleep (CSVProvider.cs:673-700) — subsumed here
+by the file source's commit protocol (a file is picked up atomically once
+listed). The engine adds the standard streaming surface over the same
+sources: file-stream CSV/parquet in, watermarked tumbling/sliding/session
+windows, within-watermark dedup.
+
+Every op is built-in Structured Streaming — no custom state stores. For
+deterministic testing the driver runs a stream to completion with an
+``availableNow`` trigger into a memory sink (one batch, same results as
+batch semantics for complete-mode aggs).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.csv_source import CsvSource
+
+
+def stream_from_parquet(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-source parquet stream (schema must be explicit for streams)."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def stream_from_csv_source(
+    spark: SparkSession, source: CsvSource, table: str
+) -> DataFrame:
+    """File-source CSV stream with the engine's CSV dialect (S1 options
+    apply unchanged; the stability gate S4 is unnecessary — file-source
+    listing is the commit point)."""
+    schema = source._infer_table(spark, table)
+    path = source.path_for_table(table)
+    if os.path.isfile(path):
+        # the file source wants a directory or glob; a glob keeps new
+        # same-named drops (events.csv, events_2.csv, ...) flowing in
+        root, _ = os.path.splitext(path)
+        path = f"{root}*.csv"
+    return (
+        spark.readStream.options(**source.options.spark_read_options())
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum aggregation."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (each event lands in
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per key (built-in session_window state merging)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup keeping state only within the watermark horizon —
+    the unbounded-state-safe variant of dropDuplicates."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame over all currently-available input
+    (availableNow trigger) into a memory sink and return the materialized
+    result as a batch DataFrame. Deterministic: one batch, watermark only
+    finalizes after all data is seen."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

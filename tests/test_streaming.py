@@ -1,0 +1,80 @@
+"""Structured Streaming slice (SURVEY.md §2.8): windows, watermarks,
+within-watermark dedup, CSV file-source streams."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataintegration_csvprovider_spark.catalog import load_table
+from dataintegration_csvprovider_spark.sinks.csv_sink import CsvSink
+from dataintegration_csvprovider_spark.sources.csv_source import CsvSource
+from dataintegration_csvprovider_spark.streaming.events import (
+    dedup_within_watermark,
+    run_to_completion,
+    session_agg,
+    stream_from_csv_source,
+    stream_from_parquet,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _staged_stream(spark, tmp_path):
+    events = load_table(spark, str(SF), "events")
+    d = str(tmp_path / "stage")
+    events.write.mode("overwrite").parquet(d)
+    return events, stream_from_parquet(spark, d, events.schema)
+
+
+def test_tumbling_matches_batch(spark, tmp_path):
+    events, stream = _staged_stream(spark, tmp_path)
+    out = run_to_completion(tumbling_agg(stream, window="1 hour"), "complete")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r.window.start, r.event_type): r.n for r in out.collect()}
+    want = {(r.window.start, r.event_type): r.n for r in batch}
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_merge(spark, tmp_path):
+    _, stream = _staged_stream(spark, tmp_path)
+    out = run_to_completion(session_agg(stream, gap="30 minutes"), "complete")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # session end = last event + gap → span is at least the gap
+        span = (r.session_window.end - r.session_window.start).total_seconds()
+        assert span >= 30 * 60
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    events, stream = _staged_stream(spark, tmp_path)
+    out = run_to_completion(
+        dedup_within_watermark(stream, keys=("user_id", "event_type")), "append"
+    )
+    n_pairs = events.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_pairs
+
+
+def test_csv_file_source_stream(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click", "1.5"),
+         ("2024-01-01 00:20:00", "view", "2.5"),
+         ("2024-01-01 01:10:00", "click", "3.0")],
+        "ts string, event_type string, value string",
+    )
+    d = str(tmp_path / "csv")
+    CsvSink(folder=d).write(df, "events")
+    src = CsvSource(folder=d)
+    stream = stream_from_csv_source(spark, src, "events").select(
+        F.col("ts").try_cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").try_cast("double").alias("value"),
+    )
+    out = run_to_completion(tumbling_agg(stream, window="1 hour"), "complete")
+    rows = {(r.window.start.hour, r.event_type): (r.n, r.total) for r in out.collect()}
+    assert rows == {(0, "click"): (1, 1.5), (0, "view"): (1, 2.5), (1, "click"): (1, 3.0)}
