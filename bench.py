@@ -35,6 +35,14 @@ HEADLINE = (
     "q_window_running",
     "q_topk",
     "q_union",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_knn_bruteforce",
+    "q_text_quality",
+    "q_multimodal_features",
+    "q_stream_tumbling",
 )
 
 

