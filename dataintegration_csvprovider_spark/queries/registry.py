@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Query]:
     """Import all query modules (side-effect registration) and return the
     full registry."""
     from . import relational  # noqa: F401
+    from . import relational2  # noqa: F401
     from . import csvops  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401

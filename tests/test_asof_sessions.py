@@ -1,0 +1,90 @@
+"""As-of join + batch sessionization operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dataintegration_csvprovider_spark.operators.asof import asof_join
+from dataintegration_csvprovider_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (2, _ts(10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(20), "b"), (2, _ts(50), "c")],
+        "k long, ts timestamp, payload string",
+    )
+    out = {
+        (r.k, r.ts.minute): (r.payload, r.asof_ts.minute if r.asof_ts else None)
+        for r in asof_join(left, right, "k", "ts", "ts").collect()
+    }
+    assert out == {
+        (1, 10): ("a", 5),   # latest right <= 00:10 is 00:05
+        (1, 30): ("b", 20),  # latest right <= 00:30 is 00:20
+        (2, 10): (None, None),  # right row is in the future
+    }
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), "same")], "k long, ts timestamp, payload string"
+    )
+    r = asof_join(left, right, "k", "ts", "ts").collect()[0]
+    assert r.payload == "same"  # <= semantics: equal ts matches
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(30))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), "old")], "k long, ts timestamp, payload string"
+    )
+    with_tol = asof_join(
+        left, right, "k", "ts", "ts", tolerance="10 minutes"
+    ).collect()[0]
+    assert with_tol.payload is None  # 25 min gap > 10 min tolerance
+    without = asof_join(left, right, "k", "ts", "ts").collect()[0]
+    assert without.payload == "old"
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), "past"), (1, _ts(20), "next")],
+        "k long, ts timestamp, payload string",
+    )
+    r = asof_join(left, right, "k", "ts", "ts", direction="forward").collect()[0]
+    assert r.payload == "next"
+
+
+def test_sessionize_gap_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(29)), (1, _ts(59)), (2, _ts(0))],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r.user_id, r.ts.minute): r.session_id
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+    # 0→29 gap < 30 min: same session; 29→59 gap == 30 min: new session
+    assert out == {(1, 0): 0, (1, 29): 0, (1, 59): 1, (2, 0): 0}
+
+
+def test_session_stats_end_is_last_plus_gap(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(10), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    r = session_stats(df, gap="30 minutes").collect()[0]
+    assert r.session_start == _ts(0)
+    assert r.session_end == _ts(40)  # last event 00:10 + 30 min
+    assert r.n_events == 2 and r.total == 3.0
