@@ -20,3 +20,9 @@ __version__ = "0.1.0"
 
 from .session import get_spark  # noqa: F401
 from .catalog import load_table, load_tables, TABLES  # noqa: F401
+from .engine import Engine  # noqa: F401
+from .jobs import JobSpec, run_job  # noqa: F401
+from .sources.csv_source import CsvSource, CsvSourceOptions  # noqa: F401
+from .sinks.csv_sink import CsvSink, CsvSinkOptions  # noqa: F401
+from .plans.mapping_compiler import ColumnMapping, Mapping  # noqa: F401
+from .plans.conditionals import Conditional  # noqa: F401

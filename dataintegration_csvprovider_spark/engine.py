@@ -1,0 +1,77 @@
+"""High-level engine facade: the single entry point a user of the
+reference provider would switch to.
+
+Maps the reference's provider surface onto the engine's modules:
+
+=====================================  ====================================
+reference (CSVProvider)                engine
+=====================================  ====================================
+GetOriginalSourceSchema()              Engine.infer_schema(source)
+ValidateSourceSettings()               CsvSource.validate()
+LoadSettings / CheckSourceFiles...     CsvSource.check_source_files_changing
+RunJob(job)                            Engine.run_job(job)
+GetReader(mapping)                     Engine.read(source, table)
+CsvDestinationWriter                   Engine.write(df, sink, table)
+XML settings round-trip                JobSpec.to_json / from_json
+=====================================  ====================================
+
+plus the extension surface (relational queries go straight through the
+DataFrame/SQL API; dedup/similarity/text/streaming helpers re-exported).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .jobs import JobResult, JobSpec, run_job
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .operators import textstats as text_ops
+from .operators.asof import asof_join
+from .operators.sessions import session_stats, sessionize
+from .session import get_spark
+from .sinks.csv_sink import CsvSink
+from .sources.csv_source import CsvSource
+
+
+@dataclass
+class Engine:
+    """Session-scoped facade over the full engine surface."""
+
+    spark: SparkSession
+
+    @classmethod
+    def create(cls, **kwargs) -> "Engine":
+        return cls(spark=get_spark(**kwargs))
+
+    # -- provider surface (reference parity) ------------------------------
+    def infer_schema(self, source: CsvSource) -> dict[str, T.StructType]:
+        return source.infer_schema(self.spark)
+
+    def read(self, source: CsvSource, table: str) -> DataFrame:
+        return source.read(self.spark, table)
+
+    def write(self, df: DataFrame, sink: CsvSink, table: str, **kwargs) -> str:
+        return sink.write(df, table, **kwargs)
+
+    def run_job(self, job: JobSpec, **kwargs) -> JobResult:
+        return run_job(self.spark, job, **kwargs)
+
+    # -- extension surface ------------------------------------------------
+    dedup_exact = staticmethod(dedup_ops.dedup_exact)
+    dedup_near_minhash = staticmethod(dedup_ops.dedup_near_minhash)
+    minhash_near_dup_pairs = staticmethod(dedup_ops.minhash_near_dup_pairs)
+    simhash_near_dup_pairs = staticmethod(dedup_ops.simhash_near_dup_pairs)
+    ngram_jaccard_pairs = staticmethod(dedup_ops.ngram_jaccard_pairs)
+    knn_bruteforce = staticmethod(sim_ops.knn_bruteforce)
+    knn_ivf = staticmethod(sim_ops.knn_ivf)
+    embedding_near_dup_pairs = staticmethod(sim_ops.embedding_near_dup_pairs)
+    text_quality = staticmethod(text_ops.text_quality)
+    language_id = staticmethod(text_ops.language_id)
+    doc_fingerprint = staticmethod(text_ops.doc_fingerprint)
+    asof_join = staticmethod(asof_join)
+    sessionize = staticmethod(sessionize)
+    session_stats = staticmethod(session_stats)

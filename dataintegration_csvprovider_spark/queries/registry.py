@@ -68,6 +68,7 @@ def all_queries() -> dict[str, Query]:
     full registry."""
     from . import relational  # noqa: F401
     from . import relational2  # noqa: F401
+    from . import relational3  # noqa: F401
     from . import csvops  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
