@@ -35,6 +35,11 @@ HEADLINE = (
     "q_window_running",
     "q_topk",
     "q_union",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q_asof_join",
+    "q_sessionize_batch",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",

@@ -1,0 +1,86 @@
+"""Scale toolkit: bucketed co-located joins, salted skew joins, and
+convert-to-parquet staging — the three levers that matter most at 100 TB
+beyond what AQE does automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def convert_to_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> str:
+    """Stage data as parquet — the recommended first step for any CSV
+    corpus that will be queried more than once: columnar pruning, row-group
+    predicate pushdown and splittable files replace repeated CSV parsing.
+    ``partition_by`` enables partition pruning on the listed columns;
+    ``sort_by`` clusters row groups for min/max skipping."""
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed table: later equi-joins / aggregations on
+    ``bucket_cols`` between tables with matching bucketing read
+    pre-partitioned data and skip the shuffle entirely."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket columns (shuffle-free
+    when bucket specs match)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for heavy-hitter keys: the (large) left
+    side gets a random salt in [0, salt_buckets); the (smaller) right side
+    is replicated once per salt value, so one hot key spreads over
+    ``salt_buckets`` tasks instead of one straggler.
+
+    AQE's skew-join split handles sort-merge cases automatically; explicit
+    salting remains the tool when the skew is extreme or the join is
+    hash-based. Left-side rows are preserved exactly once."""
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    l = left.withColumn("__salt", salt)
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(salt_buckets)])
+    ).alias("__salt")
+    r = right.select("*", salts)
+    joined = l.join(r, [on, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def explain_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange — the
+    assertion helper for shuffle-free-join tests."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan

@@ -1,0 +1,78 @@
+"""Scale toolkit: bucketed shuffle-free joins, salted skew joins,
+parquet staging. Plan-shape assertions, not just results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_csvprovider_spark.operators.scale import (
+    bucketed_join,
+    convert_to_parquet,
+    explain_has_exchange,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    # warehouse.dir is a static conf — bucketed tables land in the default
+    # spark-warehouse and are dropped in the finally block
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    write_bucketed(left, "t_left_bkt", 8, ["k"])
+    write_bucketed(right, "t_right_bkt", 8, ["k"])
+    # disable broadcast so a shuffle would otherwise be required
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_left_bkt", "t_right_bkt", ["k"])
+        assert joined.count() == 10000
+        assert not explain_has_exchange(joined), "bucketed join should not shuffle"
+        # control: the same join on unbucketed frames does shuffle
+        control = left.join(right, "k")
+        control.count()
+        assert explain_has_exchange(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_right_bkt")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy-hitter key 7: 5000 of 6000 rows
+    left = spark.range(0, 6000).select(
+        F.when(F.col("id") < 5000, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", salt_buckets=8).select("k", "lv", "rv")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_left_outer_preserves_rows(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, lv string")
+    right = spark.createDataFrame([(1, "x")], "k long, rv string")
+    out = salted_join(left, right, "k", salt_buckets=4, how="left").collect()
+    got = {(r.k, r.lv): r.rv for r in out}
+    assert got == {(1, "a"): "x", (99, "b"): None}
+
+
+def test_convert_to_parquet_prunes_partitions(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("part_col"), F.col("id").alias("v")
+    )
+    path = convert_to_parquet(df, str(tmp_path / "pq"), partition_by=["part_col"])
+    back = spark.read.parquet(path).filter(F.col("part_col") == 3)
+    assert back.count() == 200
+    # partition pruning shows up as PartitionFilters in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_col" in plan.split("PartitionFilters")[1][:200]
