@@ -61,13 +61,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, shingle_at))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism when the input has
-    fewer partitions — expression-heavy per-row operators (minhash/simhash)
-    otherwise run on however few splits the file had (a single small
-    parquet file = one core doing all the hashing)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target)
+from ._util import spread as _spread
 
 
 def minhash_signatures(

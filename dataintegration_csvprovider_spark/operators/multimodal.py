@@ -115,6 +115,10 @@ def extract_features(
                     }
                 )
 
+    # no auto-repartition here: spawning one Python worker per core costs
+    # more than the fake decode saves at test scale; real media corpora
+    # arrive multi-file (already partitioned), and callers can repartition
+    # when a single giant file needs spreading
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 

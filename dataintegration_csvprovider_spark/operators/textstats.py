@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import spread as _spread
+
 #: tiny per-language stopword profiles for the n-gram/stopword heuristic.
 #: Real pipelines plug fastText/CLD3 in via pandas_udf; the heuristic is
 #: the dependency-free baseline and is exactly SQL-expressible.
@@ -52,7 +54,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(ws).cast("bigint")
     safe_chars = F.greatest(n_chars, F.lit(1))
     return (
-        df.withColumn("n_chars", n_chars)
+        _spread(df).withColumn("n_chars", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_bpe_tokens", bpe_token_count(t))
         .withColumn(
@@ -101,7 +103,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in langs[1:]:
         chain = chain.when((mx > 0) & (scores[lang] == mx), F.lit(lang))
     detected = F.coalesce(chain, F.lit("und"))
-    out = df.withColumn("detected_lang", detected)
+    out = _spread(df).withColumn("detected_lang", detected)
     for lang in langs:
         out = out.withColumn(f"score_{lang}", scores[lang])
     return out
@@ -119,4 +121,4 @@ def doc_fingerprint(
         F.lit(1469598103934665603).cast("bigint"),  # FNV offset basis
         lambda acc, h: F.xxhash64(acc, h),
     )
-    return df.select(id_col, F.col(text_col)).withColumn("fingerprint", fp)
+    return _spread(df.select(id_col, F.col(text_col))).withColumn("fingerprint", fp)

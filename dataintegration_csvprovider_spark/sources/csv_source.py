@@ -256,6 +256,18 @@ class CsvSource:
         df = spark.read.options(**opts).schema(schema).csv(self.path_for_table(table))
         return df
 
+    # -- J4 programmatic source injection (CSVProvider.cs:702-717) ---------
+    def write_to_source_file(self, text: str) -> str:
+        """Write raw CSV text into the configured source file — the
+        integration-framework hook for in-memory inputs. Requires a
+        selected file (folder-only sources have no single target)."""
+        if not self.file:
+            raise ValueError("write_to_source_file requires a configured source file")
+        enc = ENCODINGS.get(self.options.encoding, self.options.encoding)
+        with open(self.file, "w", encoding=enc) as fh:
+            fh.write(text)
+        return self.file
+
     # -- S6 post-job deletion (CSVProvider.cs:658-671) ---------------------
     def delete_source_files(self) -> list[str]:
         """Delete all source files; per-file errors logged, not fatal."""

@@ -22,3 +22,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session Spark fixture aliased for hypothesis tests (function-scoped
+    @given can't take function-scoped fixtures)."""
+    return spark

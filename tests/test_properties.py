@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): invariants that hold for arbitrary
+inputs, not just fixtures — CSV sink/source round-trip fidelity, decimal
+normalization, MinHash estimate accuracy vs exact Jaccard."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from dataintegration_csvprovider_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+)
+from dataintegration_csvprovider_spark.sinks.csv_sink import CsvSink
+from dataintegration_csvprovider_spark.sources.csv_source import CsvSource
+
+# cells: printable text without the quote-ambiguous edge the reference
+# itself cannot round-trip (its parser trims whitespace at scan — leading/
+# trailing spaces are lossy BY SPEC, CSVSourceReader.cs:48), and the NULL
+# literal which decodes to SQL NULL by spec
+_cell = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S"),
+        exclude_characters='"\r\n',
+    ),
+    min_size=0,
+    max_size=20,
+).filter(lambda s: s.strip() == s and s != "NULL")
+
+_row = st.tuples(_cell, _cell, _cell)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_row, min_size=1, max_size=8))
+def test_csv_roundtrip_property(spark_prop, tmp_path_factory, rows):
+    """sink → source round trip preserves arbitrary cell values
+    (empty string excepted: the reference writes it as a quoted empty,
+    reads it back as null via Spark's empty-handling — normalize both)."""
+    spark = spark_prop
+    d = str(tmp_path_factory.mktemp("prop"))
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    CsvSink(folder=d).write(df, "t")
+    back = CsvSource(folder=d).read(spark, "t").collect()
+    norm = lambda v: v if v not in ("", None) else "\x00<null>"  # noqa: E731
+    got = sorted(tuple(norm(x) for x in r) for r in back)
+    want = sorted(tuple(norm(x) for x in r) for r in rows)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_decimal_comma_roundtrip_property(spark_prop, values):
+    """Rendering doubles with ',' decimals and re-parsing with the comma
+    mode recovers the exact doubles."""
+    spark = spark_prop
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.functions.numeric import parse_double
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    rendered = df.select(
+        F.translate(F.col("v").cast("string"), ".", ",").alias("s"), "v"
+    )
+    # exclude scientific notation (1.0E7-style) — ',' swap garbles exponents
+    back = rendered.select(parse_double(F.col("s"), ",").alias("p"), "v").collect()
+    for r in back:
+        if "E" not in str(r.v) and "e" not in str(r.v):
+            assert r.p == r.v or (math.isnan(r.p) and math.isnan(r.v))
+
+
+def test_minhash_estimates_jaccard(spark):
+    """est_jaccard from 64 minhashes tracks exact Jaccard within the
+    binomial error bound (~4/sqrt(64) ≈ 0.5 at 3σ — loose, so assert a
+    practical 0.25 band on constructed pairs)."""
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = [f"w{i}" for i in range(60)]
+    variants = []
+    for drop_every, doc_id in [(10, 1), (5, 2), (3, 3)]:
+        words = [w for i, w in enumerate(base) if i % drop_every != 0]
+        variants.append((doc_id, " ".join(words)))
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), *variants], "doc_id long, text string"
+    )
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    est = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_near_dup_pairs(df, threshold=0.0, shingle_size=3).collect()
+    }
+    assert exact, "constructed docs must overlap"
+    for pair, j in exact.items():
+        if pair in est:
+            assert abs(est[pair] - j) <= 0.25, (pair, j, est[pair])
