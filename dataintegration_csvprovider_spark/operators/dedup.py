@@ -269,32 +269,30 @@ def simhash(
     feature hash. Features are word ``shingle_size``-grams — unigrams are
     too coarse when documents share a small vocabulary (every doc hashes
     near every other); bigrams+ capture ordering."""
-    words = word_shingles(F.col(text_col), shingle_size)
-    # materialize the word-hash array once so the 64 bit-votes below fold
-    # over a precomputed column instead of re-hashing per bit
+    # single fold over the feature hashes: accumulate all 64 bit-votes in
+    # one array pass, then assemble the sign bits. Written as a SQL HOF
+    # expression because shiftright/shiftleft accept column-valued shift
+    # amounts there (the Python API requires literals, which would force 64
+    # separate folds over the same array).
     base = _spread(df.select(id_col, text_col)).withColumn(
-        "__hashes", F.transform(words, lambda w: F.xxhash64(w))
+        "__grams", word_shingles(F.col(text_col), shingle_size)
     )
-    # votes[i] = sum over words of (bit i of hash ? +1 : -1); shiftright
-    # needs a literal bit position, hence the Python-side loop
-    def _vote_fn(bit: int):
-        # a real 2-arg closure: pyspark derives HOF arity from the lambda
-        # signature, so a default-arg trick would read as a 3-arg merge fn
-        def fn(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fn
-
-    fingerprint = None
-    for i in range(64):
-        vote = F.aggregate(F.col("__hashes"), F.lit(0), _vote_fn(i))
-        # bit 63 of a signed long is its sign bit
-        bit_val = F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint")
-        term = F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("bigint"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return base.withColumn("simhash", fingerprint).drop("__hashes")
+    fingerprint = F.expr(
+        """
+        aggregate(
+          transform(__grams, g -> xxhash64(g)),
+          array_repeat(0, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + CASE WHEN (shiftright(h, i) & 1) = 1
+                                              THEN 1 ELSE -1 END),
+          votes -> aggregate(
+            zip_with(votes, sequence(0, 63),
+                     (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+            0L, (acc, x) -> acc + x)
+        )
+        """
+    )
+    return base.withColumn("simhash", fingerprint).drop("__grams")
 
 
 def simhash_near_dup_pairs(
@@ -307,7 +305,9 @@ def simhash_near_dup_pairs(
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming, blocked on
     16-bit chunks (any pair within distance 3 shares at least one of the
     four chunks — pigeonhole), so the join is equi, never cross."""
-    fps = simhash(df, text_col, id_col, shingle_size)
+    # both join sides read the fingerprints — persist so the hash fold
+    # runs once
+    fps = simhash(df, text_col, id_col, shingle_size).persist()
     chunks = F.array(
         *[
             F.struct(
@@ -370,6 +370,9 @@ def ngram_jaccard_pairs(
         inv = inv.join(
             freq.filter(F.col("df") <= max_token_doc_freq).select("gram"), "gram"
         )
+    # no persist here: the self-join shuffles both sides on gram with
+    # identical plans, so Spark's ReusedExchange already computes the
+    # index once (measured: caching it is slower)
     l, r = inv.alias("l"), inv.alias("r")
     common = (
         l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
