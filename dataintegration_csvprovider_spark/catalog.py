@@ -37,6 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw long (nanosAsLong) — convert to a microsecond timestamp with exact
     integer division (the values exceed 2^53, so float math would corrupt
     them). Truncation matches DuckDB's nanos→micros conversion."""
+    # defensive session pinning: the caller may hand us a session built
+    # without the engine's factory (the verification driver does) — these
+    # are runtime-settable and required for correct results: UTC keeps
+    # collected timestamps canonical; nanosAsLong makes events readable
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

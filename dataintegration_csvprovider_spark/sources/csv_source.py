@@ -236,6 +236,12 @@ class CsvSource:
         path = self.path_for_table(table)
         if schema is None:
             schema = self._infer_table(spark, table)
+        enc = ENCODINGS.get(self.options.encoding, self.options.encoding)
+        if enc.lower() not in ("utf-8", "us-ascii", "iso-8859-1", "utf-16",
+                               "utf-16be", "utf-16le", "utf-32"):
+            # cp1252/cp1251 need the legacy charset gate; runtime-settable,
+            # so sessions not built by our factory still work
+            spark.conf.set("spark.sql.legacy.javaCharsets", "true")
         reader = spark.read.options(**self.options.spark_read_options())
         df = reader.schema(schema).csv(path)
         if self.options.first_row_contains_column_names:
