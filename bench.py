@@ -71,9 +71,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        _force(registry[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: absorbs JIT/cache warmup variance
+            spark.catalog.clearCache()  # operator persists don't carry over
+            t0 = time.time()
+            _force(registry[name].fn(spark, sf_dir))
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

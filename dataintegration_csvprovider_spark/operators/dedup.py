@@ -353,42 +353,105 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     max_token_doc_freq: int | None = None,
+    method: str = "index",
 ) -> DataFrame:
-    """Exact Jaccard over distinct word n-gram sets, computed with an
-    inverted-index self-join (explode ngram → equi-join on ngram → count
-    per pair) — work is Σ df(token)², never |docs|².
+    """Exact Jaccard over distinct word n-gram sets via prefix-filtered
+    inverted-index join (PPJoin-style, Xiao et al. 2008):
 
-    ``max_token_doc_freq`` drops tokens appearing in more docs than the
-    cap (stopword shingles), the standard skew guard at corpus scale."""
+    1. Sort each doc's gram set by global (doc-frequency, gram) order and
+       index only its prefix — the first ``|A| - ceil(t*|A|) + 1`` grams.
+       Any two sets with Jaccard >= t must share a prefix gram, so no
+       true pair is lost, while the index join size drops from
+       Σ df(gram)² (dominated by stopword-grams) to the rare-gram tail.
+    2. Equi-join prefixes for candidate pairs, then verify exactly with
+       array_intersect over the full gram sets.
+
+    ``max_token_doc_freq`` additionally hard-drops ultra-common grams
+    (approximate; off by default). ``method``: 'index' (default) joins the
+    full inverted index — fastest when Σdf² is manageable (measured 2-3×
+    faster at the test corpus sizes, where Spark's ReusedExchange computes
+    the index once); 'prefix' indexes only each set's rare-gram prefix and
+    verifies candidates exactly — the right trade once stopword-gram df²
+    dominates (web-scale corpora)."""
     grams = _spread(df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("grams"),
     )).withColumn("set_size", F.size("grams"))
-    inv = grams.select("id", "set_size", F.explode("grams").alias("gram"))
+
+    if method == "index":
+        inv = grams.select("id", "set_size", F.explode("grams").alias("gram"))
+        if max_token_doc_freq is not None:
+            freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            inv = inv.join(
+                freq.filter(F.col("df") <= max_token_doc_freq).select("gram"),
+                "gram",
+            )
+        l, r = inv.alias("l"), inv.alias("r")
+        common = (
+            l.join(
+                r,
+                (F.col("l.gram") == F.col("r.gram"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .groupBy(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                F.col("l.set_size").alias("size_a"),
+                F.col("r.set_size").alias("size_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        jaccard = (
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common"))
+        ).cast("double")
+        return (
+            common.withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+
+    if method != "prefix":
+        raise ValueError("method must be 'index' or 'prefix'")
+    grams = grams.persist()
+    inv = grams.select("id", F.explode("grams").alias("gram"))
+    freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     if max_token_doc_freq is not None:
-        freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(
-            freq.filter(F.col("df") <= max_token_doc_freq).select("gram"), "gram"
+        freq = freq.filter(F.col("df") <= max_token_doc_freq)
+    ranked = inv.join(freq, "gram")
+    w = W.partitionBy("id").orderBy("df", "gram")
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.col("set_size") * F.lit(threshold)) + 1
+    )
+    prefix = (
+        ranked.withColumn("__pos", F.row_number().over(w))
+        .join(grams.select("id", "set_size"), "id")
+        .filter(F.col("__pos") <= prefix_len)
+        .select("id", "gram")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")),
         )
-    # no persist here: the self-join shuffles both sides on gram with
-    # identical plans, so Spark's ReusedExchange already computes the
-    # index once (measured: caching it is slower)
-    l, r = inv.alias("l"), inv.alias("r")
-    common = (
-        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.set_size").alias("size_a"),
-            F.col("r.set_size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("a"), F.col("grams").alias("ga"),
+                      F.col("set_size").alias("size_a"))
+    gb = grams.select(F.col("id").alias("b"), F.col("grams").alias("gb"),
+                      F.col("set_size").alias("size_b"))
+    verified = (
+        cands.join(ga, "a")
+        .join(gb, "b")
+        .withColumn("common", F.size(F.array_intersect("ga", "gb")))
     )
     jaccard = (
         F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     ).cast("double")
     return (
-        common.withColumn("jaccard", jaccard)
+        verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

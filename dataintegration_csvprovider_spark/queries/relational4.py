@@ -1,0 +1,106 @@
+"""Fourth relational batch: cross join, distribution windows, regex
+rewrite functions, sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS INT) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Cross join of the two smallest dims (125 pairs) with a derived "
+        "membership flag.",
+    tags=("join", "cross"),
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).cast("int").alias("is_home"),
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CUME_DIST() OVER w AS cume,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WHERE o_orderkey <= 3000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (cume_dist / percent_rank) with a "
+        "deterministic total order.",
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "q_regexp_rewrite",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+           regexp_replace(substr(text, 1, 50), '\\s+', '_', 'g') AS head_snake,
+           CAST(regexp_matches(text, 'spark|query') AS INT) AS mentions_engine,
+           split_part(source, 'c', 1) AS source_head
+    FROM documents
+    WHERE doc_id < 300
+    """,
+    doc="Regex rewrite/extract family: global replace, whitespace "
+        "normalization, boolean match, split_part.",
+    tags=("scalar", "regex"),
+)
+def q_regexp_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "#").alias("digits_masked"),
+        F.regexp_replace(F.substring("text", 1, 50), "\\s+", "_").alias(
+            "head_snake"
+        ),
+        F.regexp_like("text", F.lit("spark|query")).cast("int").alias(
+            "mentions_engine"
+        ),
+        F.split_part("source", F.lit("c"), F.lit(1)).alias("source_head"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=None,  # seeded sampling is engine-specific → rows-only
+    doc="Stratified sample: 50% of BUILDING, 10% of the rest (seeded, "
+        "deterministic within Spark).",
+    tags=("sample",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    fractions = {"BUILDING": 0.5}
+    other = {
+        r.c_mktsegment: 0.1
+        for r in cust.select("c_mktsegment").distinct().collect()
+        if r.c_mktsegment != "BUILDING"
+    }
+    return cust.sampleBy("c_mktsegment", {**fractions, **other}, seed=42).select(
+        "c_custkey", "c_mktsegment"
+    )

@@ -125,6 +125,20 @@ def test_ngram_jaccard_exactness(spark):
     assert pairs[0].jaccard == pytest.approx(3 / 5)
 
 
+def test_ngram_jaccard_methods_agree(docs):
+    # prefix filtering (PPJoin-style) must find exactly the index join's
+    # pairs — it is an exact optimization, not an approximation
+    a = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, method="index").collect()
+    )
+    b = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, method="prefix").collect()
+    )
+    assert a == b and a
+
+
 def test_cosine_and_knn(spark, emb):
     q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
     top = knn_bruteforce(emb, q, k=5).collect()
