@@ -133,6 +133,73 @@ def knn_ivf(
     )
 
 
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix-style hash of
+    (plane, coord) → [-1, 1)) — reproducible across runs and engines
+    without shipping a random state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (p * 1_000_003 + d) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 31
+            x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            row.append((x / 2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rh_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) bucket id: bit i = sign of
+    dot(vec, plane_i). Vectors at small cosine distance collide with
+    probability 1 - theta/pi per bit (Charikar '02)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: candidates are the
+    vectors whose bucket is within hamming distance 1 of the query's
+    (multi-probe), scored exactly. The LSH-bucketed alternative to
+    :func:`knn_ivf` — no centroid pass, pure per-row hashing, so the
+    bucket assignment is a map-only narrow stage."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = df.withColumn("__bucket", rh_lsh_bucket(F.col(vec_col), planes))
+
+    # driver-side: the query's bucket and its hamming-1 neighbors
+    import math  # noqa: F401
+
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbits |= 1 << i
+    probes = [qbits] + [qbits ^ (1 << i) for i in range(n_planes)]
+
+    cands = bucketed.filter(F.col("__bucket").isin(probes))
+    scored = cands.withColumn("cosine", cosine_similarity_expr(F.col(vec_col), q))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -133,6 +133,50 @@ def q_csv_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_csv_dialects",
+    oracle="""
+    SELECT 'tab' AS dialect, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM supplier
+    UNION ALL
+    SELECT 'comma', COUNT(*),
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+    FROM supplier
+    """,
+    doc="S1 dialect coverage: the same table round-tripped through "
+        "tab-delimited/'-quoted and comma-delimited variants must agree.",
+    tags=("csv", "dialect"),
+)
+def q_csv_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.csv_sink import CsvSinkOptions
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = []
+    for dialect, sep, quote in [("tab", "\t", "'"), ("comma", ",", '"')]:
+        d = tempfile.mkdtemp(prefix=f"dialect_{dialect}_")
+        CsvSink(
+            folder=d, options=CsvSinkOptions(delimiter=sep, quote=quote)
+        ).write(supplier, "supplier")
+        src = CsvSource(
+            folder=d,
+            options=CsvSourceOptions(delimiter=sep, quote=quote),
+        )
+        back = src.read(spark, "supplier")
+        out.append(
+            back.agg(
+                F.lit(dialect).alias("dialect"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+@register(
     "q_csv_datetime_format",
     oracle="""
     SELECT o_orderkey,

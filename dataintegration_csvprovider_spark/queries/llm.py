@@ -202,6 +202,19 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_knn_lsh",
+    oracle=None,  # approximate by design → rows-only
+    doc="Random-hyperplane LSH top-10 with hamming-1 multi-probe.",
+    tags=("similarity", "lsh"),
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
     "q_knn_ivf",
     oracle=None,  # approximate by design → rows-only
     doc="IVF top-10: deterministic seed centroids, probe 4 of 16 "

@@ -141,6 +141,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stateful",
+    oracle=None,  # custom state machine (float accumulation order is
+    # pandas-side) → rows-only; the unit test asserts vs batch groupBy
+    doc="applyInPandasWithState custom stateful operator: per-user "
+        "running totals across micro-batches.",
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stateful_user_totals
+
+    out = run_to_completion(
+        stateful_user_totals(_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    return out.select("user_id", "n_events", "total")
+
+
+@register(
     "q_stream_csv_source",
     oracle=None,  # exercises the CSV file-stream path; rows-only
     doc="CSV file-source stream through the engine's dialect options → "

@@ -118,6 +118,57 @@ def dedup_within_watermark(
     )
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running totals that survive across micro-batches (the engine's
+    template for bespoke state machines beyond built-in windows — the
+    state schema, Arrow batch iteration and update-mode emission are the
+    production contract).
+
+    Emits one row per key per batch with the accumulated count/sum."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [s]})
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

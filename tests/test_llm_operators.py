@@ -153,6 +153,16 @@ def test_cosine_and_knn(spark, emb):
     assert one == pytest.approx(1.0)
 
 
+def test_knn_lsh_overlaps_bruteforce(emb):
+    from dataintegration_csvprovider_spark.operators.similarity import knn_lsh
+
+    q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = [r.vec_id for r in knn_bruteforce(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in knn_lsh(emb, q, k=10).collect()]
+    assert approx[0] == 0  # the query vector is in its own bucket
+    assert len(set(exact) & set(approx)) >= 2
+
+
 def test_knn_ivf_overlaps_bruteforce(emb):
     q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
     exact = [r.vec_id for r in knn_bruteforce(emb, q, k=10).collect()]

@@ -60,6 +60,26 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert out.count() == n_pairs
 
 
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    from dataintegration_csvprovider_spark.streaming.events import (
+        stateful_user_totals,
+    )
+
+    events, stream = _staged_stream(spark, tmp_path)
+    out = run_to_completion(stateful_user_totals(stream), "update")
+    got = {r.user_id: (r.n_events, r.total) for r in out.collect()}
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 1e-6
+
+
 def test_csv_file_source_stream(spark, tmp_path):
     df = spark.createDataFrame(
         [("2024-01-01 00:05:00", "click", "1.5"),
