@@ -122,6 +122,54 @@ def extract_features(
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an audio payload to features. STUB like :func:`decode_image`
+    — real codecs (soundfile/torchaudio) are not in this environment."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; pass fake=True "
+            "or wire a real decoder (soundfile/torchaudio) here"
+        )
+    return _pseudo_features(payload)
+
+
+def sample_frames(
+    df: DataFrame, frame_interval_ms: int = 1000, max_frames: int = 32
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explode each media row
+    into (doc_id, frame_idx, frame_ts_ms) rows at ``frame_interval_ms``
+    spacing over ``meta.duration_ms``, capped at ``max_frames``. The
+    per-frame pixel decode would ride mapInPandas exactly like
+    :func:`extract_features`; the explode itself is pure column algebra so
+    the frame fan-out (the part that multiplies data volume 30-100x at
+    corpus scale) stays JVM-side and partition-parallel."""
+    n_frames = F.least(
+        F.greatest(
+            (F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+             / F.lit(frame_interval_ms)).cast("int"),
+            F.lit(1),
+        ),
+        F.lit(max_frames),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_idx"),
+            (i * frame_interval_ms).cast("int").alias("frame_ts_ms"),
+        ),
+    )
+    return (
+        df.withColumn("__frame", F.explode(frames))
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("__frame.frame_idx").alias("frame_idx"),
+            F.col("__frame.frame_ts_ms").alias("frame_ts_ms"),
+            "payload",
+        )
+    )
+
+
 def resize_metadata(df: DataFrame, max_side: int = 224) -> DataFrame:
     """Plan a resize: compute target dims preserving aspect ratio — pure
     column math on metadata; the pixel work would ride the same

@@ -347,6 +347,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             greatest(least((len(text) % 5000) // 1000, 32), 1) AS n_frames
+      FROM documents)
+    SELECT m.doc_id,
+           CAST(f.i AS INT) AS frame_idx,
+           CAST(f.i * 1000 AS INT) AS frame_ts_ms
+    FROM media m, unnest(range(0, CAST(m.n_frames AS BIGINT))) AS f(i)
+    """,
+    doc="Video frame-sampling plumbing: explode media rows into capped "
+        "per-frame rows at a fixed interval (pure column algebra).",
+    tags=("multimodal", "frames"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            (F.length(F.decode("payload", "utf-8")) % 5000)
+            .cast("int")
+            .alias("duration_ms"),
+        ),
+    )
+    return sample_frames(media, frame_interval_ms=1000, max_frames=32).select(
+        "doc_id", "frame_idx", "frame_ts_ms"
+    )
+
+
+@register(
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id,

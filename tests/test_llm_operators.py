@@ -226,6 +226,36 @@ def test_multimodal_decode_stub_raises():
         decode_image(b"bytes", fake=False)
 
 
+def test_multimodal_frame_sampling(spark):
+    from dataintegration_csvprovider_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "video", b"x", ("video/fake", None, None, 3500)),
+         (2, "video", b"y", ("video/fake", None, None, 200_000)),
+         (3, "image", b"z", ("image/fake", None, None, None))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = sample_frames(media, frame_interval_ms=1000, max_frames=32).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_ts_ms))
+    assert len(per_doc[1]) == 3  # 3500ms / 1000ms
+    assert len(per_doc[2]) == 32  # capped
+    assert len(per_doc[3]) == 1  # no duration → 1 frame
+    assert per_doc[1][2] == (2, 2000)
+
+
+def test_multimodal_audio_stub():
+    from dataintegration_csvprovider_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"bytes")
+    assert len(decode_audio(b"bytes", fake=True)) == 16
+
+
 def test_multimodal_resize_bounds(docs):
     out = resize_metadata(attach_fake_media(docs.limit(50)), max_side=224).collect()
     for r in out:
