@@ -71,6 +71,7 @@ def all_queries() -> dict[str, Query]:
     from . import relational3  # noqa: F401
     from . import relational4  # noqa: F401
     from . import relational5  # noqa: F401
+    from . import relational6  # noqa: F401
     from . import tpch  # noqa: F401
     from . import csvops  # noqa: F401
     from . import llm  # noqa: F401

@@ -1,0 +1,296 @@
+"""Sixth relational batch: HAVING with correlated EXISTS, ntile buckets,
+ordered string aggregation, decimal-exact correlation, map columns, date
+spines, unbounded window frames, and deterministic mode-per-group.
+
+All shapes are absent from the reference (SURVEY.md §2.7 — the reference
+has no aggregate/join/window logic; see /root/reference/src/CSVProvider.cs
+row pump at 563-577) and enter the engine as native Spark surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from .registry import register, dsum, sql_dsum
+
+
+@register(
+    "q_having_exists",
+    oracle=f"""
+    SELECT n.n_nationkey, n.n_name,
+           COUNT(*) AS n_cust,
+           {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    HAVING COUNT(*) >= 5 AND EXISTS (
+      SELECT 1 FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)
+    """,
+    doc="Aggregate filtered by a correlated EXISTS in HAVING — planned as "
+        "agg -> left-semi join against the filtered subquery (no "
+        "per-group re-scan; the semi join broadcasts the small side).",
+    tags=("agg", "subquery"),
+)
+def q_having_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    grouped = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .filter(F.col("n_cust") >= 5)
+    )
+    rich_supp_nations = supp.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    return grouped.join(rich_supp_nations, "n_nationkey", "left_semi")
+
+
+@register(
+    "q_ntile",
+    oracle=f"""
+    SELECT CAST(q AS INT) AS quartile, COUNT(*) AS n,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM (SELECT c_acctbal,
+                 NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+          FROM customer) t
+    GROUP BY q
+    """,
+    doc="Equal-height quartiles via ntile; unique-key tiebreaker keeps "
+        "bucket assignment deterministic across engines. (At 100 TB the "
+        "global sort behind ntile is the bottleneck — approx_percentile "
+        "cutpoints + range partitioning is the scale path.)",
+    tags=("window",),
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy(F.col("q").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q_listagg",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (LISTAGG): collect_list -> array_sort "
+        "-> array_join gives an order-deterministic result without a "
+        "per-group sort pass.",
+    tags=("agg", "string"),
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "q_corr_decimal",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(20,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)))
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST((n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                AS DOUBLE) AS corr_qty_price
+    FROM s
+    """,
+    doc="Pearson correlation rebuilt from exact-decimal moment sums — "
+        "order-independent across partitions, unlike corr() over raw "
+        "doubles whose accumulation order varies run to run. One shuffle, "
+        "map-side partial aggregation of all five moments at once.",
+    tags=("agg", "stats"),
+)
+def q_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(20,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(24,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", corr.cast("double").alias("corr_qty_price")
+    )
+
+
+@register(
+    "q_map_column",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_key,
+           MAX(n_nationkey) AS max_val
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="MapType column plumbing: per region build map<n_name, n_nationkey> "
+        "via map_from_entries(collect_list(struct)), then read it back with "
+        "map_keys/map_values — the oracle checks the scalar projections.",
+    tags=("map", "agg"),
+)
+def q_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    m = (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("n_name", "n_nationkey"))
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "n_regionkey",
+        F.size("m").alias("n_nations"),
+        F.array_min(F.map_keys("m")).alias("first_key"),
+        F.array_max(F.map_values("m")).alias("max_val"),
+    )
+
+
+@register(
+    "q_date_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1994-01-01', DATE '1994-12-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+    ), monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+      GROUP BY 1)
+    SELECT s.month, COALESCE(m.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly m ON s.month = m.month
+    """,
+    doc="Date spine: sequence() generates the month axis so empty months "
+        "survive the left join (gap-filling — a groupBy alone drops them).",
+    tags=("date", "join"),
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1994-01-01").cast("date"),
+                F.lit("1994-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    monthly = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(monthly, "month", "left")
+        .select("month", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderdate) OVER w AS first_order,
+           LAST_VALUE(o_orderdate)  OVER w AS last_order,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value over an unbounded frame (the 'whole group "
+        "visible' window) with a unique-key tiebreaker; one row per "
+        "customer via distinct.",
+    tags=("window",),
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("last_order"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    ).distinct()
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+    WHERE rn = 1
+    """,
+    doc="Deterministic mode(): count per (group, value), then argmax with "
+        "a lexical tiebreaker — two shuffles, both on small key spaces; "
+        "never collects values.",
+    tags=("agg", "stats"),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
