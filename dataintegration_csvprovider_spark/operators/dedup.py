@@ -387,11 +387,17 @@ def ngram_jaccard_pairs(
                 "gram",
             )
         l, r = inv.alias("l"), inv.alias("r")
+        # lossless size prune: J(A,B) <= min/max of set sizes, so J >= t
+        # forces t*max <= min — drop mismatched-size pairs inside the join,
+        # before they reach the pair aggregation
+        t = F.lit(float(threshold))
         common = (
             l.join(
                 r,
                 (F.col("l.gram") == F.col("r.gram"))
-                & (F.col("l.id") < F.col("r.id")),
+                & (F.col("l.id") < F.col("r.id"))
+                & (F.col("l.set_size") >= t * F.col("r.set_size"))
+                & (F.col("r.set_size") >= t * F.col("l.set_size")),
             )
             .groupBy(
                 F.col("l.id").alias("a"),
