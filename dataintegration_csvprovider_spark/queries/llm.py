@@ -409,3 +409,44 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resize_to.width").alias("target_w"),
         F.col("resize_to.height").alias("target_h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroids (the k-means/classifier-prototype building block)
+# --------------------------------------------------------------------------
+
+_DIM = 64
+_DUCK_CENTROID = ", ".join(
+    f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6)))"
+    f" AS DOUBLE) / COUNT(*)"
+    for i in range(_DIM)
+)
+
+
+@register(
+    "q_embedding_centroid",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n, [{_DUCK_CENTROID}] AS centroid
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label centroid of the 64-dim embedding column via exact-"
+        "decimal per-dimension sums — one shuffle, map-side partials, "
+        "order-independent floats (the building block for k-means "
+        "iterations and class prototypes at scale).",
+    tags=("embedding", "agg"),
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(
+            F.element_at("embedding", i + 1).cast("double").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias(f"__s{i}")
+        for i in range(_DIM)
+    ]
+    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
+    centroid = F.array(
+        *[(F.col(f"__s{i}") / F.col("n")).cast("double") for i in range(_DIM)]
+    )
+    return agg.select("label", "n", centroid.alias("centroid"))

@@ -74,6 +74,7 @@ def all_queries() -> dict[str, Query]:
     from . import relational6  # noqa: F401
     from . import tpch  # noqa: F401
     from . import csvops  # noqa: F401
+    from . import jsonlops  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
 

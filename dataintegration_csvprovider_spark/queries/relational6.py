@@ -294,3 +294,51 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
         )
     )
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram by integer bucketing — one shuffle on the "
+        "bucket id; the per-row floor stays in whole-stage codegen.",
+    tags=("agg", "stats"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Skew-resistant salted equi-join (operators/scale.salted_join): "
+        "the fact side gets a random salt, the dim side is replicated per "
+        "salt, so a hot orderkey spreads over 8 tasks; results are "
+        "identical to the plain join, which is what the oracle runs.",
+    tags=("join", "scale"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = salted_join(li, orders, on="o_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
