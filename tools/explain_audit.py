@@ -1,0 +1,89 @@
+"""Physical-plan audit: scan every gate query's plan for 100-TB red flags.
+
+For each ``queries()`` entry (batch queries stay lazy; streaming entries
+are skipped — their plan is the batch result of ``run_to_completion``):
+
+- ERROR  ``BatchEvalPython``      row-at-a-time Python UDF on the hot path
+- WARN   ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` outside the
+         whitelist of intentionally cross/theta-shaped queries
+- INFO   shuffle (``Exchange``) count; parquet scan count and how many of
+         those scans carry pushed filters (predicate pushdown reached
+         the scan). Formatted explain lists each node in the tree AND the
+         detail section, so these counts are ~2x the node count — compare
+         across queries, not against an absolute budget.
+
+Usage: python tools/explain_audit.py [names...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: queries whose semantics genuinely need a cross/nested-loop join:
+#: all-pairs similarity, theta/range/as-of joins, single-row query vectors
+NLJ_OK = {
+    "q_cross_join",
+    "q_range_join",
+    "q_asof_join",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_embedding_neardup",
+    "q_embedding_neardup_ivf",
+    "q_date_spine",  # 12-row broadcast spine
+    "q_subquery_scalar",  # scalar subquery joins as single-row BNLJ
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from dataintegration_csvprovider_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit")
+    names = sys.argv[1:] or sorted(entry.queries())
+    qs = entry.queries()
+    n_err = 0
+    for name in names:
+        if name.startswith("q_stream"):
+            print(f"skip  {name}: streaming (plan is the finished batch)")
+            continue
+        try:
+            df = qs[name](spark, SF_DIR)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {type(exc).__name__}: {exc}")
+            n_err += 1
+            continue
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("ROW-PYTHON-UDF")
+            n_err += 1
+        has_nlj = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if has_nlj and name not in NLJ_OK:
+            flags.append("UNEXPECTED-NLJ")
+            n_err += 1
+        n_exchange = plan.count("Exchange")
+        n_scans = plan.count("Scan parquet")
+        n_pushed = plan.count("PushedFilters: [") - plan.count(
+            "PushedFilters: []"
+        )
+        status = " ".join(flags) if flags else "clean"
+        print(f"{'FLAG ' if flags else 'ok   '}{name}: {status} "
+              f"[shuffles={n_exchange} scans={n_scans} pushed={n_pushed}]")
+    print(f"\n{n_err} flagged")
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
