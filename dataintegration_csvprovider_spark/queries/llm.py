@@ -450,3 +450,25 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.col(f"__s{i}") / F.col("n")).cast("double") for i in range(_DIM)]
     )
     return agg.select("label", "n", centroid.alias("centroid"))
+
+
+@register(
+    "q_kmeans",
+    oracle=None,  # iterative algorithm — rows-only check
+    doc="3-iteration deterministic k-means (k=8) over the embeddings: "
+        "per-cluster size and mean squared distance. Assignment is "
+        "map-only column math against broadcast centroid literals; the "
+        "update is one (cluster, dim) shuffle of decimal partials "
+        "(operators/clustering.py).",
+    tags=("embedding", "clustering", "iterative"),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=8, n_iter=3)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_sq_dist"),
+    )

@@ -192,3 +192,30 @@ def q_stream_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment join: the event stream joins a static "
+        "customer dimension (broadcast — no state store, no stream-side "
+        "shuffle for the join) before a complete-mode aggregate. The "
+        "standard 100 TB enrichment shape: dim refreshes per micro-batch.",
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = events.join(cust, events.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+    return run_to_completion(agg, output_mode="complete")
