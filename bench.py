@@ -45,6 +45,9 @@ HEADLINE = (
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_knn_bruteforce",
+    "q_embedding_centroid",
+    "q_salted_join",
+    "q_trailing_features",
     "q_text_quality",
     "q_multimodal_features",
     "q_stream_tumbling",

@@ -472,3 +472,25 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double")
          / F.count(F.lit(1))).alias("mean_sq_dist"),
     )
+
+
+@register(
+    "q_text_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="PII-style scrubbing: global regex redaction of digit runs plus a "
+        "redaction count — pure JVM-side string expressions (regexp_"
+        "replace/regexp_count), map-only, no shuffle.",
+    tags=("text", "quality"),
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_num"),
+    )

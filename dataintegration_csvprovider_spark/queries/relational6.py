@@ -342,3 +342,40 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("total_price"),
     )
+
+
+@register(
+    "q_trailing_features",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_prev_1h
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-window feature engineering: per-user event count/sum "
+        "over the last hour via a RANGE frame on epoch seconds — the "
+        "standard per-entity rolling-feature shape; one shuffle on "
+        "user_id, no self-join. (Decimal sums keep the running values "
+        "order-exact; ties in ts share a frame, so no tiebreaker needed.)",
+    tags=("window", "events", "features"),
+)
+def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_prev_1h"),
+    )
