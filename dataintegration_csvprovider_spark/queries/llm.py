@@ -494,3 +494,60 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_num"),
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT * FROM documents WHERE n_chars >= 60),
+    g AS (SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM d),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))) >= 0.7),
+    e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    removed AS (SELECT node FROM comp WHERE node != component)
+    SELECT d.lang,
+           COUNT(*) FILTER (WHERE r.node IS NULL) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE r.node IS NOT NULL) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(d.n_chars) FILTER (WHERE r.node IS NULL) AS BIGINT)
+             AS kept_chars
+    FROM d LEFT JOIN removed r ON d.doc_id = r.node
+    GROUP BY d.lang
+    """,
+    doc="End-to-end corpus curation: quality filter (n_chars >= 60) -> "
+        "exact bigram-Jaccard near-dup pairs (inverted-index join, "
+        "threshold 0.7) -> connected components (label propagation) -> "
+        "drop non-canonical members (keep min doc_id per component) -> "
+        "per-language corpus stats. The oracle rebuilds the components "
+        "with a recursive-CTE transitive closure — full value parity for "
+        "the whole pipeline, not just one operator.",
+    tags=("dedup", "pipeline", "quality"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 60)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.7)
+    comps = connected_components(pairs)
+    removed = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("__rm")
+    )
+    # join strategy left to AQE: the removal set is tiny here but can
+    # be a large fraction of the corpus at scale — never force broadcast
+    flagged = docs.join(removed, "doc_id", "left")
+    rm = F.col("__rm").isNotNull()
+    return flagged.groupBy("lang").agg(
+        F.count(F.when(~rm, 1)).alias("n_kept"),
+        F.count(F.when(rm, 1)).alias("n_removed"),
+        F.sum(F.when(~rm, F.col("n_chars"))).alias("kept_chars"),
+    )
