@@ -95,3 +95,53 @@ def kmeans(
         centroids = new_centroids
 
     return assigned.select("id", "cluster", "sq_dist"), history
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-group least-squares line fit via ``applyInPandas`` (grouped-map
+    Pandas UDF): each group arrives as one Arrow batch; moments are
+    accumulated as sequential Python-float folds in ``order_col`` order so
+    results are order-deterministic (and match an engine that folds a
+    sorted list left-to-right).
+
+    The grouped-map pattern is the engine's slot for per-entity model
+    fitting that SQL can't express; at scale each group must fit one
+    task's memory — for giant groups, pre-aggregate moments in SQL
+    instead (see q_corr_decimal for that route)."""
+    import pandas as pd
+
+    schema = (
+        f"{group_col} string, n bigint, slope double, intercept double"
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col)
+        n = len(pdf)
+        sx = sy = sxx = sxy = 0.0
+        for x, y in zip(pdf[x_col].astype(float), pdf[y_col].astype(float)):
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return (
+        df.select(group_col, order_col, x_col, y_col)
+        .groupBy(group_col)
+        .applyInPandas(fit, schema=schema)
+    )

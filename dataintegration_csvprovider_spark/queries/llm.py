@@ -551,3 +551,46 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(rm, 1)).alias("n_removed"),
         F.sum(F.when(~rm, F.col("n_chars"))).alias("kept_chars"),
     )
+
+
+@register(
+    "q_grouped_fit",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+      FROM documents),
+    a AS (
+      SELECT lang, COUNT(*) AS n,
+             list_sum(list(x ORDER BY doc_id)) AS sx,
+             list_sum(list(y ORDER BY doc_id)) AS sy,
+             list_sum(list(x * x ORDER BY doc_id)) AS sxx,
+             list_sum(list(x * y ORDER BY doc_id)) AS sxy
+      FROM t GROUP BY lang),
+    b AS (
+      SELECT lang, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             sx, sy
+      FROM a)
+    SELECT lang, n, CAST(slope AS DOUBLE) AS slope,
+           CAST((sy - slope * sx) / n AS DOUBLE) AS intercept
+    FROM b
+    """,
+    doc="Grouped-map Pandas UDF (applyInPandas): per-language least-"
+        "squares fit of token count vs char count. Moments fold "
+        "sequentially in doc_id order inside the UDF, so the floats "
+        "match an engine folding the same sorted list.",
+    tags=("text", "pandas-udf", "stats"),
+)
+def q_grouped_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import grouped_linear_fit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    return grouped_linear_fit(
+        docs, group_col="lang", x_col="x", y_col="y", order_col="doc_id"
+    )

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, Query]:
     from . import tpch  # noqa: F401
     from . import csvops  # noqa: F401
     from . import jsonlops  # noqa: F401
+    from . import sqlapi  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
 

@@ -1,0 +1,94 @@
+"""SQL front door: queries submitted as SQL text via ``spark.sql`` over
+temp views — the engine's second query API next to the DataFrame builder
+(same Catalyst plans underneath, so everything the plan audit proves for
+the DataFrame surface holds here too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import register
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape via the SQL API: scan-filter-aggregate, every "
+        "predicate pushed to the parquet scan; no shuffle beyond the "
+        "single-row final aggregate.",
+    tags=("tpch", "sql"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """)
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """,
+    doc="TPC-H Q14 shape via the SQL API: fact-dim join (part broadcasts "
+        "under AQE) + conditional revenue ratio in exact decimals.",
+    tags=("tpch", "sql", "join"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql("""
+        SELECT CAST(100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                   AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    """)
+
+
+@register(
+    "q_sql_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+             AS price_rank
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="Window function through the SQL API (identical text both "
+        "engines) — proves SQL-surface parity for analytic queries.",
+    tags=("window", "sql"),
+)
+def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                 AS price_rank
+        FROM orders WHERE o_custkey < 100
+    """)

@@ -20,3 +20,24 @@ def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
     assigned2, hist2 = kmeans(emb, k=4, n_iter=3)
     assert [h["inertia"] for h in hist2] == inertias
     assert sorted(map(tuple, assigned2.collect())) == sorted(map(tuple, rows))
+
+
+def test_grouped_linear_fit_exact_line(spark):
+    # points on an exact line per group -> slope/intercept recovered
+    from dataintegration_csvprovider_spark.operators.clustering import (
+        grouped_linear_fit,
+    )
+
+    rows = [("g1", i, float(i), 2.0 * i + 1.0) for i in range(10)]
+    rows += [("g2", i, float(i), -0.5 * i + 3.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, ord int, x double, y double")
+    out = {
+        r.g: r
+        for r in grouped_linear_fit(
+            df, group_col="g", x_col="x", y_col="y", order_col="ord"
+        ).collect()
+    }
+    assert abs(out["g1"].slope - 2.0) < 1e-12
+    assert abs(out["g1"].intercept - 1.0) < 1e-12
+    assert abs(out["g2"].slope + 0.5) < 1e-12
+    assert abs(out["g2"].intercept - 3.0) < 1e-12
