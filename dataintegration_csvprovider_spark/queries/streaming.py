@@ -28,16 +28,24 @@ _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+#: staged landing dirs, one per sf_dir per process — queries that open
+#: several streams (e.g. a stream-stream join) reuse one staging write
+_STAGED: dict[str, tuple[str, object]] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage events into a microsecond-timestamp parquet landing dir (the
     fixture's TIMESTAMP(NANOS) isn't streamable) and open a file-source
     stream over it."""
     import tempfile
 
-    events = load_table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="events_stage_")
-    events.write.mode("overwrite").parquet(d)
-    return stream_from_parquet(spark, d, events.schema)
+    if sf_dir not in _STAGED:
+        events = load_table(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="events_stage_")
+        events.write.mode("overwrite").parquet(d)
+        _STAGED[sf_dir] = (d, events.schema)
+    d, schema = _STAGED[sf_dir]
+    return stream_from_parquet(spark, d, schema)
 
 
 @register(
@@ -219,3 +227,50 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'click' AND a.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    GROUP BY a.user_id
+    """,
+    doc="Stream-stream interval join: views joined to clicks by the same "
+        "user within 30 minutes — both sides watermarked so the join "
+        "state store evicts rows older than the interval bound; the "
+        "attribution-join shape. availableNow processes all fixture data "
+        "in one batch, so the result equals the batch self-join oracle.",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts "
+            "AND c_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = run_to_completion(joined, output_mode="append")
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
