@@ -31,10 +31,13 @@ from .operators import dedup as dedup_ops
 from .operators import similarity as sim_ops
 from .operators import textstats as text_ops
 from .operators.asof import asof_join
+from .operators.clustering import grouped_linear_fit, kmeans
+from .operators.scale import bucketed_join, salted_join, write_bucketed
 from .operators.sessions import session_stats, sessionize
 from .session import get_spark
 from .sinks.csv_sink import CsvSink
 from .sources.csv_source import CsvSource
+from .sources.jsonl_source import JsonlSink, JsonlSource
 
 
 @dataclass
@@ -75,3 +78,19 @@ class Engine:
     asof_join = staticmethod(asof_join)
     sessionize = staticmethod(sessionize)
     session_stats = staticmethod(session_stats)
+    kmeans = staticmethod(kmeans)
+    grouped_linear_fit = staticmethod(grouped_linear_fit)
+    salted_join = staticmethod(salted_join)
+    bucketed_join = staticmethod(bucketed_join)
+    write_bucketed = staticmethod(write_bucketed)
+
+    # -- JSONL source/sink -------------------------------------------------
+    def read_jsonl(
+        self, source: JsonlSource, table: str, **kwargs
+    ) -> DataFrame:
+        return source.read(self.spark, table, **kwargs)
+
+    def write_jsonl(
+        self, df: DataFrame, sink: JsonlSink, table: str, **kwargs
+    ) -> str:
+        return sink.write(df, table, **kwargs)
