@@ -199,9 +199,11 @@ def connected_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
     """Label propagation over undirected edges (a, b) → (id, component)
-    where component = min id reachable. Each round is one shuffle;
-    localCheckpoint truncates lineage so plans stay bounded. Converges in
-    O(log n) rounds for near-dup graphs (components are tiny cliques)."""
+    where component = min id reachable. Each round is one neighbor-min
+    shuffle plus a pointer-jumping shortcut (component ← component's
+    component), which halves label-chain length — so convergence is
+    O(log diameter) even for path graphs, not O(diameter).
+    localCheckpoint truncates lineage so plans stay bounded."""
     sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -220,6 +222,20 @@ def connected_components(
                 "id",
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: follow the label one more hop (components are
+        # node ids, so the lookup side is the label table itself)
+        hop = new_labels.select(
+            F.col("id").alias("cid"), F.col("component").alias("cc")
+        )
+        new_labels = (
+            new_labels.join(hop, new_labels.component == hop.cid, "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("cc", "component")
                 ).alias("component"),
             )
         )

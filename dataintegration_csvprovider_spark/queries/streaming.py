@@ -167,9 +167,17 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_csv_source",
-    oracle=None,  # exercises the CSV file-stream path; rows-only
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}')
+             AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events WHERE event_id < 1000
+    GROUP BY 1, 2
+    """,
     doc="CSV file-source stream through the engine's dialect options → "
-        "windowed counts (subsumes the S4 stability gate).",
+        "windowed counts (subsumes the S4 stability gate); values survive "
+        "the CSV roundtrip, so the windowed counts match the parquet "
+        "oracle exactly.",
     tags=("streaming", "csv"),
 )
 def q_stream_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +187,9 @@ def q_stream_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.csv_source import CsvSource
     from ..streaming.events import stream_from_csv_source
 
-    events = load_table(spark, sf_dir, "events").limit(1000)
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 1000
+    )
     d = tempfile.mkdtemp(prefix="stream_csv_")
     CsvSink(folder=d).write(
         events.select(

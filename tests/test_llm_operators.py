@@ -260,3 +260,18 @@ def test_multimodal_resize_bounds(docs):
     out = resize_metadata(attach_fake_media(docs.limit(50)), max_side=224).collect()
     for r in out:
         assert r.resize_to.width <= 224 and r.resize_to.height <= 224
+
+
+def test_connected_components_long_path(spark):
+    # a 50-edge path has diameter far beyond the round cap: only the
+    # pointer-jumping shortcut makes 20 rounds enough (O(log diameter))
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "a bigint, b bigint"
+    )
+    comps = connected_components(edges)
+    assert comps.filter("component != 0").count() == 0
+    assert comps.count() == 51
