@@ -64,6 +64,17 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 from ._util import spread as _spread
 
 
+def _with_content(df: DataFrame, text_col: str) -> DataFrame:
+    """Drop contentless docs (NULL or whitespace-only text) before pair
+    generation: set similarity is undefined for empty feature sets —
+    without this, empty docs band-match each other (null signatures) and
+    0/0 Jaccard yields NaN, which Spark orders ABOVE any threshold.
+    Exact dedup still sees such rows; only near-dup search skips them."""
+    return df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -170,7 +181,9 @@ def minhash_near_dup_pairs(
     exact signature overlap (fraction of equal minhash positions — an
     unbiased Jaccard estimate)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        _with_content(df, text_col), text_col, id_col, num_hashes, shingle_size
+    )
     # signatures feed three plan branches (banding + both verify sides);
     # persist so the hash work runs once
     sigs = sigs.persist()
@@ -323,7 +336,7 @@ def simhash_near_dup_pairs(
     four chunks — pigeonhole), so the join is equi, never cross."""
     # both join sides read the fingerprints — persist so the hash fold
     # runs once
-    fps = simhash(df, text_col, id_col, shingle_size).persist()
+    fps = simhash(_with_content(df, text_col), text_col, id_col, shingle_size).persist()
     chunks = F.array(
         *[
             F.struct(
@@ -389,7 +402,7 @@ def ngram_jaccard_pairs(
     the index once); 'prefix' indexes only each set's rare-gram prefix and
     verifies candidates exactly — the right trade once stopword-gram df²
     dominates (web-scale corpora)."""
-    grams = _spread(df.select(
+    grams = _spread(_with_content(df, text_col).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("grams"),
     )).withColumn("set_size", F.size("grams"))

@@ -275,3 +275,33 @@ def test_connected_components_long_path(spark):
     comps = connected_components(edges)
     assert comps.filter("component != 0").count() == 0
     assert comps.count() == 51
+
+
+def test_near_dup_ops_skip_contentless_docs(spark):
+    # NULL / empty / whitespace-only text must not produce pairs (set
+    # similarity is undefined for empty feature sets; NaN Jaccard would
+    # otherwise pass any threshold since Spark orders NaN above numbers)
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world foo bar baz"),
+            (2, "hello world foo bar baz"),
+            (3, ""),
+            (4, None),
+            (5, "   "),
+            (6, "single"),
+        ],
+        "doc_id bigint, text string",
+    )
+    for pairs in (
+        minhash_near_dup_pairs(docs),
+        simhash_near_dup_pairs(docs),
+        ngram_jaccard_pairs(docs, n=2, threshold=0.5),
+    ):
+        got = sorted((r[0], r[1]) for r in pairs.collect())
+        assert got == [(1, 2)], got
