@@ -37,8 +37,23 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity_expr(a: Column, b: Column) -> Column:
-    """cosine(a, b) as a pure Column expression (double)."""
-    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+    """cosine(a, b) as a pure Column expression (double). NULL when either
+    vector is NULL or zero-norm (cosine undefined) — try_divide, not /,
+    because ANSI mode turns the 0/0 of a single degenerate vector into a
+    job-killing exception otherwise."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b)).cast("double")
+
+
+def _with_valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose vector is NULL or all-zero: cosine is undefined
+    for them, and one such row must not crash or pollute a 100 TB job.
+    The filter is a narrow map-side pass fused into the scoring stage."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.filter(F.col(vec_col).isNotNull() & (sq > 0.0))
 
 
 def knn_bruteforce(
@@ -51,7 +66,9 @@ def knn_bruteforce(
     """Exact top-k by cosine against a literal query vector. Ties broken
     by id for determinism."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.withColumn("cosine", cosine_similarity_expr(F.col(vec_col), q))
+    scored = _with_valid_vectors(df, vec_col).withColumn(
+        "cosine", cosine_similarity_expr(F.col(vec_col), q)
+    )
     return (
         scored.orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -102,6 +119,7 @@ def knn_ivf(
 
     At scale the assignment is precomputed and the probe prunes to
     n_probe/num_centroids of the data; here both run in one job."""
+    df = _with_valid_vectors(df, vec_col)
     centroids = (
         df.orderBy(F.col(id_col))
         .limit(num_centroids)
@@ -179,7 +197,9 @@ def knn_lsh(
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    bucketed = df.withColumn("__bucket", rh_lsh_bucket(F.col(vec_col), planes))
+    bucketed = _with_valid_vectors(df, vec_col).withColumn(
+        "__bucket", rh_lsh_bucket(F.col(vec_col), planes)
+    )
 
     # driver-side: the query's bucket and its hamming-1 neighbors
     import math  # noqa: F401
@@ -211,6 +231,7 @@ def embedding_near_dup_pairs(
     partition: only vectors sharing a centroid are compared (near-dups
     land in the same partition for thresholds near 1). Equi-join on
     centroid_id — no cross join."""
+    df = _with_valid_vectors(df, vec_col)
     centroids = (
         df.orderBy(F.col(id_col))
         .limit(num_centroids)

@@ -305,3 +305,35 @@ def test_near_dup_ops_skip_contentless_docs(spark):
     ):
         got = sorted((r[0], r[1]) for r in pairs.collect())
         assert got == [(1, 2)], got
+
+
+def test_similarity_ops_tolerate_degenerate_vectors(spark):
+    # NULL and zero-norm embeddings must be skipped, not crash the job
+    # (ANSI mode would raise DIVIDE_BY_ZERO on cosine) nor rank anywhere
+    from dataintegration_csvprovider_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),
+            (4, [0.0, 0.0]),
+            (5, [-1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ids = [r.vec_id for r in knn_bruteforce(emb, [1.0, 0.0], k=5).collect()]
+    assert ids == [1, 2, 5]
+    assert 3 not in ids and 4 not in ids
+    for got in (
+        knn_ivf(emb, [1.0, 0.0], k=5, num_centroids=2).collect(),
+        knn_lsh(emb, [1.0, 0.0], k=5).collect(),
+    ):
+        assert {r.vec_id for r in got} <= {1, 2, 5}
+    pairs = embedding_near_dup_pairs(emb, threshold=0.8, num_centroids=2)
+    assert {(r.a, r.b) for r in pairs.collect()} <= {(1, 2)}
