@@ -43,6 +43,10 @@ def asof_join(
         right_payload = [
             c for c in right.columns if c not in (*keys, right_ts)
         ]
+    # a NULL right timestamp can never satisfy the as-of inequality, and
+    # under nulls-first ordering it would otherwise be carried onto
+    # null-ts left rows as a bogus match
+    right = right.filter(F.col(right_ts).isNotNull())
 
     # tag and align the two sides on (key, event time); right rows sort
     # before left rows at identical timestamps so an equal-ts right row
@@ -89,7 +93,12 @@ def asof_join(
         carried = F.last("__right_row", ignorenulls=True).over(w)
 
     matched = (
-        unioned.withColumn("__match", carried)
+        # a NULL left timestamp matches nothing (left-outer semantics) —
+        # without the guard, forward mode's nulls-last sort would hand it
+        # the final carried payload
+        unioned.withColumn(
+            "__match", F.when(F.col("__ts").isNotNull(), carried)
+        )
         .filter(F.col("__is_left") == 1)
     )
     if tolerance is not None:

@@ -88,3 +88,27 @@ def test_session_stats_end_is_last_plus_gap(spark):
     assert r.session_start == _ts(0)
     assert r.session_end == _ts(40)  # last event 00:10 + 30 min
     assert r.n_events == 2 and r.total == 3.0
+
+
+def test_asof_null_timestamps_never_match(spark):
+    import datetime as dt
+
+    from dataintegration_csvprovider_spark.operators.asof import asof_join
+
+    T = dt.datetime(2020, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "k", T), (2, "k", None)], "id bigint, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "k", T), (11, "k", None)], "rid bigint, k string, rts timestamp"
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r.id: r.rid
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        assert out[1] == 10  # equal-ts right row is visible
+        assert out[2] is None  # null left ts -> no match, not rid 11
