@@ -68,7 +68,20 @@ def salted_join(
 
     AQE's skew-join split handles sort-merge cases automatically; explicit
     salting remains the tool when the skew is extreme or the join is
-    hash-based. Left-side rows are preserved exactly once."""
+    hash-based. Left-side rows are preserved exactly once.
+
+    Only left-multiplicity-preserving modes are valid (``inner``,
+    ``left``, ``left_semi``, ``left_anti``): the right side is replicated
+    once per salt value, so right/full-outer would emit each unmatched
+    right row ``salt_buckets`` times (and each matched right key once per
+    unmatched salt copy). For those, swap the sides or rely on AQE's
+    skew-join split."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            "salted_join preserves only left-side multiplicity; "
+            f"how={how!r} would duplicate right rows per salt — "
+            "swap sides or use AQE skew-join handling"
+        )
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     l = left.withColumn("__salt", salt)
     salts = F.explode(

@@ -76,3 +76,44 @@ def test_convert_to_parquet_prunes_partitions(spark, tmp_path):
     # partition pruning shows up as PartitionFilters in the scan
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part_col" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    # right/full would replicate unmatched right rows once per salt —
+    # refuse loudly instead of returning duplicated results
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, "x")], "k bigint, lv string")
+    right = spark.createDataFrame([(1, "r")], "k bigint, rv string")
+    for how in ("right", "full", "right_outer", "outer"):
+        with pytest.raises(ValueError, match="multiplicity"):
+            salted_join(left, right, on="k", how=how)
+
+
+def test_salted_semi_anti_joins(spark):
+    # semi/anti preserve left multiplicity: every salt copy of a present
+    # right key exists, so the per-salt match decision equals the
+    # unsalted one
+    from dataintegration_csvprovider_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, lv string")
+    right = spark.createDataFrame([(1, "r1"), (3, "r3")], "k bigint, rv string")
+    semi = salted_join(left, right, on="k", how="left_semi")
+    assert [(r.k, r.lv) for r in semi.collect()] == [(1, "x")]
+    anti = salted_join(left, right, on="k", how="left_anti")
+    assert [(r.k, r.lv) for r in anti.collect()] == [(2, "y")]
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    from dataintegration_csvprovider_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, lv string")
+    right = spark.createDataFrame([(1, "r1"), (3, "r3")], "k bigint, rv string")
+    rows = sorted(
+        ((r.k, r.lv, r.rv) for r in
+         salted_join(left, right, on="k", how="left").collect()),
+        key=str,
+    )
+    assert rows == [(1, "x", "r1"), (2, "y", None)]
