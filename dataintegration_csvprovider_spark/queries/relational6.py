@@ -379,3 +379,34 @@ def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_prev_1h"),
     )
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n_items,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="Shuffle-free co-located join: both sides persisted as bucketed "
+        "tables on the join key (operators/scale.write_bucketed), so the "
+        "join reads pre-partitioned buckets with NO exchange — the "
+        "pattern for repeated fact-fact joins at 100 TB where one "
+        "up-front bucketed write amortizes every later join's shuffle.",
+    tags=("join", "scale"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import bucketed_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    write_bucketed(li, "gate_li_bkt", 8, ["l_orderkey"])
+    write_bucketed(orders, "gate_ord_bkt", 8, ["l_orderkey"])
+    joined = bucketed_join(spark, "gate_li_bkt", "gate_ord_bkt", ["l_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+    )
