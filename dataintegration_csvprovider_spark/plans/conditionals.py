@@ -16,20 +16,24 @@ from dataclasses import dataclass, asdict
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: operator name -> predicate builder
+#: operator name -> predicate builder. Negative operators are null-SAFE
+#: (a NULL cell passes neq/not_contains/not_in): the reference compares
+#: CSV cell strings where "no value" is an empty string, never a SQL
+#: NULL, so "not equal to 'b'" keeps blank cells — plain SQL != would
+#: silently drop them once data arrives from typed sources.
 _OPS = {
     "eq": lambda c, v: c == v,
-    "neq": lambda c, v: c != v,
+    "neq": lambda c, v: ~c.eqNullSafe(v),
     "lt": lambda c, v: c < v,
     "lte": lambda c, v: c <= v,
     "gt": lambda c, v: c > v,
     "gte": lambda c, v: c >= v,
     "contains": lambda c, v: c.contains(v),
-    "not_contains": lambda c, v: ~c.contains(v),
+    "not_contains": lambda c, v: F.coalesce(~c.contains(v), F.lit(True)),
     "starts_with": lambda c, v: c.startswith(v),
     "ends_with": lambda c, v: c.endswith(v),
     "in": lambda c, v: c.isin(list(v)),
-    "not_in": lambda c, v: ~c.isin(list(v)),
+    "not_in": lambda c, v: F.coalesce(~c.isin(list(v)), F.lit(True)),
     "is_null": lambda c, v: c.isNull(),
     "not_null": lambda c, v: c.isNotNull(),
 }

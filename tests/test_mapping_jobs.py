@@ -198,3 +198,25 @@ def test_job_error_capture(spark, tmp_path):
     )
     res = run_job(spark, job)
     assert not res.success and res.errors
+
+
+def test_negative_conditionals_keep_nulls(spark):
+    # the reference compares CSV cell strings (blank, never NULL) — so
+    # "neq"/"not_contains"/"not_in" must not drop NULL cells
+    from dataintegration_csvprovider_spark.plans.conditionals import (
+        Conditional,
+        apply_conditionals,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "cat string"
+    )
+    got = [r.cat for r in apply_conditionals(
+        df, [Conditional("cat", "neq", "b")]).collect()]
+    assert sorted(x or "" for x in got) == ["", "a"]
+    got = [r.cat for r in apply_conditionals(
+        df, [Conditional("cat", "not_contains", "b")]).collect()]
+    assert sorted(x or "" for x in got) == ["", "a"]
+    got = [r.cat for r in apply_conditionals(
+        df, [Conditional("cat", "not_in", ["b"])]).collect()]
+    assert sorted(x or "" for x in got) == ["", "a"]
