@@ -97,3 +97,27 @@ def explain_has_exchange(df: DataFrame) -> bool:
     assertion helper for shuffle-free-join tests."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+) -> str:
+    """Write parquet range-clustered on ``cluster_cols``: rows are range-
+    partitioned (each output file owns a disjoint key range) and sorted
+    within files, so parquet row-group min/max statistics make point and
+    range scans on those columns skip almost every file — the poor-man's
+    Z-order, and the right layout for an append-only 100 TB corpus that
+    is mostly filtered on one key (time, tenant, shard).
+
+    ``num_files`` defaults to the session's shuffle parallelism."""
+    cols = [F.col(c) for c in cluster_cols]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+    return path

@@ -186,3 +186,33 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_to_csv_sink(
+    stream_df: DataFrame,
+    sink,
+    table: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> str:
+    """Drive a streaming DataFrame through ``foreachBatch`` into the
+    engine's :class:`~..sinks.csv_sink.CsvSink` — the reference's CSV
+    destination semantics (quoting, NULL sentinel, header) fed by a
+    stream. The checkpoint directory provides restart/exactly-once
+    bookkeeping; with the availableNow trigger this runs one batch and
+    returns the final CSV path. Complete mode rewrites the file per
+    batch, which matches the reference's whole-file output contract."""
+    result = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        result["path"] = sink.write(batch_df, table)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result["path"]

@@ -117,3 +117,27 @@ def test_salted_left_join_preserves_unmatched(spark):
         key=str,
     )
     assert rows == [(1, "x", "r1"), (2, "y", None)]
+
+
+def test_write_range_clustered_disjoint_files(spark, tmp_path):
+    # each output file must own a disjoint key range (that's what lets
+    # row-group min/max stats prune whole files)
+    import glob
+
+    from dataintegration_csvprovider_spark.operators.scale import (
+        write_range_clustered,
+    )
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "rc")
+    write_range_clustered(df, out, ["k"], num_files=8)
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        part = spark.read.parquet(f).agg(
+            {"k": "min"}
+        ).collect()[0][0], spark.read.parquet(f).agg({"k": "max"}).collect()[0][0]
+        ranges.append(part)
+    ranges.sort()
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, ordered ranges

@@ -98,3 +98,42 @@ def test_csv_file_source_stream(spark, tmp_path):
     out = run_to_completion(tumbling_agg(stream, window="1 hour"), "complete")
     rows = {(r.window.start.hour, r.event_type): (r.n, r.total) for r in out.collect()}
     assert rows == {(0, "click"): (1, 1.5), (0, "view"): (1, 2.5), (1, "click"): (1, 3.0)}
+
+
+def test_stream_to_csv_sink_roundtrip(spark, sf_dir, tmp_path):
+    # stream -> windowed agg -> foreachBatch -> CsvSink -> CsvSource:
+    # the reference's CSV destination fed by Structured Streaming, with
+    # checkpointed exactly-once bookkeeping
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.queries.streaming import (
+        _events_stream,
+    )
+    from dataintegration_csvprovider_spark.sinks.csv_sink import CsvSink
+    from dataintegration_csvprovider_spark.sources.csv_source import CsvSource
+    from dataintegration_csvprovider_spark.streaming.events import (
+        stream_to_csv_sink,
+        tumbling_agg,
+    )
+
+    agg = tumbling_agg(_events_stream(spark, sf_dir), window="1 hour")
+    flat = agg.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win"),
+        "event_type",
+        "n",
+    )
+    sink = CsvSink(folder=str(tmp_path / "out"))
+    path = stream_to_csv_sink(
+        flat, sink, "hourly", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert path.endswith("hourly.csv")
+    back = CsvSource(folder=str(tmp_path / "out")).read(spark, "hourly")
+    # equals the batch computation over the same fixture
+    events = load_table(spark, sf_dir, "events")
+    expected = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).count().count()
+    )
+    assert back.count() == expected
