@@ -594,3 +594,28 @@ def q_grouped_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_linear_fit(
         docs, group_col="lang", x_col="x", y_col="y", order_col="doc_id"
     )
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Canonical text normalization (lowercase, strip non-alphanumerics, "
+        "collapse whitespace) — the standard pre-shingling step; pure "
+        "JVM regex expressions, map-only.",
+    tags=("text",),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))

@@ -410,3 +410,54 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_quantity")).alias("total_qty"),
     )
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+    GROUP BY custkey
+    """,
+    doc="Multiplicity-preserving EXCEPT ALL (bag semantics): each open "
+        "order survives once per unmatched multiplicity, unlike the "
+        "distinct EXCEPT; the grouped count pins the multiplicities.",
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_null_ordering",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+    FROM orders
+    WHERE o_custkey < 30
+    ORDER BY prio ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+    doc="Explicit null ordering in a top-k: Spark's default (ASC = nulls "
+        "FIRST) and DuckDB's (nulls LAST) differ, so portable sorts on "
+        "nullable keys must pin NULLS FIRST/LAST — this query locks the "
+        "convention cross-engine. (Order itself isn't hashed; the LIMIT "
+        "makes the ordering semantics observable.)",
+    tags=("sort",),
+)
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        orders.select("o_orderkey", prio.alias("prio"))
+        .orderBy(F.col("prio").asc_nulls_first(), "o_orderkey")
+        .limit(50)
+    )
