@@ -397,7 +397,18 @@ def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "scale"),
 )
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
     from ..operators.scale import bucketed_join, write_bucketed
+
+    # a fresh session has an empty in-memory catalog, but the managed
+    # table LOCATION from a previous run survives on disk and blocks
+    # saveAsTable — drop both the entry and any orphaned location
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("gate_li_bkt", "gate_ord_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
