@@ -104,13 +104,19 @@ def extract_features(
             # batch_rows × avg_payload even if Arrow hands us more
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
+                # NULL payloads (missing media) yield NULL features, not
+                # a worker crash — one bad row must not kill the batch
                 yield pd.DataFrame(
                     {
                         "doc_id": chunk["doc_id"],
                         "media_type": chunk["media_type"],
-                        "payload_bytes": chunk["payload"].map(len),
+                        "payload_bytes": chunk["payload"].map(
+                            lambda p: None if p is None else len(p)
+                        ),
                         "feature": chunk["payload"].map(
-                            lambda p: decode_image(bytes(p), fake=fake)
+                            lambda p: None
+                            if p is None
+                            else decode_image(bytes(p), fake=fake)
                         ),
                     }
                 )

@@ -472,3 +472,29 @@ def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prio").asc_nulls_first(), "o_orderkey")
         .limit(50)
     )
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+    GROUP BY custkey
+    """,
+    doc="Multiplicity-preserving INTERSECT ALL: each customer appears "
+        "min(open-order count, finished-order count) times.",
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b).groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )

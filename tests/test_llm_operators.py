@@ -337,3 +337,20 @@ def test_similarity_ops_tolerate_degenerate_vectors(spark):
         assert {r.vec_id for r in got} <= {1, 2, 5}
     pairs = embedding_near_dup_pairs(emb, threshold=0.8, num_centroids=2)
     assert {(r.a, r.b) for r in pairs.collect()} <= {(1, 2)}
+
+
+def test_multimodal_features_null_payload(spark):
+    # a missing media payload yields NULL features, never a worker crash
+    from dataintegration_csvprovider_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in
+           extract_features(attach_fake_media(docs)).collect()}
+    assert out[1].payload_bytes == 5 and out[1].feature is not None
+    assert out[2].payload_bytes == 0
+    assert out[3].payload_bytes is None and out[3].feature is None
