@@ -193,7 +193,10 @@ class CsvSource:
     def _first_line(self, path: str) -> str:
         enc = ENCODINGS.get(self.options.encoding, self.options.encoding)
         with open(path, encoding=enc, errors="replace") as fh:
-            return fh.readline().rstrip("\r\n")
+            # strip a leading BOM: Python's utf-8 codec keeps U+FEFF
+            # (unlike utf-8-sig), which would pollute the first header
+            # name; Spark's own CSV reader strips it, so match that
+            return fh.readline().rstrip("\r\n").lstrip("\ufeff")
 
     # -- S3 inference (CSVProvider.cs:155-198,281-315) --------------------
     def infer_schema(self, spark: SparkSession) -> dict[str, T.StructType]:

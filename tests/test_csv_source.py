@@ -177,3 +177,19 @@ def test_encoding_variants(spark, tmp_path):
         src = CsvSource(folder=str(d), options=CsvSourceOptions(encoding=enc_label))
         r = src.read(spark, "t").collect()[0]
         assert (r.a, r.b) == ("café", "naïve"), enc_label
+
+
+def test_utf8_bom_header_not_polluted(spark, tmp_path):
+    # Python's utf-8 codec keeps U+FEFF; the header inspector must strip
+    # it or the first column is named '﻿"id' with broken quoting
+    from dataintegration_csvprovider_spark.sources.csv_source import CsvSource
+
+    p = tmp_path / "t.csv"
+    p.write_bytes(b'\xef\xbb\xbf"id";"name"\r\n"1";"alice"\r\n"2";"bob"\r\n')
+    src = CsvSource(folder=str(tmp_path))
+    df = src.read(spark, "t")
+    assert df.columns == ["id", "name"]
+    assert {(r.id, r.name) for r in df.collect()} == {
+        ("1", "alice"),
+        ("2", "bob"),
+    }
