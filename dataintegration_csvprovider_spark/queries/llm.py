@@ -619,3 +619,24 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", norm.alias("norm_text"))
+
+
+@register(
+    "q_hll_sketch",
+    oracle=None,  # DataSketches HLL has no DuckDB twin → rows-only
+    doc="Mergeable HLL sketches (DataSketches): per-language distinct-"
+        "token estimates via hll_sketch_agg — the sketch column is the "
+        "scale idiom: build per-partition/day, store as binary, hll_union "
+        "later instead of re-scanning (exactness swapped for mergeability "
+        "at ~2% error).",
+    tags=("agg", "sketch"),
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return toks.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_distinct_toks"),
+        F.countDistinct("tok").alias("exact_distinct_toks"),
+    )

@@ -354,3 +354,26 @@ def test_multimodal_features_null_payload(spark):
     assert out[1].payload_bytes == 5 and out[1].feature is not None
     assert out[2].payload_bytes == 0
     assert out[3].payload_bytes is None and out[3].feature is None
+
+
+def test_hll_sketches_merge_consistently(spark):
+    # the scale contract: union of per-shard sketches estimates the same
+    # cardinality as one global sketch (not bit-equal: union drops the
+    # HIP estimator, a documented DataSketches property)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("shard"), (F.col("id") % 1000).alias("v")
+    )
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
+    ).first().est
+    merged = (
+        df.groupBy("shard")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
+    assert abs(merged - whole) / whole < 0.02
+    assert abs(whole - 1000) / 1000 < 0.05
