@@ -51,14 +51,19 @@ def dedup_exact(df: DataFrame, keys: list[str], tiebreaker: str) -> DataFrame:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column — pure array expressions
-    (split → sliding windows via transform over an index sequence)."""
+    (split → sliding windows via transform over an index sequence).
+    Documents with fewer than ``k`` words have NO k-shingle — empty
+    array, the standard definition (and what a SQL oracle computes);
+    padding them with a truncated shingle would pair all short docs."""
     words = F.split(text, "\\s+")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    idx = F.sequence(F.lit(0), n - k)
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(words, i + 1, k)
     )
-    return F.array_distinct(F.transform(idx, shingle_at))
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 from ._util import spread as _spread
@@ -119,7 +124,10 @@ def minhash_signatures(
     base = _spread(df.select(id_col, text_col)).withColumn(
         "__grams", word_shingles(F.col(text_col), shingle_size)
     )
-    return base.withColumn("signature", F.expr(fold)).drop("__grams")
+    # no shingles (short/NULL text) → NULL signature, never the
+    # init-array — otherwise every short doc would band-match
+    sig = F.when(F.size("__grams") > 0, F.expr(fold))
+    return base.withColumn("signature", sig).drop("__grams")
 
 
 def lsh_candidate_pairs(
@@ -180,7 +188,7 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         _with_content(df, text_col), text_col, id_col, num_hashes, shingle_size
-    )
+    ).filter(F.col("signature").isNotNull())
     # signatures feed three plan branches (banding + both verify sides);
     # persist so the hash work runs once
     sigs = sigs.persist()
@@ -318,6 +326,9 @@ def simhash(
         )
         """
     )
+    # no shingles (short/NULL text) → NULL fingerprint, never 0 — all
+    # short docs would otherwise collide at hamming 0
+    fingerprint = F.when(F.size("__grams") > 0, fingerprint)
     return base.withColumn("simhash", fingerprint).drop("__grams")
 
 
@@ -333,7 +344,11 @@ def simhash_near_dup_pairs(
     four chunks — pigeonhole), so the join is equi, never cross."""
     # both join sides read the fingerprints — persist so the hash fold
     # runs once
-    fps = simhash(_with_content(df, text_col), text_col, id_col, shingle_size).persist()
+    fps = (
+        simhash(_with_content(df, text_col), text_col, id_col, shingle_size)
+        .filter(F.col("simhash").isNotNull())
+        .persist()
+    )
     chunks = F.array(
         *[
             F.struct(

@@ -105,3 +105,87 @@ def test_minhash_estimates_jaccard(spark):
     for pair, j in exact.items():
         if pair in est:
             assert abs(est[pair] - j) <= 0.25, (pair, j, est[pair])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_connected_components_matches_union_find(spark_prop, edges):
+    # label propagation + pointer jumping vs a driver-side union-find
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark_prop.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # normalize: component label = min member, both sides
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_ngram_jaccard_matches_bruteforce(spark_prop, texts):
+    # inverted-index (and prefix) jaccard vs O(n^2) python brute force
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    def grams(t):
+        ws = [w for w in t.split(" ")]
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    expected = set()
+    for i, ti in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            if not ti.strip() or not texts[j].strip():
+                continue  # contentless docs are skipped by design
+            gi, gj = grams(ti), grams(texts[j])
+            if not gi | gj:
+                continue
+            jac = len(gi & gj) / len(gi | gj)
+            if jac >= 0.5:
+                expected.add((i, j))
+    for method in ("index", "prefix"):
+        got = {
+            (r.a, r.b)
+            for r in ngram_jaccard_pairs(
+                docs, n=2, threshold=0.5, method=method
+            ).collect()
+        }
+        assert got == expected, (method, got, expected)
