@@ -189,3 +189,47 @@ def test_ngram_jaccard_matches_bruteforce(spark_prop, texts):
             ).collect()
         }
         assert got == expected, (method, got, expected)
+
+
+@given(
+    st.lists(  # left events: (id, key, ts-seconds)
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right events: (key, ts-seconds, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_join_matches_bruteforce(spark_prop, lefts, rights):
+    import datetime as dt
+
+    from dataintegration_csvprovider_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2020, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark_prop.createDataFrame(
+        [(i, k, sec(s)) for i, (k, s) in enumerate(lefts)],
+        "id bigint, k bigint, ts timestamp",
+    )
+    right = spark_prop.createDataFrame(
+        [(j, k, sec(s), s) for j, (k, s) in enumerate(rights)],
+        "rid bigint, k bigint, rts timestamp, payload bigint",
+    ) if rights else spark_prop.createDataFrame(
+        [], "rid bigint, k bigint, rts timestamp, payload bigint"
+    )
+
+    got = {
+        r.id: r.payload
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload=["payload"],
+        ).collect()
+    }
+    for i, (k, s) in enumerate(lefts):
+        cands = [ps for (rk, ps) in rights if rk == k and ps <= s]
+        expected = max(cands) if cands else None
+        assert got[i] == expected, (i, k, s, got[i], expected)
