@@ -54,30 +54,40 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     (split → sliding windows via transform over an index sequence).
     Documents with fewer than ``k`` words have NO k-shingle — empty
     array, the standard definition (and what a SQL oracle computes);
-    padding them with a truncated shingle would pair all short docs."""
-    words = F.split(text, "\\s+")
+    padding them with a truncated shingle would pair all short docs.
+    Branch-free: the short-doc case is a zero-length slice, not a CASE
+    WHEN — wrapping the big HOF expressions in a branch was measured to
+    multiply whole-stage-codegen compile time several-fold. Text is
+    trimmed first: leading/trailing whitespace would otherwise produce
+    empty tokens and junk shingles."""
+    words = F.split(F.trim(text), "\\s+")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), n - k)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ", F.slice(words, i + 1, k)
     )
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
-        F.array().cast("array<string>")
-    )
+    sh = F.transform(idx, shingle_at)
+    return F.array_distinct(F.slice(sh, 1, F.greatest(n - k + 1, F.lit(0))))
 
 
 from ._util import spread as _spread
 
 
-def _with_content(df: DataFrame, text_col: str) -> DataFrame:
-    """Drop contentless docs (NULL or whitespace-only text) before pair
-    generation: set similarity is undefined for empty feature sets —
-    without this, empty docs band-match each other (null signatures) and
-    0/0 Jaccard yields NaN, which Spark orders ABOVE any threshold.
-    Exact dedup still sees such rows; only near-dup search skips them."""
-    return df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    )
+def _with_content(df: DataFrame, text_col: str, min_words: int = 1) -> DataFrame:
+    """Drop docs that cannot form a feature set: NULL/whitespace-only
+    text, or fewer than ``min_words`` words (no ``min_words``-shingle
+    exists). Set similarity is undefined for empty feature sets — without
+    this, empty docs band-match each other (identical degenerate
+    signatures) and 0/0 Jaccard yields NaN, which Spark orders ABOVE any
+    threshold. Filtering rows HERE (a cheap scan predicate) keeps the
+    downstream hash folds branch-free. Exact dedup still sees such rows;
+    only near-dup search skips them."""
+    cond = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    if min_words > 1:
+        cond = cond & (
+            F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= min_words
+        )
+    return df.filter(cond)
 
 
 def minhash_signatures(
@@ -124,10 +134,9 @@ def minhash_signatures(
     base = _spread(df.select(id_col, text_col)).withColumn(
         "__grams", word_shingles(F.col(text_col), shingle_size)
     )
-    # no shingles (short/NULL text) → NULL signature, never the
-    # init-array — otherwise every short doc would band-match
-    sig = F.when(F.size("__grams") > 0, F.expr(fold))
-    return base.withColumn("signature", sig).drop("__grams")
+    # callers must pre-filter docs with no shingles (_with_content with
+    # min_words) — an empty gram set would fold to the init array here
+    return base.withColumn("signature", F.expr(fold)).drop("__grams")
 
 
 def lsh_candidate_pairs(
@@ -187,8 +196,12 @@ def minhash_near_dup_pairs(
     unbiased Jaccard estimate)."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
-        _with_content(df, text_col), text_col, id_col, num_hashes, shingle_size
-    ).filter(F.col("signature").isNotNull())
+        _with_content(df, text_col, min_words=shingle_size),
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_size,
+    )
     # signatures feed three plan branches (banding + both verify sides);
     # persist so the hash work runs once
     sigs = sigs.persist()
@@ -326,9 +339,8 @@ def simhash(
         )
         """
     )
-    # no shingles (short/NULL text) → NULL fingerprint, never 0 — all
-    # short docs would otherwise collide at hamming 0
-    fingerprint = F.when(F.size("__grams") > 0, fingerprint)
+    # callers must pre-filter docs with no shingles (_with_content with
+    # min_words) — an empty gram set would fold to fingerprint 0 here
     return base.withColumn("simhash", fingerprint).drop("__grams")
 
 
@@ -344,11 +356,12 @@ def simhash_near_dup_pairs(
     four chunks — pigeonhole), so the join is equi, never cross."""
     # both join sides read the fingerprints — persist so the hash fold
     # runs once
-    fps = (
-        simhash(_with_content(df, text_col), text_col, id_col, shingle_size)
-        .filter(F.col("simhash").isNotNull())
-        .persist()
-    )
+    fps = simhash(
+        _with_content(df, text_col, min_words=shingle_size),
+        text_col,
+        id_col,
+        shingle_size,
+    ).persist()
     chunks = F.array(
         *[
             F.struct(
@@ -414,7 +427,7 @@ def ngram_jaccard_pairs(
     the index once); 'prefix' indexes only each set's rare-gram prefix and
     verifies candidates exactly — the right trade once stopword-gram df²
     dominates (web-scale corpora)."""
-    grams = _spread(_with_content(df, text_col).select(
+    grams = _spread(_with_content(df, text_col, min_words=n).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("grams"),
     )).withColumn("set_size", F.size("grams"))

@@ -167,7 +167,8 @@ def test_ngram_jaccard_matches_bruteforce(spark_prop, texts):
     )
 
     def grams(t):
-        ws = [w for w in t.split(" ")]
+        # mirror the operator's tokenization: trim + whitespace-collapse
+        ws = t.split()
         return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
 
     expected = set()
