@@ -71,6 +71,7 @@ class Engine:
     ngram_jaccard_pairs = staticmethod(dedup_ops.ngram_jaccard_pairs)
     knn_bruteforce = staticmethod(sim_ops.knn_bruteforce)
     knn_ivf = staticmethod(sim_ops.knn_ivf)
+    trained_ivf_centroids = staticmethod(sim_ops.trained_ivf_centroids)
     embedding_near_dup_pairs = staticmethod(sim_ops.embedding_near_dup_pairs)
     text_quality = staticmethod(text_ops.text_quality)
     language_id = staticmethod(text_ops.language_id)

@@ -377,3 +377,32 @@ def test_hll_sketches_merge_consistently(spark):
     )
     assert abs(merged - whole) / whole < 0.02
     assert abs(whole - 1000) / 1000 < 0.05
+
+
+def test_trained_ivf_centroids_on_clustered_data(spark):
+    # on genuinely clustered vectors, k-means-trained IVF partitions with
+    # n_probe=1 must recover the exact top-k (probe = the query's cluster)
+    from dataintegration_csvprovider_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        trained_ivf_centroids,
+    )
+
+    centers = [[10.0, 0.0], [0.0, 10.0], [-10.0, 0.0], [0.0, -10.0]]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for j in range(25):
+            rows.append(
+                (vid, [c[0] + 0.01 * (j % 5), c[1] + 0.01 * (j // 5)])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = trained_ivf_centroids(emb, k=4, n_iter=3)
+    q = [9.5, 0.5]
+    exact = [r.vec_id for r in knn_bruteforce(emb, q, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in knn_ivf(emb, q, k=5, n_probe=1, centroids=cent).collect()
+    ]
+    assert approx == exact
