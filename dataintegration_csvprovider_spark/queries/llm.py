@@ -418,7 +418,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM = 64
 _DUCK_CENTROID = ", ".join(
     f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6)))"
-    f" AS DOUBLE) / COUNT(*)"
+    f" AS DOUBLE) / COUNT(*) AS c{i}"
     for i in range(_DIM)
 )
 
@@ -426,13 +426,15 @@ _DUCK_CENTROID = ", ".join(
 @register(
     "q_embedding_centroid",
     oracle=f"""
-    SELECT label, COUNT(*) AS n, [{_DUCK_CENTROID}] AS centroid
+    SELECT label, COUNT(*) AS n, {_DUCK_CENTROID}
     FROM embeddings GROUP BY label
     """,
     doc="Per-label centroid of the 64-dim embedding column via exact-"
         "decimal per-dimension sums — one shuffle, map-side partials, "
         "order-independent floats (the building block for k-means "
-        "iterations and class prototypes at scale).",
+        "iterations and class prototypes at scale). Emitted as 64 flat "
+        "double columns c0..c63: the driver's value hash needs scalar "
+        "cells, and flat columns keep the plan a single hash aggregate.",
     tags=("embedding", "agg"),
 )
 def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,10 +448,14 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_DIM)
     ]
     agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
-    centroid = F.array(
-        *[(F.col(f"__s{i}") / F.col("n")).cast("double") for i in range(_DIM)]
+    return agg.select(
+        "label",
+        "n",
+        *[
+            (F.col(f"__s{i}") / F.col("n")).cast("double").alias(f"c{i}")
+            for i in range(_DIM)
+        ],
     )
-    return agg.select("label", "n", centroid.alias("centroid"))
 
 
 @register(

@@ -42,20 +42,20 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
            array_to_string(list_sort(list(n_name)), '|') AS nations_csv,
            CAST(len(list_sort(list(n_name))) AS INT) AS n
     FROM nation
     GROUP BY n_regionkey
     """,
-    doc="Array aggregation (collect + sort for determinism) and join.",
+    doc="Array aggregation (collect + sort for determinism), serialized to "
+        "a delimited string: the driver's order-insensitive hash sorts "
+        "column values in pandas, and raw list cells are unhashable there.",
     tags=("agg", "array"),
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     arr = F.array_sort(F.collect_list("n_name"))
     return nation.groupBy("n_regionkey").agg(
-        arr.alias("nations"),
         F.array_join(arr, "|").alias("nations_csv"),
         F.size(arr).cast("int").alias("n"),
     )
