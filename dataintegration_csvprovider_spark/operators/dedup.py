@@ -10,7 +10,8 @@ plan visible and AQE can re-plan skew:
   classic near-dup pipeline (Broder '97; Lee et al. "Deduplicating
   Training Data Makes Language Models Better").
 - SimHash: 64-bit sign-of-weighted-sum fingerprint (Charikar '02) with
-  16-bit band blocking for hamming-distance candidates.
+  (max_hamming + 1)-chunk blocking for hamming-distance candidates
+  (pigeonhole: some chunk is identical for every true pair).
 - n-gram Jaccard: exact token-shingle set similarity via an inverted-index
   self-join (explode token → equi-join → count) — no O(n²) cross join.
 
@@ -139,6 +140,20 @@ def minhash_signatures(
     return base.withColumn("signature", F.expr(fold)).drop("__grams")
 
 
+def _eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint), then unpersist the
+    cached intermediates so repeated calls in one session don't accumulate
+    executor storage until eviction. The checkpoint blocks themselves are
+    reference-counted by the ContextCleaner (released when the returned
+    DataFrame is garbage-collected), and checkpointing also truncates
+    lineage, so downstream reuse of the (small) pair set never recomputes
+    the hash work."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -217,13 +232,14 @@ def minhash_near_dup_pairs(
         )
         / F.lit(num_hashes)
     ).cast("double")
-    return (
+    pairs = (
         cands.join(sa, "a")
         .join(sb, "b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+    return _eager_release(pairs, sigs)
 
 
 def connected_components(
@@ -344,6 +360,18 @@ def simhash(
     return base.withColumn("simhash", fingerprint).drop("__grams")
 
 
+def _simhash_chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for ``n_chunks`` contiguous chunks covering the
+    64-bit fingerprint, widths differing by at most one bit."""
+    bounds = []
+    pos = 0
+    for c in range(n_chunks):
+        width = 64 // n_chunks + (1 if c < 64 % n_chunks else 0)
+        bounds.append((pos, width))
+        pos += width
+    return bounds
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -352,8 +380,14 @@ def simhash_near_dup_pairs(
     shingle_size: int = 2,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming, blocked on
-    16-bit chunks (any pair within distance 3 shares at least one of the
-    four chunks — pigeonhole), so the join is equi, never cross."""
+    ``max_hamming + 1`` bit chunks: at most ``max_hamming`` bits differ,
+    so by pigeonhole at least one chunk is bit-identical and every true
+    pair meets in an equi-join bucket — the join is never cross, and the
+    recall guarantee holds for ANY max_hamming in [0, 63] (a fixed 4-chunk
+    scheme only guarantees distance <= 3)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63] for 64-bit simhash")
+    n_chunks = max_hamming + 1
     # both join sides read the fingerprints — persist so the hash fold
     # runs once
     fps = simhash(
@@ -366,11 +400,15 @@ def simhash_near_dup_pairs(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
+                (
+                    F.col("simhash")
+                    if width == 64
+                    else F.shiftright(F.col("simhash"), start).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                ).alias("key"),
             )
-            for c in range(4)
+            for c, (start, width) in enumerate(_simhash_chunk_bounds(n_chunks))
         ]
     )
     blocked = fps.select(
@@ -378,7 +416,7 @@ def simhash_near_dup_pairs(
     ).select("id", "simhash", "ck.chunk", "ck.key")
     l, r = blocked.alias("l"), blocked.alias("r")
     hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -393,6 +431,7 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _eager_release(pairs, fps)
 
 
 # --------------------------------------------------------------------------
@@ -510,8 +549,9 @@ def ngram_jaccard_pairs(
     jaccard = (
         F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     ).cast("double")
-    return (
+    pairs = (
         verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return _eager_release(pairs, grams)

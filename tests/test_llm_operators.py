@@ -110,6 +110,25 @@ def test_simhash_stability_and_pairs(docs, truth_pairs):
         assert precision >= 0.8, (precision, len(found))
 
 
+def test_simhash_blocking_complete_vs_bruteforce(docs):
+    # the chunk blocking must return EVERY pair with hamming <= max_hamming
+    # (pigeonhole needs max_hamming + 1 chunks; a fixed 4-chunk scheme
+    # silently drops 4-6-bit pairs whose diffs span all four chunks)
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for max_hamming in (3, 6, 9):
+        want = set()
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= max_hamming:
+                    want.add((a, b))
+        got = {
+            (r.a, r.b)
+            for r in simhash_near_dup_pairs(docs, max_hamming=max_hamming).collect()
+        }
+        assert got == want, (max_hamming, want - got, got - want)
+
+
 def test_ngram_jaccard_exactness(spark):
     df = spark.createDataFrame(
         [
