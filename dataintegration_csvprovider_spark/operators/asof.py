@@ -47,6 +47,11 @@ def asof_join(
     # under nulls-first ordering it would otherwise be carried onto
     # null-ts left rows as a bogus match
     right = right.filter(F.col(right_ts).isNotNull())
+    # NULL keys never match under equi-join/ASOF semantics, but window
+    # partitioning groups NULLs together — drop NULL-key right rows so a
+    # NULL-key left row keeps left-outer no-match nulls
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
 
     # tag and align the two sides on (key, event time); right rows sort
     # before left rows at identical timestamps so an equal-ts right row

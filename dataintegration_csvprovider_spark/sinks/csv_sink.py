@@ -93,8 +93,11 @@ class CsvSink:
         suffix = ""
         if self.options.include_timestamp_in_filename:
             ts = timestamp or dt.datetime.now()
-            # .NET "yyyyMMdd-HHmmssFFFFFFF" — 100ns ticks ≈ µs + '0'
-            suffix = ts.strftime("%Y%m%d-%H%M%S%f") + "0"
+            # .NET "yyyyMMdd-HHmmssFFFFFFF": 100ns ticks (µs + '0'), but
+            # FFFFFFF omits trailing zeros — and the entire fraction when
+            # zero — so consumers parsing the reference's pattern match
+            fraction = (ts.strftime("%f") + "0").rstrip("0")
+            suffix = ts.strftime("%Y%m%d-%H%M%S") + fraction
         return f"{table}{suffix}.csv"
 
     def write(

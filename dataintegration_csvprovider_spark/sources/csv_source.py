@@ -32,6 +32,7 @@ parquet natively).
 
 from __future__ import annotations
 
+import csv
 import os
 import time
 from dataclasses import dataclass, field, asdict
@@ -177,11 +178,7 @@ class CsvSource:
     def verify_no_duplicate_headers(self, table: str) -> None:
         if not self.options.first_row_contains_column_names:
             return
-        header = self._first_line(self.path_for_table(table))
-        names = [
-            n.strip().strip(self.options.quote)
-            for n in header.split(self.options.delimiter)
-        ]
+        names = [n.strip() for n in self._header_fields(table)]
         seen: set[str] = set()
         dups = [n for n in names if n and (n in seen or seen.add(n))]
         if dups:
@@ -197,6 +194,21 @@ class CsvSource:
             # (unlike utf-8-sig), which would pollute the first header
             # name; Spark's own CSV reader strips it, so match that
             return fh.readline().rstrip("\r\n").lstrip("\ufeff")
+
+    def _header_fields(self, table: str) -> list[str]:
+        """Header cells parsed with full quoting rules (CsvHelper-parsed
+        headers, CSVSourceReader.cs:245-250): a quoted name may contain
+        the delimiter or doubled quotes \u2014 naive split would miscount."""
+        header = self._first_line(self.path_for_table(table))
+        rows = list(
+            csv.reader(
+                [header],
+                delimiter=self.options.delimiter,
+                quotechar=self.options.quote,
+                doublequote=True,  # escape == quote, matching the scan
+            )
+        )
+        return rows[0] if rows else []
 
     # -- S3 inference (CSVProvider.cs:155-198,281-315) --------------------
     def infer_schema(self, spark: SparkSession) -> dict[str, T.StructType]:
@@ -214,15 +226,11 @@ class CsvSource:
 
     def _infer_table(self, spark: SparkSession, table: str) -> T.StructType:
         self.verify_no_duplicate_headers(table)
-        header = self._first_line(self.path_for_table(table))
-        n = len(header.split(self.options.delimiter))
+        fields = self._header_fields(table)
         if self.options.first_row_contains_column_names:
-            names = [
-                c.strip().strip(self.options.quote)
-                for c in header.split(self.options.delimiter)
-            ]
+            names = [c.strip() for c in fields]
         else:
-            names = [positional_column_name(i) for i in range(n)]
+            names = [positional_column_name(i) for i in range(len(fields))]
         # every column is string — exact match for the reference's
         # inference (CSVProvider.cs:294,303)
         return T.StructType([T.StructField(c, T.StringType(), True) for c in names])

@@ -112,3 +112,29 @@ def test_asof_null_timestamps_never_match(spark):
         }
         assert out[1] == 10  # equal-ts right row is visible
         assert out[2] is None  # null left ts -> no match, not rid 11
+
+
+def test_asof_null_keys_never_match(spark):
+    # equi-join/ASOF semantics: NULL keys never match, even though window
+    # partitioning would group NULL-key left and right rows together
+    import datetime as dt
+
+    from dataintegration_csvprovider_spark.operators.asof import asof_join
+
+    T = dt.datetime(2020, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "k", T), (2, None, T)], "id bigint, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "k", T), (11, None, T)], "rid bigint, k string, rts timestamp"
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r.id: r.rid
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        assert out[1] == 10
+        assert out[2] is None  # null-key left row: no match, not rid 11

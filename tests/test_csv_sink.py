@@ -58,7 +58,16 @@ def test_timestamped_filename(spark, tmp_path):
     )
     ts = dt.datetime(2026, 1, 2, 3, 4, 5, 678901)
     path = sink.write(df, "t", timestamp=ts)
-    assert path.endswith("t20260102-0304056789010.csv")
+    # .NET FFFFFFF: 678901 µs -> 6789010 ticks -> trailing zero trimmed
+    assert path.endswith("t20260102-030405678901.csv")
+    # whole fraction omitted when zero
+    path2 = sink.write(df, "t2", timestamp=dt.datetime(2026, 1, 2, 3, 4, 5))
+    assert path2.endswith("t220260102-030405.csv")
+    # mid-fraction zeros kept: 500000 µs -> "5"
+    path3 = sink.write(
+        df, "t3", timestamp=dt.datetime(2026, 1, 2, 3, 4, 5, 500000)
+    )
+    assert path3.endswith("t320260102-0304055.csv")
 
 
 def test_encoding_utf16_roundtrip(spark, tmp_path):

@@ -52,6 +52,22 @@ def test_null_sentinel_decode(spark, tmp_path):
     assert rows[1].a == "x"
 
 
+def test_quoted_header_containing_delimiter(spark, tmp_path):
+    # a quoted header name may contain the delimiter or doubled quotes;
+    # the header must be parsed with full quoting rules (CsvHelper-parsed
+    # headers, CSVSourceReader.cs:245-250), not split on ';'
+    _write(tmp_path, "t.csv", '"a;b";c;"say ""hi"""\n1;2;3\n4;5;6\n')
+    src = CsvSource(folder=str(tmp_path))
+    schemas = src.infer_schema(spark)
+    assert [f.name for f in schemas["t"].fields] == ["a;b", "c", 'say "hi"']
+    rows = src.read(spark, "t").collect()
+    assert rows[0].asDict() == {"a;b": "1", "c": "2", 'say "hi"': "3"}
+    # duplicate detection must also see through quoting: "a;b" twice is a dup
+    _write(tmp_path, "u.csv", '"a;b";"a;b"\n1;2\n')
+    with pytest.raises(DuplicateHeaderError, match="a;b"):
+        CsvSource(folder=str(tmp_path)).read(spark, "u")
+
+
 def test_duplicate_header_rejected(spark, tmp_path):
     # E3: repeated non-empty header names throw (CSVSourceReader.cs:245-273)
     _write(tmp_path, "t.csv", "id;name;name\n1;a;b\n")
