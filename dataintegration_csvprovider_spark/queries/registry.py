@@ -72,8 +72,8 @@ def register(
 _GRADE_FIRST = [
     "q1_pricing_summary",
     "q_array_agg",
-    "q_asof_join",
-    "q_sessionize_batch",
+    "q_sql_recursive_cte",
+    "q_lateral_topk",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
@@ -136,6 +136,7 @@ def all_queries() -> dict[str, Query]:
     from . import csvops  # noqa: F401
     from . import jsonlops  # noqa: F401
     from . import sqlapi  # noqa: F401
+    from . import sql_advanced  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
 
