@@ -1,5 +1,6 @@
-"""Advanced SQL-surface parity: recursive CTEs, lateral joins, null-safe
-equality, and schema-evolution reads.
+"""Advanced SQL-surface parity and analytic extensions: recursive CTEs,
+lateral joins, null-safe equality, schema-evolution reads, and the
+skyline (Pareto-dominance) operator.
 
 The reference has no SQL surface at all (SURVEY.md §2.7 — the provider is
 a row pump, CSVProvider.cs:563-577); these queries extend the engine's SQL
@@ -28,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.skyline import skyline
 from .registry import dsum, register, sql_dsum
 
 
@@ -170,3 +172,26 @@ def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_totalprice <= o.o_totalprice
+        AND o2.o_orderdate >= o.o_orderdate
+        AND (o2.o_totalprice < o.o_totalprice
+             OR o2.o_orderdate > o.o_orderdate))
+    """,
+    doc="Skyline: orders Pareto-optimal on (min price, max recency) via "
+        "the two-phase per-partition scheme (operators/skyline.py); the "
+        "oracle does the O(n^2) NOT EXISTS the operator never does.",
+    tags=("skyline", "analytics"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return skyline(orders, minimize=["o_totalprice"], maximize=["o_orderdate"])

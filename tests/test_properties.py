@@ -234,3 +234,33 @@ def test_asof_join_matches_bruteforce(spark_prop, lefts, rights):
         cands = [ps for (rk, ps) in rights if rk == k and ps <= s]
         expected = max(cands) if cands else None
         assert got[i] == expected, (i, k, s, got[i], expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_matches_bruteforce(spark_prop, points):
+    """Two-phase distributed skyline == O(n^2) brute-force dominance,
+    including duplicate points (exact ties all survive)."""
+    from dataintegration_csvprovider_spark.operators.skyline import skyline
+
+    spark = spark_prop
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(points)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = sorted(r.id for r in skyline(df, minimize=["x"], maximize=["y"]).collect())
+    want = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y)) for _, x2, y2 in rows
+        )
+    )
+    assert got == want
