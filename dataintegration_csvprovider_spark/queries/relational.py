@@ -645,13 +645,28 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    doc="approx_count_distinct + exact for comparison (sketch op).",
+    # HLL++ estimates are engine-specific, so the estimate itself can't be
+    # hash-compared — but its ERROR BOUND can: emit the exact count plus a
+    # within-5% flag. The oracle expects TRUE everywhere, so a sketch
+    # regression (wrong merge, precision loss) fails the gate instead of
+    # hiding behind a rows-only check.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct (HLL++, rsd=0.01) checked against the "
+        "exact count inside the query; the oracle pins the bound.",
     tags=("agg", "approx"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey").cast("bigint")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx - exact) <= 0.05 * exact
+        ).alias("approx_within_5pct"),
     )

@@ -104,3 +104,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.sampleBy("c_mktsegment", {**fractions, **other}, seed=42).select(
         "c_custkey", "c_mktsegment"
     )
+
+
+@register(
+    "q_stratified_sample_det",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey
+             ) AS rn
+      FROM customer)
+    WHERE rn <= 50
+    """,
+    doc="Deterministic stratified sample: exactly 50 customers per "
+        "segment, chosen by Knuth-multiplicative-hash rank — identical "
+        "across engines and runs (unlike RNG sampleBy), so the sample "
+        "itself is oracle-checkable. One shuffle on the stratum key.",
+    tags=("sample", "window"),
+)
+def q_stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        (F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296),
+        F.col("c_custkey"),
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("c_custkey", "c_mktsegment")
+    )
