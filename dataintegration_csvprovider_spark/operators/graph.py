@@ -1,0 +1,72 @@
+"""Graph operators over edge DataFrames: PageRank (iterative joins).
+
+Connected components live in ``operators/dedup.py`` (pointer-jumping for
+the dedup pipeline); this module adds rank propagation. PageRank is the
+canonical iterative-join workload: each iteration is
+
+    contribution = rank / outdegree, shipped along edges (join on src)
+    new rank     = teleport + damping * sum(contributions per dst)
+
+Scale shape: one shuffle per iteration (the groupBy on dst; the edge join
+shuffles on src, and both reuse the same keys across iterations so AQE
+sees stable partitioning). Lineage is truncated every iteration with an
+eager ``localCheckpoint`` — without it the plan doubles per iteration and
+the 10th job replans 2^10 joins (the classic iterative-Spark trap;
+checkpointing is the fix SURVEY.md §7 calls out for iterative dedup too).
+
+Determinism (so a SQL oracle can replay it bit-for-bit): per-edge
+contributions are computed in IEEE double (identical across engines),
+then cast to DECIMAL(18,9) so the per-node SUM is order-independent; the
+damped update returns to double via one deterministic cast. Teleport and
+init constants are built from the same double ops (0.15/n, 1.0/n) on both
+sides rather than decimal literals, which would round differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over distinct edges.
+
+    Requires every node to appear as a source (no dangling nodes) — the
+    caller's edge construction must guarantee it, or dangling mass is
+    silently dropped (standard simplified PR). Returns (node, rank).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # graph cardinality: driver-side metadata scalar
+    init = 1.0 / n
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(init))
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == F.col("node"))
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).cast("decimal(18,9)").alias("c"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(teleport) + F.lit(damping) * F.sum("c").cast("double")
+            ).alias("rank")
+        )
+        # truncate lineage every few iterations: unchecked, analysis cost
+        # compounds with plan depth; checkpointing every step would pay a
+        # full materialization job per iteration instead
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -80,3 +80,22 @@ def test_scd2_collapses_unchanged_runs(spark):
     ]
     u2 = [r for r in hist if r.user_id == 2]
     assert len(u2) == 1 and u2[0].valid_to is None
+
+
+def test_pagerank_cycle_and_mass(spark):
+    from dataintegration_csvprovider_spark.operators.graph import pagerank
+
+    # 3-cycle: perfectly symmetric, every rank stays 1/3 at any iteration
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    ranks = {r.node: r.rank for r in pagerank(cyc, iterations=5).collect()}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in ranks.values()), ranks
+    # asymmetric graph: rank mass is conserved (no dangling nodes) and the
+    # hub (everyone points at 1) outranks the spokes
+    star = spark.createDataFrame(
+        [(2, 1), (3, 1), (1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    out = {r.node: r.rank for r in pagerank(star, iterations=10).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out[1] > out[2] and out[1] > out[3]
