@@ -629,12 +629,23 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hll_sketch",
-    oracle=None,  # DataSketches HLL has no DuckDB twin → rows-only
+    # the DataSketches estimate itself has no DuckDB twin, but its error
+    # bound does — emit the exact count plus a within-5% flag the oracle
+    # pins to TRUE, so a sketch/merge regression fails the hash gate
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct_toks,
+           TRUE AS est_within_5pct
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY lang
+    """,
     doc="Mergeable HLL sketches (DataSketches): per-language distinct-"
         "token estimates via hll_sketch_agg — the sketch column is the "
         "scale idiom: build per-partition/day, store as binary, hll_union "
         "later instead of re-scanning (exactness swapped for mergeability "
-        "at ~2% error).",
+        "at ~2% error; the 5%% bound is asserted in-query and "
+        "oracle-checked).",
     tags=("agg", "sketch"),
 )
 def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,9 +653,11 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
+    exact = F.countDistinct("tok").cast("bigint")
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("tok"))
     return toks.groupBy("lang").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_distinct_toks"),
-        F.countDistinct("tok").alias("exact_distinct_toks"),
+        exact.alias("exact_distinct_toks"),
+        (F.abs(est - exact) <= 0.05 * exact).alias("est_within_5pct"),
     )
 
 
