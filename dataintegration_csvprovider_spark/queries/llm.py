@@ -690,3 +690,32 @@ def q_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) >= 5).alias("recall_ok"))
         .select(F.lit("ivf").alias("method"), "recall_ok")
     )
+
+
+@register(
+    "q_dedup_quality_gate",
+    # minhash signatures are xxhash-based (no DuckDB twin), but with a
+    # fixed seed the pair set is DETERMINISTIC per fixture — so its
+    # quality against the exact bigram-Jaccard truth (which DuckDB *can*
+    # compute, see q_dedup_ngram_jaccard) is a fixed fact the oracle pins:
+    # recall and precision of the LSH pipeline both >= 0.8.
+    oracle="SELECT TRUE AS recall_ok, TRUE AS precision_ok",
+    doc="Dedup quality gate: MinHash(64)+LSH(16x4) pair set vs exact "
+        "bigram Jaccard >= 0.5 pairs — recall and precision asserted "
+        ">= 0.8 (deterministic under the fixed hash seed).",
+    tags=("dedup", "quality"),
+)
+def q_dedup_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    approx = minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.5).select("a", "b")
+    hits = exact.join(approx, ["a", "b"], "left_semi")
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_e"))
+    n_a = approx.agg(F.count(F.lit(1)).alias("n_a"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_h"))
+    return n_e.crossJoin(n_a).crossJoin(n_h).select(
+        ((F.col("n_e") == 0) | (F.col("n_h") >= 0.8 * F.col("n_e")))
+        .alias("recall_ok"),
+        ((F.col("n_a") == 0) | (F.col("n_h") >= 0.8 * F.col("n_a")))
+        .alias("precision_ok"),
+    )
