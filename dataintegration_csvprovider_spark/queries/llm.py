@@ -330,9 +330,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    oracle=None,  # Arrow-batched stub decoder → rows-only
+    # the stub decoder's feature VALUES have no DuckDB twin, but the
+    # Arrow plumbing's row/byte accounting does: payload bytes are the
+    # UTF-8 text bytes, counts are exact, and "every non-null payload
+    # produced features" is a boolean the oracle pins — so a batch-shape
+    # or null-handling regression in the mapInPandas path fails the gate
+    oracle="""
+    SELECT 'image' AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+             AS total_bytes,
+           TRUE AS features_ok
+    FROM documents
+    """,
     doc="Binary media columns → mapInPandas feature extraction (stubbed "
-        "decoder, real batch plumbing) → per-media-type stats.",
+        "decoder, real batch plumbing) → per-media-type accounting; byte "
+        "totals and the null-safety contract are oracle-checked.",
     tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,9 +353,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(docs)
     feats = extract_features(media, fake=True)
     return feats.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("payload_bytes").alias("total_bytes"),
-        F.avg(F.element_at("feature", 1)).alias("mean_f0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+        F.bool_and(
+            F.col("feature").isNotNull() | F.col("payload_bytes").isNull()
+        ).alias("features_ok"),
     )
 
 
