@@ -475,12 +475,22 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_kmeans",
-    oracle=None,  # iterative algorithm — rows-only check
-    doc="3-iteration deterministic k-means (k=8) over the embeddings: "
-        "per-cluster size and mean squared distance. Assignment is "
-        "map-only column math against broadcast centroid literals; the "
-        "update is one (cluster, dim) shuffle of decimal partials "
-        "(operators/clustering.py).",
+    # cluster contents aren't SQL-derivable, but the run's conservation
+    # laws are: every input point assigned exactly once, all 8 clusters
+    # non-empty (deterministic under lowest-id init), every squared
+    # distance finite and non-negative — the oracle pins all three, so a
+    # lost-partition or degenerate-centroid regression fails the gate
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(8 AS BIGINT) AS k_nonempty,
+           TRUE AS sq_dist_ok
+    FROM embeddings
+    """,
+    doc="3-iteration deterministic k-means (k=8) over the embeddings. "
+        "Assignment is map-only column math against broadcast centroid "
+        "literals; the update is one (cluster, dim) shuffle of decimal "
+        "partials (operators/clustering.py). Point-conservation, cluster "
+        "coverage and distance sanity are oracle-checked.",
     tags=("embedding", "clustering", "iterative"),
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,10 +498,14 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(emb, k=8, n_iter=3)
-    return assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double")
-         / F.count(F.lit(1))).alias("mean_sq_dist"),
+    return assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.countDistinct("cluster").cast("bigint").alias("k_nonempty"),
+        F.bool_and(
+            F.col("sq_dist").isNotNull()
+            & (F.col("sq_dist") >= 0)
+            & ~F.isnan("sq_dist")
+        ).alias("sq_dist_ok"),
     )
 
 

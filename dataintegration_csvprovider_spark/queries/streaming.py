@@ -150,10 +150,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_stateful",
-    oracle=None,  # custom state machine (float accumulation order is
-    # pandas-side) → rows-only; the unit test asserts vs batch groupBy
+    # the state machine's float totals accumulate pandas-side (order not
+    # reproducible in SQL), but its COUNTS are exact and its totals must
+    # agree with the batch decimal sum to 1e-6 relative — both
+    # oracle-pinned, so dropped rows, lost state, or a batch-boundary bug
+    # in the applyInPandasWithState path fails the hash gate
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS total_ok
+    FROM events GROUP BY user_id
+    """,
     doc="applyInPandasWithState custom stateful operator: per-user "
-        "running totals across micro-batches.",
+        "running totals across micro-batches; exact counts and a "
+        "batch-parity bound on the float totals are oracle-checked.",
     tags=("streaming", "stateful"),
 )
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +171,27 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_completion(
         stateful_user_totals(_events_stream(spark, sf_dir)), output_mode="update"
     )
-    return out.select("user_id", "n_events", "total")
+    # update mode emits one row per key per micro-batch; the final state
+    # is the emission with the highest running count
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("total", "n_events").alias("total"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("exact_total")
+        )
+    )
+    tol = F.greatest(F.abs(F.col("exact_total")), F.lit(1.0)) * 1e-6
+    return final.join(exact, "user_id").select(
+        "user_id",
+        "n_events",
+        (F.abs(F.col("total") - F.col("exact_total")) <= tol).alias("total_ok"),
+    )
 
 
 @register(
