@@ -314,13 +314,29 @@ _REGISTRY["q_text_langid"].oracle = _langid_oracle()
 
 @register(
     "q_doc_fingerprint",
-    oracle=None,  # xxhash64 fold has no DuckDB twin
-    doc="Order-sensitive 64-bit rolling document fingerprints.",
+    # the xxhash64 fold has no DuckDB twin, but its contract does: one
+    # fingerprint per doc, and exact duplicates of the injected near-dup
+    # corpus aside, distinct texts map to distinct 64-bit fingerprints
+    # (zero collisions on this fixture — deterministic). The oracle pins
+    # doc count and the distinct-fingerprint count to the distinct-text
+    # count, so a degenerate or truncated hash fails the gate.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_fp
+    FROM documents
+    """,
+    doc="Order-sensitive 64-bit rolling document fingerprints; injectivity "
+        "on the fixture (distinct fingerprints == distinct texts) is "
+        "oracle-checked.",
     tags=("text", "fingerprint"),
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+    fp = doc_fingerprint(docs)
+    return fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fingerprint").cast("bigint").alias("n_distinct_fp"),
+    )
 
 
 # --------------------------------------------------------------------------
