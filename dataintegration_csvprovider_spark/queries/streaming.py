@@ -313,3 +313,53 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@register(
+    "q_stream_upsert",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_event_type, value AS last_value
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="Streaming CDC: a 4-micro-batch file stream folds into a keyed "
+        "state table via foreachBatch last-writer-wins-by-event-time "
+        "merge with delete tombstones (streaming/events.py "
+        "stream_upsert_state); the final snapshot equals the batch SQL "
+        "over the full log regardless of batch order, which is exactly "
+        "what the oracle checks.",
+    tags=("streaming", "cdc"),
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.events import stream_upsert_state
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="upsert_stage_")
+    # microsecond timestamps for streamability; 4 files -> 4 micro-batches
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    feed = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    state = stream_upsert_state(
+        feed,
+        state_dir=tempfile.mkdtemp(prefix="upsert_state_") + "/state",
+        checkpoint_dir=tempfile.mkdtemp(prefix="upsert_ck_"),
+    )
+    # 'error' rows are delete tombstones: kept in state, filtered at read
+    return state.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -216,3 +216,66 @@ def stream_to_csv_sink(
     )
     q.awaitTermination()
     return result["path"]
+
+
+def stream_upsert_state(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Maintain a keyed state table under ``state_dir`` from a change
+    stream via ``foreachBatch`` — the streaming half of the CDC surface
+    (operators/cdc.py is the batch half).
+
+    Each micro-batch is reduced to its newest row per key, merged with
+    the on-disk state keeping the greater ``(ts, tiebreak)`` winner —
+    deliberately ORDER-INSENSITIVE across batches, because a file-source
+    stream gives no cross-file time ordering; last-writer-wins by event
+    time (not arrival) is the only correct merge under that contract.
+    Deletions must therefore be TOMBSTONES (rows that win but are
+    filtered at read time), exactly as real CDC log-compaction does:
+    hard-deleting would let an older late-arriving event resurrect the
+    key. Returns the final state as a batch DataFrame (tombstones
+    included; callers filter).
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = W.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+        )
+        newest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            base = spark.read.parquet(state_dir)
+            merged = base.unionByName(newest)
+        except Exception:  # first batch: no state yet
+            merged = newest
+        winner = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # materialize BEFORE overwriting the directory we just read —
+        # Spark plans lazily, and overwrite-while-reading self-destructs
+        winner = winner.localCheckpoint(eager=True)
+        winner.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(state_dir)
