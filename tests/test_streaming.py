@@ -137,3 +137,45 @@ def test_stream_to_csv_sink_roundtrip(spark, sf_dir, tmp_path):
         ).count().count()
     )
     assert back.count() == expected
+
+
+def test_stream_upsert_state_late_arrival(spark, tmp_path):
+    """A later micro-batch carrying an OLDER event must not overwrite
+    newer state, and a delete tombstone must not be resurrected."""
+    import datetime as dt
+
+    from dataintegration_csvprovider_spark.streaming.events import (
+        stream_upsert_state,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return T + dt.timedelta(hours=h)
+
+    # file 0 written first carries the NEWER events; file 1 the older ones
+    rows_new = [(10, at(5), 1, "purchase", 1.0), (11, at(5), 2, "error", 0.0)]
+    rows_old = [(1, at(1), 1, "click", 9.0), (2, at(1), 2, "view", 9.0)]
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows_new, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    spark.createDataFrame(rows_old, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    feed = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    state = stream_upsert_state(
+        feed,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out = {r.user_id: r.event_type for r in state.collect()}
+    # user 1: purchase (t=5) wins over click (t=1) in any batch order;
+    # user 2: the error tombstone (t=5) wins over view (t=1)
+    assert out == {1: "purchase", 2: "error"}
