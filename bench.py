@@ -55,6 +55,9 @@ HEADLINE = (
     "q_upsert_changeset",
     "q_scd2_history",
     "q_profile_table",
+    "q_csv_mapping_pipeline",
+    "q_pagerank",
+    "q_sql_recursive_cte",
 )
 
 

@@ -40,6 +40,8 @@ NLJ_OK = {
     "q_embedding_neardup_ivf",
     "q_date_spine",  # 12-row broadcast spine
     "q_subquery_scalar",  # scalar subquery joins as single-row BNLJ
+    "q_knn_recall_gate",  # same single-row query-vector cross as q_knn_*
+    "q_dedup_quality_gate",  # 1x1x1-row crossJoin of count aggregates
 }
 
 
