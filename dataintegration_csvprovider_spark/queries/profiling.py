@@ -78,3 +78,40 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
     )
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 400)
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Fuzzy record matching: customer-name pairs within edit distance "
+        "2. The length-difference prune is the standard lossless filter "
+        "(|len(a)-len(b)| <= k bounds the distance from below), applied "
+        "inside the self-join condition so most pairs never reach the "
+        "O(len^2) levenshtein kernel — the same blocking discipline a "
+        "100 TB entity-resolution pass needs (there, a proper blocking "
+        "key replaces the residual O(n^2) pair space).",
+    tags=("text", "fuzzy", "join"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 400
+    ).select("c_custkey", "c_name")
+    a = cust.select(F.col("c_custkey").alias("a"), F.col("c_name").alias("na"))
+    b = cust.select(F.col("c_custkey").alias("b"), F.col("c_name").alias("nb"))
+    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.length("na") - F.length("nb")) <= 1)
+            & (dist <= 2),
+        )
+        .select("a", "b", dist.cast("int").alias("dist"))
+    )

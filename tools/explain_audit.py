@@ -42,6 +42,7 @@ NLJ_OK = {
     "q_subquery_scalar",  # scalar subquery joins as single-row BNLJ
     "q_knn_recall_gate",  # same single-row query-vector cross as q_knn_*
     "q_dedup_quality_gate",  # 1x1x1-row crossJoin of count aggregates
+    "q_fuzzy_match",  # bounded 400x400 theta self-join (edit distance)
 }
 
 
