@@ -108,6 +108,36 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_percentile",
+    # the t-digest-style sketch value is engine-specific, but its rank
+    # error is bounded: with accuracy 10000 the estimate must land within
+    # the exact p40..p60 band around the median — the oracle pins the
+    # bound, so a sketch regression fails the hash gate (same pattern as
+    # q_approx_distinct / q_hll_sketch). At 100 TB approx_percentile is
+    # the right tool: one pass, mergeable partials, no global sort.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS approx_in_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_percentile(median, accuracy=10000) checked inside the "
+        "query against the exact p40..p60 band; the oracle pins the "
+        "bound.",
+    tags=("agg", "percentile", "approx"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    approx = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+    lo = F.percentile("o_totalprice", 0.40)
+    hi = F.percentile("o_totalprice", 0.60)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        ((approx >= lo) & (approx <= hi)).alias("approx_in_band"),
+    )
+
+
+@register(
     "q_date_functions",
     oracle="""
     SELECT event_id,
