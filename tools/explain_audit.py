@@ -43,6 +43,8 @@ NLJ_OK = {
     "q_knn_recall_gate",  # same single-row query-vector cross as q_knn_*
     "q_dedup_quality_gate",  # 1x1x1-row crossJoin of count aggregates
     "q_fuzzy_match",  # bounded 400x400 theta self-join (edit distance)
+    "q11_important_parts",  # single-row threshold aggregate broadcast
+    "q22_idle_customers",  # single-row decimal-AVG aggregate broadcast
 }
 
 
