@@ -129,3 +129,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     )
     return hist.select("user_id", "event_type", "valid_from", "valid_to")
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Incremental aggregate maintenance: a per-customer rollup built "
+        "from a pre-cutoff base aggregate merged with a post-cutoff "
+        "delta aggregate (full-outer join on the key, partial sums kept "
+        "in exact DECIMAL until the final merge so base+delta equals a "
+        "full recompute bit-for-bit — the oracle IS the full recompute). "
+        "At 100 TB the base never rescans: only the delta partition is "
+        "aggregated and merged, the materialized-view maintenance "
+        "pattern.",
+    tags=("cdc", "agg", "incremental"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # keep the sum in decimal — double rounding must happen ONCE,
+        # after the merge, or base+delta drifts from a full recompute
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff)).select(
+        F.col("o_custkey"), F.col("n").alias("n_base"), F.col("s").alias("s_base")
+    )
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff)).select(
+        F.col("o_custkey"), F.col("n").alias("n_delta"), F.col("s").alias("s_delta")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("n_delta"), F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce(F.col("s_base"), zero)
+                + F.coalesce(F.col("s_delta"), zero)
+            ).cast("double").alias("total_spend"),
+        )
+    )

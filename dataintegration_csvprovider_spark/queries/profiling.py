@@ -115,3 +115,103 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", dist.cast("int").alias("dist"))
     )
+
+
+@register(
+    "q_constraint_audit",
+    oracle="""
+    SELECT 'customer.acctbal_negative' AS check_name,
+           CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal < 0)
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'events.value_null',
+           CAST((SELECT COUNT(*) FROM events WHERE value IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.qty_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.pk_unique',
+           CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+                 (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+                 WHERE cnt > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.status_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="Declarative constraint audit (dbt-test style): primary-key "
+        "uniqueness, referential integrity, domain, range and null "
+        "checks evaluated as one summary table. Each check is a "
+        "partial-aggregating scan or anti-join — no row-level data "
+        "movement — so auditing 100 TB costs one pass per fact table; "
+        "non-zero rows (negative balances exist in the fixture) prove "
+        "the counts are live.",
+    tags=("profiling", "quality", "agg"),
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("violations"), F.lit(0))
+            .cast("bigint")
+            .alias("violations"),
+        )
+
+    checks = [
+        one(
+            "customer.acctbal_negative",
+            cust.filter(F.col("c_acctbal") < 0).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+        one(
+            "events.value_null",
+            events.filter(F.col("value").isNull()).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem.fk_orders",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "lineitem.qty_positive",
+            li.filter(F.col("l_quantity") <= 0).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+        one(
+            "orders.pk_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("violations")),
+        ),
+        one(
+            "orders.status_domain",
+            orders.filter(~F.col("o_orderstatus").isin("F", "O", "P")).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

@@ -140,6 +140,7 @@ def all_queries() -> dict[str, Query]:
     from . import sql_advanced  # noqa: F401
     from . import cdcops  # noqa: F401
     from . import layout  # noqa: F401
+    from . import timeseries  # noqa: F401
     from . import profiling  # noqa: F401
     from . import graphops  # noqa: F401
     from . import llm  # noqa: F401
