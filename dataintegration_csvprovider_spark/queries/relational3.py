@@ -192,3 +192,44 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bulk_revenue"),
     )
+
+
+@register(
+    "q_variant_shred",
+    oracle="""
+    SELECT event_id,
+           user_id AS uid,
+           CAST(value AS DOUBLE) AS val,
+           event_type AS etype,
+           TRUE AS missing_is_null
+    FROM events
+    WHERE user_id < 20
+    """,
+    doc="Spark 4 VARIANT round trip: a nested JSON document is built "
+        "from the row (to_json of nested structs), parsed into a "
+        "VARIANT with parse_json, and shredded back to typed columns "
+        "with variant_get path extraction — the oracle recomputes the "
+        "same values straight from the source columns, so any loss in "
+        "the encode/parse/shred chain breaks the hash. VARIANT is the "
+        "semi-structured scale path: binary-encoded, no per-row string "
+        "re-parse per extracted field, shredding-friendly.",
+    tags=("scalar", "json", "variant"),
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    doc = F.to_json(
+        F.struct(
+            F.struct(F.col("user_id").alias("id")).alias("user"),
+            F.struct(
+                F.col("value").alias("v"), F.col("event_type").alias("t")
+            ).alias("m"),
+        )
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.user.id", "bigint").alias("uid"),
+        F.variant_get(v, "$.m.v", "double").alias("val"),
+        F.variant_get(v, "$.m.t", "string").alias("etype"),
+        F.variant_get(v, "$.nope", "int").isNull().alias("missing_is_null"),
+    )

@@ -498,3 +498,63 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b).groupBy("custkey").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_join_strategy_hints",
+    oracle=f"""
+    WITH agg AS (
+      SELECT o.o_orderstatus, COUNT(*) AS n_items,
+             {sql_dsum('l.l_extendedprice')} AS total_price
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderstatus
+    )
+    SELECT 'merge' AS strategy, o_orderstatus, n_items, total_price,
+           TRUE AS hint_respected
+    FROM agg
+    UNION ALL
+    SELECT 'shuffle_hash', o_orderstatus, n_items, total_price, TRUE
+    FROM agg
+    ORDER BY strategy, o_orderstatus
+    """,
+    doc="Explicit join-strategy control: the same fact-fact join run "
+        "under a merge hint (forcing sort-merge) and a shuffle_hash "
+        "hint (forcing shuffled-hash), each verified against the "
+        "physical plan and pinned TRUE by the oracle. At fixture scale "
+        "Catalyst would auto-broadcast the orders side; at 100 TB both "
+        "sides are facts and the hint IS the tuning knob — SMJ when "
+        "both sides spill-sort cleanly, SHJ when one side is modestly "
+        "sized and sorting is the bottleneck.",
+    tags=("join", "scale", "plan"),
+)
+def q_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+    def run(hint: str, marker: str) -> DataFrame:
+        agg = (
+            li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(F.col("l_extendedprice")).alias("total_price"),
+            )
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return agg.select(
+            F.lit(hint).alias("strategy"),
+            "o_orderstatus",
+            "n_items",
+            "total_price",
+            F.lit(marker in plan).alias("hint_respected"),
+        )
+
+    return (
+        run("merge", "SortMergeJoin")
+        .unionByName(run("shuffle_hash", "ShuffledHashJoin"))
+        .orderBy("strategy", "o_orderstatus")
+    )
