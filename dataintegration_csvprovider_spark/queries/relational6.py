@@ -558,3 +558,74 @@ def q_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(run("shuffle_hash", "ShuffledHashJoin"))
         .orderBy("strategy", "o_orderstatus")
     )
+
+
+@register(
+    "q_runtime_bloom_filter",
+    oracle=f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderstatus
+    UNION ALL
+    SELECT '_bloom_injected', CAST(1 AS BIGINT), 1.0
+    """,
+    doc="Runtime bloom-filter join pruning: when the dim side of a "
+        "shuffle join carries a selective filter, Catalyst builds a "
+        "bloom filter over the dim keys and injects might_contain() "
+        "into the fact scan — fact rows that cannot join die before the "
+        "shuffle. The thresholds that gate injection are sized for "
+        "clusters, so the query pins them (and disables auto-broadcast "
+        "to surface the shuffle join, restoring every conf after the "
+        "eager materialization); the plan marker is appended as a "
+        "sentinel row the oracle pins.",
+    tags=("join", "scale", "plan"),
+)
+def q_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderstatus")
+    pins = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pins}
+    try:
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        agg = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(F.col("l_extendedprice")).alias("total_price"),
+            )
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        injected = "might_contain" in plan or "Bloom" in plan
+        sentinel = spark.range(1).select(
+            F.lit("_bloom_injected").alias("o_orderstatus"),
+            F.lit(1 if injected else 0).cast("bigint").alias("n_items"),
+            F.lit(1.0 if injected else 0.0).alias("total_price"),
+        )
+        # materialize while the pinned confs are live — the returned
+        # frame must not re-plan later under restored settings
+        return (
+            agg.unionByName(sentinel)
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
