@@ -40,7 +40,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     if sf_dir not in _STAGED:
-        events = load_table(spark, sf_dir, "events")
+        # withWatermark requires TIMESTAMP (LTZ); parquet NTZ inference can
+        # hand back TIMESTAMP_NTZ depending on writer metadata, so pin the
+        # type here (session timezone is UTC — rendering is unchanged)
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
         d = tempfile.mkdtemp(prefix="events_stage_")
         events.write.mode("overwrite").parquet(d)
         _STAGED[sf_dir] = (d, events.schema)
