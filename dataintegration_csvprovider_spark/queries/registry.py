@@ -145,6 +145,7 @@ def all_queries() -> dict[str, Query]:
     from . import profiling  # noqa: F401
     from . import graphops  # noqa: F401
     from . import llm  # noqa: F401
+    from . import textmining  # noqa: F401
     from . import streaming  # noqa: F401
 
     missing = [n for n in _GRADE_FIRST if n not in _REGISTRY]

@@ -1,0 +1,153 @@
+"""Text-mining queries over the ``documents`` fixture: TF-IDF term
+weighting and term co-occurrence association (lift).
+
+Part of the LLM-pipeline surface (SURVEY.md §2.10): corpus-level term
+statistics are the workhorse of quality filtering and topic slicing at
+training-data scale. The reference has no text analytics (it is a CSV
+row pump, CSVProvider.cs:563-601); these queries extend the engine's
+text family (textstats.py) with corpus-global weights.
+
+Cross-engine determinism: both queries avoid ``ln`` — transcendental
+libm results are not guaranteed bit-identical across engines — by using
+*rational* formulations (BM25's idf argument without the log; lift =
+PMI's exp scale). Every arithmetic step is integer counting or IEEE
+double +,-,*,/ in an identical expression tree on both sides, so the
+value hashes match exactly.
+
+Scale notes (100 TB): token explode is embarrassingly parallel; TF is
+one shuffle on (doc, term) with map-side partial aggregation; DF is one
+shuffle on term. The corpus size N and the document-frequency table are
+tiny relative to the corpus (vocab ≪ corpus) — DF broadcasts back onto
+the TF table, so no big-side shuffle repeats. Co-occurrence restricts to
+a bounded top-M vocabulary *before* the per-document pair expansion, so
+the self-join blowup is capped at C(M,2) per document regardless of
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) token occurrences — whitespace tokens, empties out."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE) *
+               ((CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5)) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) *
+               ((CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5)) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n) t
+    WHERE rn <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document. Rational BM25-style idf "
+        "(N - df + 0.5)/(df + 0.5) — no ln, so the weight is bit-exact "
+        "across engines; ties break on term. DF broadcasts onto TF.",
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # corpus size: one tiny action, reused as a literal
+    tf = _doc_terms(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weight = F.col("tf").cast("double") * (
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .withColumn("tfidf", weight)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+@register(
+    "q_term_lift_pairs",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), pres2 AS (SELECT doc_id, term FROM pres WHERE term <> ''),
+    df AS (SELECT term, COUNT(*) AS df FROM pres2 GROUP BY term),
+    vocab AS (
+      SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50
+    ), keep AS (
+      SELECT p.doc_id, p.term, v.df FROM pres2 p JOIN vocab v USING (term)
+    ), pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             MIN(a.df) AS df_a, MIN(b.df) AS df_b, COUNT(*) AS n_both
+      FROM keep a JOIN keep b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT term_a, term_b, n_both,
+           (CAST(n.n AS DOUBLE) * CAST(n_both AS DOUBLE))
+             / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) AS lift
+    FROM pairs CROSS JOIN n
+    WHERE n_both >= 5
+    """,
+    doc="Term co-occurrence association over documents: lift = "
+        "N·P(a,b)/(P(a)·P(b)) (PMI's exp scale — rational, no ln) for "
+        "term pairs in a bounded top-50-DF vocabulary, support >= 5. "
+        "Vocabulary pruning caps the per-document pair expansion at "
+        "C(M,2) no matter the corpus size.",
+    tags=("text", "cooccurrence"),
+)
+def q_term_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pres = _doc_terms(docs).distinct()
+    df_tbl = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_tbl.orderBy(F.col("df").desc(), F.col("term")).limit(50)
+    keep = pres.join(F.broadcast(vocab), "term")
+    a, b = keep.alias("a"), keep.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(
+            F.min("a.df").alias("df_a"),
+            F.min("b.df").alias("df_b"),
+            F.count(F.lit(1)).alias("n_both"),
+        )
+    )
+    lift = (F.lit(float(n_docs)) * F.col("n_both").cast("double")) / (
+        F.col("df_a").cast("double") * F.col("df_b").cast("double")
+    )
+    return (
+        pairs.filter(F.col("n_both") >= 5)
+        .select("term_a", "term_b", "n_both", lift.alias("lift"))
+    )
