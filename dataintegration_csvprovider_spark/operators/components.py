@@ -1,0 +1,113 @@
+"""Connected components via alternating large-star / small-star.
+
+The missing half of near-dup dedup: pair emitters (minhash / simhash /
+n-gram Jaccard, operators/dedup.py) produce an *edge list*; to keep one
+representative per duplicate *cluster* you need the transitive closure.
+The reference has no graph surface (CSV row pump only,
+CSVProvider.cs:563-601); this is part of the engine's §2.10 LLM-pipeline
+extension.
+
+Algorithm: alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014). Each round
+is two keyed shuffles; the edge set contracts toward a star per
+component in O(log n) rounds — unlike naive min-label propagation,
+whose round count is the graph *diameter* (a 1M-node chain would need
+1M rounds; large-star/small-star needs ~20). That difference is the
+whole 100 TB story: dedup graphs at web scale have long chains through
+mutual near-dups.
+
+Physical shape per round: neighborhood minima come from a window `min`
+over the node partition — no `collect_list`, so a hub node with 10M
+neighbors never materializes its neighbor array in one task. Lineage is
+truncated with an eager `localCheckpoint` every round (the edge set
+shrinks monotonically per round, and iterative-join lineage otherwise
+compounds planning cost — same trade measured for PageRank,
+operators/graph.py). Convergence is detected by an order-insensitive
+edge-set checksum (count + decimal sum of xxhash64), one tiny action
+per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonicalize to (hi, lo), drop self-loops, dedup."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to the
+    minimum of u's closed neighborhood."""
+    d = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return _canon(
+        d.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect u and all its smaller neighbors to the
+    minimum of those neighbors."""
+    w = Window.partitionBy("hi")
+    withm = edges.withColumn("m", F.min("lo").over(w))
+    return _canon(
+        withm.select(F.col("lo").alias("src"), F.col("m").alias("dst")).unionAll(
+            withm.select(F.col("hi").alias("src"), F.col("m").alias("dst"))
+        )
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, object]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node appearing in ``edges`` with its component's
+    minimum node id. Returns (node, component); nodes absent from the
+    edge list are the caller's to default (they are their own
+    singleton component).
+    """
+    e = _canon(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
+    sig = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _checksum(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # fixpoint edge set is a star per component: hi -> component min
+    return (
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+        .unionAll(
+            e.select(F.col("lo").alias("node"), F.col("lo").alias("component"))
+        )
+        .distinct()
+    )

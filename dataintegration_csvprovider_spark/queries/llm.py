@@ -784,3 +784,47 @@ def q_dedup_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return joined.select(*ok("mh", 0.8, 0.8), *ok("sh", 0.7, 0.9))
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    doc="Duplicate-cluster labeling: exact bigram-Jaccard >= 0.5 pairs "
+        "fed through alternating large-star/small-star connected "
+        "components (operators/components.py, O(log n) rounds vs the "
+        "graph diameter for label propagation); every document gets its "
+        "cluster's min doc_id, singletons label themselves. The oracle "
+        "recomputes the transitive closure with a recursive CTE.",
+    tags=("dedup", "graph", "components"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    labels = connected_components(pairs, src="a", dst="b")
+    return docs.select("doc_id").join(
+        labels, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )

@@ -425,3 +425,43 @@ def test_trained_ivf_centroids_on_clustered_data(spark):
         for r in knn_ivf(emb, q, k=5, n_probe=1, centroids=cent).collect()
     ]
     assert approx == exact
+
+
+# -- connected components (operators/components.py) -------------------------
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    # chain 1-2-3-4 (worst case for label propagation), clique 10-11-12,
+    # isolated edge 20-21; nodes absent from edges are the caller's concern
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "src long, dst long",
+    )
+    from dataintegration_csvprovider_spark.operators.components import (
+        connected_components,
+    )
+
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_duplicate_and_reversed_edges(spark):
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 5), (5, 6), (7, 6)], "src long, dst long"
+    )
+    from dataintegration_csvprovider_spark.operators.components import (
+        connected_components,
+    )
+
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(5, 5), (6, 5), (7, 5)}
