@@ -132,6 +132,7 @@ def all_queries() -> dict[str, Query]:
     from . import relational4  # noqa: F401
     from . import relational5  # noqa: F401
     from . import relational6  # noqa: F401
+    from . import relational7  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpch2  # noqa: F401
     from . import csvops  # noqa: F401

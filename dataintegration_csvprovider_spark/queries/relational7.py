@@ -1,0 +1,237 @@
+"""Round-2 additions: heavy hitters, interval-overlap join, distribution
+drift, ORC roundtrip.
+
+Each query pairs a scale-aware Spark plan with a plain-SQL oracle:
+
+- heavy hitters: Misra-Gries partition sketches bound the shuffle to
+  O(k · partitions) candidates; the exact recount makes the result equal
+  the naive `GROUP BY ... HAVING` the oracle runs.
+- interval overlap: sessions are binned onto an hour grid so the
+  overlap test becomes an equi-join on the bucket key — the standard
+  trick that turns an O(n²) broadcast-nested-loop theta join into a
+  shuffle-partitionable join; exact predicate re-verified after the
+  bin join, duplicates from multi-bucket spans removed by pair dedup.
+- drift: first-half vs second-half event-type distributions compared by
+  total variation distance — rational arithmetic only (no ln, unlike
+  PSI/KL) so both engines fold bit-equal doubles.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.frequent import heavy_hitters
+from .registry import register, sql_dsum
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) > 0.0075 * (SELECT COUNT(*) FROM events)
+    """,
+    doc="Users above 0.75% of all events, sketch-first: per-partition "
+        "Misra-Gries (mapInPandas, k=267 counters) nominates candidates "
+        "— a guaranteed superset since N/(k+1) < threshold — and a "
+        "broadcast-semi-join recount returns the exact HAVING answer.",
+    tags=("agg", "sketch", "heavy-hitters"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_frac=0.0075)
+
+
+_SESSIONS_SQL = """
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sessions GROUP BY user_id, sid
+    )
+"""
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle=f"""
+    WITH {_SESSIONS_SQL}
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlaps
+    FROM spans a JOIN spans b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY a.user_id, b.user_id
+    """,
+    doc="Concurrent-session detection: 30-min-gap sessions per user "
+        "(users < 40), then pairs of sessions from different users whose "
+        "[start, end] intervals overlap, counted per user pair. The "
+        "Spark plan bins each interval onto the hours it covers and "
+        "equi-joins on the bucket (partitionable at any scale), dedupes "
+        "the multi-bucket hits, and re-verifies the exact predicate; "
+        "the oracle runs the quadratic theta join directly.",
+    tags=("join", "interval", "timeseries"),
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select("user_id", "ts").withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    spans = (
+        flagged.withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    binned = spans.select(
+        "user_id",
+        "sid",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_start") <= F.col("b.s_end"))
+            & (F.col("b.s_start") <= F.col("a.s_end")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+        )
+        .distinct()  # a pair can meet in several shared buckets
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+@register(
+    "q_drift_tvd",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ), halves AS (
+      SELECT event_type, epoch_us(ts) < (SELECT mid FROM bounds) AS first_half
+      FROM events
+    ), per_bucket AS (
+      SELECT event_type,
+             COUNT(*) FILTER (first_half) AS n1,
+             COUNT(*) FILTER (NOT first_half) AS n2
+      FROM halves GROUP BY event_type
+    ), tot AS (
+      SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM per_bucket
+    )
+    SELECT CAST((SELECT t1 FROM tot) AS BIGINT) AS n_first,
+           CAST((SELECT t2 FROM tot) AS BIGINT) AS n_second,
+           COUNT(*) AS n_buckets,
+           0.5 * {sql_dsum('abs(CAST(n1 AS DOUBLE) / (SELECT t1 FROM tot) '
+                           '- CAST(n2 AS DOUBLE) / (SELECT t2 FROM tot))')}
+             AS tvd
+    FROM per_bucket
+    """,
+    doc="Distribution drift between the first and second half of the "
+        "event stream (split at the epoch-microsecond midpoint): total "
+        "variation distance over the event_type distribution. TVD "
+        "instead of PSI/KL keeps the metric rational (no ln) so both "
+        "engines agree bit-exactly; per-bucket |p-q| terms fold through "
+        "the decimal accumulator.",
+    tags=("profiling", "drift"),
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTZ-safe: cast to LTZ (session is UTC, values unchanged) before
+    # taking epoch microseconds
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    bounds = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type", (F.col("ts_us") < F.col("mid")).alias("first_half")
+    )
+    per_bucket = halves.groupBy("event_type").agg(
+        F.count_if("first_half").alias("n1"),
+        F.count_if(~F.col("first_half")).alias("n2"),
+    )
+    tot = per_bucket.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    absdiff = F.abs(
+        F.col("n1").cast("double") / F.col("t1")
+        - F.col("n2").cast("double") / F.col("t2")
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t1").cast("bigint").alias("n_first"),
+            F.max("t2").cast("bigint").alias("n_second"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            (
+                F.lit(0.5)
+                * F.sum(absdiff.cast("decimal(18,6)")).cast("double")
+            ).alias("tvd"),
+        )
+    )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag
+    """,
+    doc="ORC format roundtrip: lineitem slice written as ORC (zlib), "
+        "read back, aggregated — values survive the format conversion "
+        "exactly, so the parquet-sourced oracle matches.",
+    tags=("source", "orc"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    li.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias(
+            "sum_qty"
+        ),
+    )
