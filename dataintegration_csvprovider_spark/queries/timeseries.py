@@ -90,3 +90,137 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+_HOURLY_SQL = """
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), numbered AS (
+      SELECT user_id, bucket_hour, x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket_hour) AS i
+      FROM hourly
+    )
+"""
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+    WITH {_HOURLY_SQL}
+    SELECT a.user_id, a.bucket_hour, a.x,
+           CAST(SUM(CAST(b.x * pow(0.5, CAST(a.i - b.i AS DOUBLE))
+                         AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(pow(0.5, CAST(a.i - b.i AS DOUBLE))
+                           AS DECIMAL(18,6))) AS DOUBLE) AS ewma
+    FROM numbered a JOIN numbered b
+      ON a.user_id = b.user_id AND b.i BETWEEN a.i - 23 AND a.i
+    GROUP BY a.user_id, a.bucket_hour, a.x
+    """,
+    doc="Normalized truncated EWMA (alpha=0.5, 24-lag horizon) over "
+        "per-user hourly sums. alpha=0.5 makes every weight an exact "
+        "binary power, and the weighted terms fold through the decimal "
+        "accumulator — bit-equal across engines without any libm "
+        "transcendental. The bounded-lag self-join replaces the "
+        "sequential recurrence (unbounded state) with a shuffle-"
+        "partitionable join, the streaming-friendly formulation.",
+    tags=("timeseries", "window"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = (
+        ev.withColumn("bucket_hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "bucket_hour")
+        .agg(dsum(F.col("value")).alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket_hour")
+    numbered = hourly.withColumn("i", F.row_number().over(w))
+    a, b = numbered.alias("a"), numbered.alias("b")
+    weight = F.pow(F.lit(0.5), (F.col("a.i") - F.col("b.i")).cast("double"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.i") >= F.col("a.i") - 23)
+            & (F.col("b.i") <= F.col("a.i")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.bucket_hour").alias("bucket_hour"),
+            F.col("a.x").alias("x"),
+        )
+        .agg(
+            (
+                F.sum((F.col("b.x") * weight).cast("decimal(18,6)")).cast("double")
+                / F.sum(weight.cast("decimal(18,6)")).cast("double")
+            ).alias("ewma")
+        )
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle=f"""
+    WITH {_HOURLY_SQL}
+    , stats AS (
+      SELECT user_id, bucket_hour, x,
+             COUNT(x) OVER w AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+      FROM numbered
+      WINDOW w AS (PARTITION BY user_id ORDER BY i
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, bucket_hour, x,
+           (x - s / n) / sqrt(greatest(s2 / n - (s / n) * (s / n), 1e-12)) AS z
+    FROM stats
+    WHERE n >= 8
+      AND abs((x - s / n) / sqrt(greatest(s2 / n - (s / n) * (s / n), 1e-12))) > 2
+    """,
+    doc="Rolling z-score anomaly flags over per-user hourly sums: mean "
+        "and variance from decimal-accumulated sum and sum-of-squares "
+        "over the trailing 24 buckets (current row excluded, >= 8 "
+        "samples required); |z| > 2 flags. sqrt is IEEE correctly "
+        "rounded, so the z values agree bit-exactly across engines; the "
+        "1e-12 variance floor keeps a constant window from dividing by "
+        "a negative fp epsilon.",
+    tags=("timeseries", "window", "anomaly"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = (
+        ev.withColumn("bucket_hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "bucket_hour")
+        .agg(dsum(F.col("value")).alias("x"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("bucket_hour")
+    numbered = hourly.withColumn("i", F.row_number().over(wo))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(-24, -1)
+    )
+    stats = numbered.select(
+        "user_id",
+        "bucket_hour",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).over(w).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(
+        F.col("s2") / F.col("n") - mean * mean, F.lit(1e-12)
+    )
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        stats.filter(F.col("n") >= 8)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select("user_id", "bucket_hour", "x", "z")
+    )
