@@ -171,3 +171,121 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _zorder_value(a, b, bits: int = 20):
+    """Bit-interleave two non-negative scaled bigints into one z-value
+    (a static expression tree — stays in whole-stage codegen)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+            )
+        )
+    return z
+
+
+def _files_scanned(df: DataFrame, col: str, hi) -> tuple[int, int]:
+    """(files that must be read for ``col <= hi``, total files) from the
+    per-file min/max footer-equivalent census. Metadata-scale collect:
+    one row per file."""
+    census = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(F.min(col).alias("mn"))
+        .collect()
+    )
+    return sum(1 for r in census if r["mn"] <= hi), len(census)
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 10 AS hi
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           TRUE AS linear_scans_all,
+           TRUE AS zorder_skips_half
+    FROM lineitem WHERE l_partkey <= (SELECT hi FROM b)
+    """,
+    doc="Z-order clustering as a data-skipping layout: lineitem written "
+        "16-file twice — range-sorted by l_orderkey (linear) and by the "
+        "bit-interleaved z-value of (l_orderkey, l_partkey) scaled to "
+        "20 bits each. For a predicate on l_partkey alone, the linear "
+        "layout's per-file min/max cannot skip anything (every file "
+        "spans the full partkey range) while the z-order layout skips "
+        "at least half the files — both facts measured from the file "
+        "census and pinned TRUE, with the predicate's content totals "
+        "checked against the source. This is the min/max-stats "
+        "file-skipping model of Delta/Iceberg, driven purely by sort "
+        "order.",
+    tags=("layout", "sink", "parquet", "zorder"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    bounds = li.agg(
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+    )
+    with_b = li.crossJoin(F.broadcast(bounds))
+    scale = (1 << 20) - 1
+
+    def scaled(col: str, mn: str, mx: str):
+        span = F.greatest(F.col(mx) - F.col(mn), F.lit(1))
+        return ((F.col(col) - F.col(mn)) * F.lit(scale)).cast("bigint") / span
+
+    zval = _zorder_value(
+        scaled("l_orderkey", "omin", "omax").cast("bigint"),
+        scaled("l_partkey", "pmin", "pmax").cast("bigint"),
+    )
+    d = tempfile.mkdtemp(prefix="layout_zorder_")
+    try:
+        (
+            with_b.repartitionByRange(16, F.col("l_orderkey"))
+            .sortWithinPartitions("l_orderkey")
+            .select("l_orderkey", "l_partkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .parquet(f"{d}/linear")
+        )
+        (
+            with_b.withColumn("_z", zval)
+            .repartitionByRange(16, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .select("l_orderkey", "l_partkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .parquet(f"{d}/zorder")
+        )
+        hi = bounds.select(
+            (F.col("pmin") + (F.col("pmax") - F.col("pmin")) / F.lit(10))
+            .cast("bigint")
+            .alias("hi")
+        ).collect()[0]["hi"]
+        lin_scan, lin_total = _files_scanned(
+            spark.read.parquet(f"{d}/linear"), "l_partkey", hi
+        )
+        z_scan, z_total = _files_scanned(
+            spark.read.parquet(f"{d}/zorder"), "l_partkey", hi
+        )
+        return (
+            spark.read.parquet(f"{d}/zorder")
+            .filter(F.col("l_partkey") <= hi)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(F.col("l_extendedprice")).alias("total_price"),
+            )
+            .withColumn("linear_scans_all", F.lit(lin_scan == lin_total))
+            .withColumn("zorder_skips_half", F.lit(z_scan <= z_total // 2))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
