@@ -45,6 +45,7 @@ NLJ_OK = {
     "q_fuzzy_match",  # bounded 400x400 theta self-join (edit distance)
     "q11_important_parts",  # single-row threshold aggregate broadcast
     "q22_idle_customers",  # single-row decimal-AVG aggregate broadcast
+    "q_drift_tvd",  # single-row midpoint + totals aggregate broadcasts
 }
 
 
