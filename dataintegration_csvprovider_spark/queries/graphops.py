@@ -52,3 +52,87 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 50).alias("dst"),
     )
     return pagerank(edges, iterations=10, damping=0.85)
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' '))),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             )) AS grams
+      FROM documents
+    ), p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM p) AS n_edges,
+           (SELECT COUNT(*) FROM (SELECT a FROM p UNION SELECT b FROM p) t)
+             AS n_nodes,
+           (SELECT COUNT(*)
+            FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+                      JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b)
+             AS n_triangles
+    """,
+    doc="Exact triangle count over the near-dup graph (bigram Jaccard "
+        ">= 0.5 pairs): edges oriented low-degree -> high-degree so each "
+        "node's wedge fan-out is bounded by its *oriented* out-degree "
+        "(the arboricity bound of Chiba-Nishizeki / the MapReduce "
+        "triangle scheme of Suri-Vassilvitskii) — on a power-law graph "
+        "the hub that would generate deg^2 wedges generates almost "
+        "none. The oracle counts a<b<c triples with a canonical 3-way "
+        "self-join.",
+    tags=("graph", "triangles", "dedup"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # reused 4x: degrees, orientation, closure
+    )
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        pairs.join(F.broadcast(deg.withColumnRenamed("n", "a")), "a")
+        .withColumnRenamed("deg", "da")
+        .join(F.broadcast(deg.withColumnRenamed("n", "b")), "b")
+        .withColumnRenamed("deg", "db")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    closed = wedges.join(
+        pairs,
+        (F.least("x", "y") == F.col("a")) & (F.greatest("x", "y") == F.col("b")),
+    )
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            pairs.select(F.col("a").alias("n"))
+            .union(pairs.select("b"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

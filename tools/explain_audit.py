@@ -46,6 +46,8 @@ NLJ_OK = {
     "q11_important_parts",  # single-row threshold aggregate broadcast
     "q22_idle_customers",  # single-row decimal-AVG aggregate broadcast
     "q_drift_tvd",  # single-row midpoint + totals aggregate broadcasts
+    "q_funnel",  # 1x1x1-row crossJoin of stage-count aggregates
+    "q_triangle_count",  # single-row edge/node/triangle count crossJoins
 }
 
 
