@@ -289,3 +289,58 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _scan_read_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (the executed plan's
+    ReadSchema struct) — the observable form of Catalyst column pruning."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return []
+    return [f.split(":")[0] for f in m.group(1).split(",") if f]
+
+
+def _scan_has_pushed_filter(df: DataFrame, needle: str) -> bool:
+    """True iff a non-empty PushedFilters entry mentioning ``needle``
+    reached the scan (predicate pushdown is working)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for part in plan.split("PushedFilters: [")[1:]:
+        if needle in part[: part.find("]")]:
+            return True
+    return False
+
+
+@register(
+    "q_scan_pruning",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           TRUE AS only_needed_columns_read,
+           TRUE AS filter_pushed_to_scan
+    FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+    """,
+    doc="Scan-efficiency contract, made observable: a 3-column query "
+        "over the 16-column lineitem must scan a ReadSchema of exactly "
+        "{l_shipdate, l_extendedprice} + partition-pruning metadata "
+        "and must carry the l_shipdate predicate in PushedFilters (row-"
+        "group skipping at the parquet reader). Both plan facts are "
+        "booleans the oracle pins TRUE — a regression that silently "
+        "widens the scan or lifts the filter out of it flips the hash.",
+    tags=("layout", "source", "parquet", "pushdown"),
+)
+def q_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
+    read_cols = set(_scan_read_columns(q))
+    pruned_ok = read_cols == {"l_shipdate", "l_extendedprice"}
+    pushed_ok = _scan_has_pushed_filter(q, "l_shipdate")
+    return (
+        q.withColumn("only_needed_columns_read", F.lit(pruned_ok))
+        .withColumn("filter_pushed_to_scan", F.lit(pushed_ok))
+    )
