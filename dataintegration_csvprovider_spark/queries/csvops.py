@@ -193,3 +193,92 @@ def q_csv_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         format_reference_datetime(F.col("o_orderdate")).alias("rendered"),
     )
+
+
+@register(
+    "q_text_source_logs",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+    FROM events WHERE user_id < 50
+    GROUP BY event_type
+    """,
+    doc="Unstructured-text ETL: events rendered as pipe-delimited log "
+        "lines, written through the text sink, re-read with "
+        "spark.read.text and parsed back with one regexp_extract per "
+        "field (the raw-log ingestion path; the regex stays in "
+        "whole-stage codegen). The parse is lossless — %.2f re-renders "
+        "the 2-decimal fixture doubles exactly and the timestamp "
+        "roundtrips through cast — so the windowed aggregate matches "
+        "the parquet-sourced oracle bit-for-bit.",
+    tags=("source", "text", "csv"),
+)
+def q_text_source_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    lines = ev.select(
+        F.format_string(
+            "%s|%s|%d|%.2f",
+            F.col("ts").cast("string"),
+            F.col("event_type"),
+            F.col("user_id"),
+            F.col("value"),
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="text_logs_")
+    lines.write.mode("overwrite").text(d)
+    raw = spark.read.text(d)
+    pat = r"^([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).cast("timestamp_ntz").alias("ts"),
+        F.regexp_extract("value", pat, 2).alias("event_type"),
+        F.regexp_extract("value", pat, 3).cast("bigint").alias("user_id"),
+        F.regexp_extract("value", pat, 4).cast("double").alias("val"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_seen"
+        ),
+    )
+
+
+@register(
+    "q_collation_group",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END) AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="Case-insensitive grouping via Spark 4 collations: a mixed-case "
+        "segment column (case varies by customer-key parity) grouped "
+        "under UTF8_LCASE merges the variants *in the grouping "
+        "comparison itself* — no pre-normalization pass over the data; "
+        "the output key is lowered only for display. The oracle "
+        "normalizes with lower(), equivalent for this ASCII domain.",
+    tags=("agg", "collation", "scalar"),
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        cust.withColumn("seg_mixed", mixed)
+        .groupBy(F.collate(F.col("seg_mixed"), "UTF8_LCASE").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .select(
+            F.lower(F.col("seg")).cast("string").alias("segment"),
+            "n",
+            "total_bal",
+        )
+    )
