@@ -215,3 +215,82 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@register(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 400
+    ), pairs AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        AND levenshtein(a.c_name, b.c_name) <= 1
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS c_custkey, MIN(lbl) AS cluster FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal,
+             COALESCE(k.cluster, c.c_custkey) AS cluster
+      FROM c LEFT JOIN comp k USING (c_custkey)
+    )
+    SELECT c_custkey, cluster,
+           FIRST(c_custkey) OVER (PARTITION BY cluster
+                                  ORDER BY c_acctbal DESC, c_custkey)
+             AS canonical_key,
+           FIRST(c_name) OVER (PARTITION BY cluster
+                               ORDER BY c_acctbal DESC, c_custkey)
+             AS canonical_name
+    FROM labeled
+    """,
+    doc="End-to-end entity resolution composed from the engine's own "
+        "operators: length-pruned edit-distance pairs (blocking + "
+        "match), large-star/small-star connected components (cluster), "
+        "and a deterministic survivorship rule (highest account "
+        "balance, key as tiebreak) electing each cluster's canonical "
+        "record. The oracle replays all three stages in SQL, closure "
+        "via recursive CTE.",
+    tags=("text", "fuzzy", "graph", "cdc"),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.components import connected_components
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    a = cust.select(F.col("c_custkey").alias("a"), F.col("c_name").alias("na"))
+    b = cust.select(F.col("c_custkey").alias("b"), F.col("c_name").alias("nb"))
+    pairs = a.join(
+        b,
+        (F.col("a") < F.col("b"))
+        & (F.abs(F.length("na") - F.length("nb")) <= 1)
+        & (F.levenshtein(F.col("na"), F.col("nb")) <= 1),
+    ).select("a", "b")
+    comp = connected_components(pairs, src="a", dst="b")
+    labeled = (
+        cust.join(comp, F.col("c_custkey") == F.col("node"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.coalesce("component", "c_custkey").alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return labeled.select(
+        "c_custkey",
+        "cluster",
+        F.first("c_custkey").over(w).alias("canonical_key"),
+        F.first("c_name").over(w).alias("canonical_name"),
+    )
