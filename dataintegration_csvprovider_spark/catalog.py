@@ -45,8 +45,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # parquet NTZ inference path: withWatermark and the epoch
+        # functions need TIMESTAMP (LTZ); session tz is pinned UTC, so
+        # the cast changes the type, not the rendered values
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -17,8 +17,9 @@ plan visible and AQE can re-plan skew:
 
 Scale notes: every pairwise step is an equi-join on a hash bucket, so it
 shuffles on bucket keys and broadcasts nothing; the only iterative stage
-(connected components) runs label-propagation rounds with localCheckpoint
-to truncate lineage. Skewed buckets (a shingle appearing in every doc)
+(connected components, operators/components.py) contracts the pair graph
+with alternating large-star/small-star rounds under per-round lineage
+truncation. Skewed buckets (a shingle appearing in every doc)
 are capped via a frequency filter before the join.
 """
 
@@ -243,61 +244,19 @@ def minhash_near_dup_pairs(
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 25
 ) -> DataFrame:
-    """Label propagation over undirected edges (a, b) → (id, component)
-    where component = min id reachable. Each round is one neighbor-min
-    shuffle plus a pointer-jumping shortcut (component ← component's
-    component), which halves label-chain length — so convergence is
-    O(log diameter) even for path graphs, not O(diameter).
-    localCheckpoint truncates lineage so plans stay bounded."""
-    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+    """Undirected edges (a, b) -> (id, component) where component = min
+    id reachable. Thin adapter over the engine's single graph-contraction
+    primitive — alternating large-star/small-star
+    (operators/components.py), O(log n) rounds with per-round lineage
+    truncation — keeping this module's historical (id, component)
+    schema."""
+    from .components import connected_components as _cc
+
+    return _cc(edges, src="a", dst="b", max_iter=max_iterations).select(
+        F.col("node").alias("id"), "component"
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy(sym.a.alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
-        )
-        # pointer jumping: follow the label one more hop (components are
-        # node ids, so the lookup side is the label table itself)
-        hop = new_labels.select(
-            F.col("id").alias("cid"), F.col("component").alias("cc")
-        )
-        new_labels = (
-            new_labels.join(hop, new_labels.component == hop.cid, "left")
-            .select(
-                "id",
-                F.least(
-                    "component", F.coalesce("cc", "component")
-                ).alias("component"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
 
 
 def dedup_near_minhash(

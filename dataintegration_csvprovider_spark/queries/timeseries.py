@@ -224,3 +224,96 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2)
         .select("user_id", "bucket_hour", "x", "z")
     )
+
+
+@register(
+    "q_rolling_corr",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+                           AS DECIMAL(18,6))) AS DOUBLE) AS x,
+             CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+                           AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY date_trunc('hour', ts)
+    ), filled AS (
+      SELECT h, COALESCE(x, 0.0) AS x, COALESCE(y, 0.0) AS y FROM hourly
+    ), stats AS (
+      SELECT h, x, y,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy
+      FROM filled
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, n,
+           (n * sxy - sx * sy)
+             / (sqrt(greatest(n * sxx - sx * sx, 1e-12))
+                * sqrt(greatest(n * syy - sy * sy, 1e-12))) AS corr_24h
+    FROM stats WHERE n >= 24
+    """,
+    doc="Trailing-24h rolling Pearson correlation between the hourly "
+        "view-value and click-value series: all five moments come from "
+        "decimal-accumulated window sums (order-independent), the "
+        "final expression is rational + sqrt (both IEEE-exact), so the "
+        "correlation stream matches the oracle bit-for-bit. The single "
+        "global-window series is a deliberately tiny intermediate: the "
+        "wide data stays in the hourly pre-aggregation shuffle.",
+    tags=("timeseries", "window", "corr"),
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(18,6)"
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("value")).cast(dec)
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value")).cast(dec)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select(
+            "h",
+            F.coalesce("x", F.lit(0.0)).alias("x"),
+            F.coalesce("y", F.lit(0.0)).alias("y"),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    stats = hourly.select(
+        "h",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("x").cast(dec)).over(w).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(w).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).over(w).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).over(w).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(
+            F.greatest(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(1e-12),
+            )
+        )
+        * F.sqrt(
+            F.greatest(
+                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
+                F.lit(1e-12),
+            )
+        )
+    )
+    return (
+        stats.filter(F.col("n") >= 24)
+        .select("h", "n", corr.alias("corr_24h"))
+    )

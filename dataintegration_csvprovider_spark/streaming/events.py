@@ -279,3 +279,67 @@ def stream_upsert_state(
     )
     q.awaitTermination()
     return stream_df.sparkSession.read.parquet(state_dir)
+
+
+def stateful_user_totals_v2(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The stateful_user_totals state machine re-expressed on Spark 4's
+    transformWithStateInPandas — the successor API to
+    applyInPandasWithState: named state variables on a RocksDB-backed
+    store (changelog-checkpointable, state-schema-evolvable) instead of
+    one opaque tuple, explicit init/close lifecycle, timer support.
+
+    Same contract as v1: one (count, sum) per key per micro-batch in
+    update mode. Requires the RocksDB state store provider (set by the
+    caller or session factory) AND the protobuf Python package — the
+    TWS state-API client speaks protobuf to the JVM state server; in
+    environments without it the streaming query fails with a driver-
+    worker crash, so callers must gate on
+    ``importlib.util.find_spec("google.protobuf")`` (the unit test
+    does; no registry query depends on this path)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

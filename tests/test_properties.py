@@ -116,7 +116,7 @@ def test_minhash_estimates_jaccard(spark):
 )
 @settings(max_examples=20, deadline=None)
 def test_connected_components_matches_union_find(spark_prop, edges):
-    # label propagation + pointer jumping vs a driver-side union-find
+    # large-star/small-star contraction vs a driver-side union-find
     from dataintegration_csvprovider_spark.operators.dedup import (
         connected_components,
     )

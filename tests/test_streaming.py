@@ -179,3 +179,58 @@ def test_stream_upsert_state_late_arrival(spark, tmp_path):
     # user 1: purchase (t=5) wins over click (t=1) in any batch order;
     # user 2: the error tombstone (t=5) wins over view (t=1)
     assert out == {1: "purchase", 2: "error"}
+
+
+def test_stateful_v2_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas parity with the v1 state machine —
+    runs only where the protobuf dependency for the TWS state client
+    exists (not in this container; the operator is dependency-gated)."""
+    import importlib.util
+
+    import pytest
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("google.protobuf not installed (TWS client dependency)")
+
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.streaming.events import (
+        run_to_completion,
+        stateful_user_totals_v2,
+    )
+
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 1.0)], "user_id long, value double"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    feed = spark.readStream.schema(schema).parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_completion(
+            stateful_user_totals_v2(feed), output_mode="update"
+        )
+        got = {
+            (r["user_id"], r["n_events"], r["total"])
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total").alias("total"),
+            )
+            .collect()
+        }
+        assert got == {(1, 2, 5.0), (2, 1, 1.0)}
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
