@@ -828,3 +828,73 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))),
+                      1e-12) AS scale,
+             embedding
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                         AS BIGINT)) AS code,
+             embedding
+      FROM q
+    )
+    SELECT vec_id, scale,
+           CAST(list_max(list_transform(code, c -> abs(c))) AS BIGINT)
+             AS max_code,
+           list_max(list_transform(list_zip(code, embedding),
+             p -> abs(CAST(p[1] AS DOUBLE) * scale / 127.0
+                      - CAST(p[2] AS DOUBLE))))
+             <= scale / 127.0 AS error_ok
+    FROM codes
+    """,
+    doc="Int8 embedding quantization (the vector-compression step of a "
+        "production ANN index): per-vector max-abs scale, symmetric "
+        "codes floor(x*127/scale + 0.5) — floor instead of round "
+        "because engines disagree on round-half ties while floor is "
+        "IEEE-exact. Oracle pins the scale, the max |code| (must fit "
+        "int8), and a per-vector dequantization error bound of one "
+        "quantization step.",
+    tags=("embedding", "similarity", "quantize"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda c: c.cast("double")  # noqa: E731
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x)))),
+        F.lit(1e-12),
+    )
+    with_scale = emb.select("vec_id", "embedding", scale.alias("scale"))
+    code = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(xd(x) * F.lit(127.0) / F.col("scale") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    coded = with_scale.withColumn("code", code)
+    dequant_err = F.array_max(
+        F.zip_with(
+            F.col("code"),
+            F.col("embedding"),
+            lambda c, x: F.abs(
+                c.cast("double") * F.col("scale") / F.lit(127.0) - xd(x)
+            ),
+        )
+    )
+    return coded.select(
+        "vec_id",
+        "scale",
+        F.array_max(F.transform(F.col("code"), F.abs)).cast("bigint").alias(
+            "max_code"
+        ),
+        (dequant_err <= F.col("scale") / F.lit(127.0)).alias("error_ok"),
+    )
