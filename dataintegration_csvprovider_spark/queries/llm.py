@@ -898,3 +898,164 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dequant_err <= F.col("scale") / F.lit(127.0)).alias("error_ok"),
     )
+
+
+@register(
+    "q_doc_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_idx,
+           CAST(s * 150 AS BIGINT) AS char_start,
+           substr(text, CAST(s * 150 + 1 AS BIGINT), 200) AS chunk_text,
+           length(substr(text, CAST(s * 150 + 1 AS BIGINT), 200))
+             AS chunk_len
+    FROM documents,
+         unnest(generate_series(0, CAST(greatest(n_chars - 51, 0) // 150
+                                        AS BIGINT))) AS t(s)
+    """,
+    doc="Sliding-window document chunking (200-char windows, 50-char "
+        "overlap = 150 stride) — the context-window preparation step of "
+        "a training/RAG pipeline. Chunk starts come from a distributed "
+        "sequence() explode (never the driver); windows that would "
+        "start inside the final 50-char tail are not emitted (every "
+        "kept chunk starts at fresh text). Offsets are preserved so "
+        "chunks can be mapped back into their source documents.",
+    tags=("text", "chunk"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    window, overlap = 200, 50
+    stride = window - overlap
+    n_chunks_minus1 = (
+        F.greatest(F.col("n_chars") - F.lit(overlap + 1), F.lit(0))
+        / F.lit(stride)
+    ).cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").alias("chunk_idx"),
+            (F.col("s") * stride).alias("char_start"),
+            F.substring(
+                F.col("text"), (F.col("s") * stride + 1).cast("int"), window
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )
+
+
+@register(
+    "q_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    ), binned AS (
+      SELECT doc_id, n_tokens,
+             CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin
+      FROM cum
+    )
+    SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           SUM(n_tokens) <= 512 + MAX(n_tokens) AS within_budget
+    FROM binned GROUP BY bin
+    """,
+    doc="Greedy sequence packing for training batches: documents in "
+        "deterministic doc_id order are packed into 512-token bins via "
+        "a running-token-count cumulative sum (one global window over "
+        "per-doc token counts — tiny, one row per doc; the heavy "
+        "tokenize stays partition-parallel). A bin can exceed the "
+        "budget by at most its largest document (the standard greedy "
+        "bound), which the oracle pins per bin.",
+    tags=("text", "packing", "window"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "), lambda t: t != F.lit("")
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    binned = toks.withColumn(
+        "bin", ((F.sum("n_tokens").over(w) - 1) / 512).cast("bigint")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") <= F.lit(512) + F.max("n_tokens")).alias(
+            "within_budget"
+        ),
+    )
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, source, {_DUCK_BIGRAMS} AS grams
+               FROM documents),
+    train AS (SELECT * FROM g WHERE source <> 'src0'),
+    eval_set AS (SELECT * FROM g WHERE source = 'src0'),
+    hits AS (
+      SELECT t.doc_id,
+             MAX(CAST(len(list_intersect(t.grams, e.grams)) AS DOUBLE)
+                 / len(t.grams)) AS max_containment
+      FROM train t JOIN eval_set e
+        ON len(list_intersect(t.grams, e.grams)) > 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, max_containment
+    FROM hits WHERE max_containment >= 0.8
+    """,
+    doc="Benchmark decontamination: training documents (source != "
+        "'src0') whose bigram set is >= 80% contained in some eval "
+        "document (source = 'src0') — the asymmetric-overlap variant "
+        "of near-dup detection used to scrub eval leakage from "
+        "training corpora. Same inverted-index equi-join shape as "
+        "ngram Jaccard (shared grams counted per pair, no cross "
+        "join); containment divides by the TRAIN side's set size only.",
+    tags=("text", "dedup", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        word_shingles(F.col("text"), 2).alias("grams"),
+    ).withColumn("set_size", F.size("grams"))
+    train = grams.filter(F.col("source") != "src0")
+    ev = grams.filter(F.col("source") == "src0")
+    t_inv = train.select(
+        F.col("doc_id").alias("t_id"),
+        F.col("set_size").alias("t_size"),
+        F.explode("grams").alias("gram"),
+    )
+    e_inv = ev.select(F.col("doc_id").alias("e_id"), F.explode("grams").alias("gram"))
+    common = (
+        t_inv.join(e_inv, "gram")
+        .groupBy("t_id", "t_size", "e_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    contained = common.select(
+        "t_id",
+        (F.col("n_common").cast("double") / F.col("t_size")).alias("containment"),
+    )
+    return (
+        contained.groupBy(F.col("t_id").alias("doc_id"))
+        .agg(F.max("containment").alias("max_containment"))
+        .filter(F.col("max_containment") >= 0.8)
+    )
