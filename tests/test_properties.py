@@ -264,3 +264,32 @@ def test_skyline_matches_bruteforce(spark_prop, points):
         )
     )
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=120),
+    st.integers(2, 6),
+)
+@settings(max_examples=15, deadline=None)
+def test_heavy_hitters_matches_exact_for_any_stream(spark_prop, items, parts):
+    # the MG candidate superset + exact recount must equal the naive
+    # GROUP BY ... HAVING answer for ANY input distribution/partitioning
+    from collections import Counter
+
+    from dataintegration_csvprovider_spark.operators.frequent import (
+        heavy_hitters,
+    )
+
+    df = spark_prop.createDataFrame(
+        [(i,) for i in items], "item long"
+    ).repartition(parts)
+    frac = 0.2
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters(df, "item", min_frac=frac, total=len(items)).collect()
+    }
+    counts = Counter(items)
+    want = {
+        (k, c) for k, c in counts.items() if c > frac * len(items)
+    }
+    assert got == want
