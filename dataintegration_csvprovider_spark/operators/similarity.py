@@ -307,3 +307,62 @@ def trained_ivf_centroids(
         )
         .select(F.col("cluster").cast("bigint").alias("centroid_id"), "centroid")
     )
+
+
+def arrow_score(
+    df: DataFrame,
+    weights: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Linear model scoring over an embedding column via ``mapInArrow`` —
+    the Arrow-native batch path (no pandas materialization: the list
+    column's flat float32 buffer is viewed as a numpy matrix
+    zero-copy-ish and scored vectorized across rows).
+
+    Determinism contract: the margin is accumulated dimension-by-
+    dimension (``acc += w_i * x_i`` — vectorized across the batch,
+    sequential across dims), which reproduces the sequential fold a SQL
+    ``list_sum(list_transform(...))`` computes, so the scores are
+    bit-equal to a SQL oracle. ``np.dot`` would NOT be (BLAS reorders
+    the summation). Elements are widened float32→float64 before any
+    arithmetic, matching SQL's CAST(x AS DOUBLE).
+
+    At scale this is one narrow map stage: no shuffle, no Python-row
+    boundary, one Arrow batch in flight per core.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    dim = len(weights)
+    w = [float(x) for x in weights]
+    src = df.select(id_col, vec_col)
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            lst = batch.column(vec_col)
+            flat = np.asarray(lst.flatten(), dtype=np.float64)
+            x = flat.reshape(len(lst), dim)
+            acc = np.zeros(len(lst), dtype=np.float64)
+            for i in range(dim):
+                acc = acc + w[i] * x[:, i]
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(acc, type=pa.float64()),
+                    pa.array(acc > 0.0),
+                ],
+                names=[id_col, "margin", "positive"],
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("margin", T.DoubleType()),
+            T.StructField("positive", T.BooleanType()),
+        ]
+    )
+    return src.mapInArrow(score, out_schema)

@@ -1059,3 +1059,36 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("containment").alias("max_containment"))
         .filter(F.col("max_containment") >= 0.8)
     )
+
+
+def _score_weights() -> list[float]:
+    # dyadic literals (eighths): their decimal strings parse to exactly
+    # the same doubles in both engines
+    return [((i * 37) % 13 - 6) / 8.0 for i in range(_DIM)]
+
+
+@register(
+    "q_arrow_score",
+    oracle=f"""
+    SELECT vec_id,
+           list_sum(list_transform(list_zip(embedding, {{W}}),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) AS margin,
+           list_sum(list_transform(list_zip(embedding, {{W}}),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) > 0.0 AS positive
+    FROM embeddings
+    """.replace("{W}", "[" + ",".join(
+        repr(((i * 37) % 13 - 6) / 8.0) for i in range(64)) + "]"),
+    doc="Linear scoring via mapInArrow (operators/similarity.py "
+        "arrow_score): the Arrow-native batch API — flat float32 "
+        "buffer viewed as a numpy matrix, scored vectorized across "
+        "rows but dimension-sequential so the margin reproduces SQL's "
+        "list_sum fold bit-for-bit (np.dot's BLAS reordering would "
+        "not). Dyadic weight literals parse identically in both "
+        "engines.",
+    tags=("embedding", "similarity", "arrow"),
+)
+def q_arrow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import arrow_score
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return arrow_score(emb, _score_weights())

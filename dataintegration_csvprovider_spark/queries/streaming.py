@@ -368,3 +368,49 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "q_stream_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '{_TS_FMT_DUCK}')
+               AS win_start,
+             user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, user_id, n FROM (
+      SELECT win_start, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, user_id) AS rn
+      FROM counts) t
+    WHERE rn <= 3
+    """,
+    doc="Streaming top-k: per-6h-window per-user counts maintained by "
+        "the watermarked streaming aggregate (incremental, bounded "
+        "state); the rank step runs on the finalized windows after "
+        "run_to_completion — the standard aggregate-then-rank split, "
+        "since rank-over-stream would need the whole window's state "
+        "re-sorted on every update. Ties break on user_id.",
+    tags=("streaming", "window", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_completion(agg, output_mode="complete")
+    w = Window.partitionBy("window").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.date_format("window.start", _TS_FMT_SPARK).alias("win_start"),
+            "user_id",
+            "n",
+        )
+    )
