@@ -99,6 +99,42 @@ class CsvSourceOptions:
         return cls(**d)
 
 
+def _split_quoted(line: str, delim: str, quote: str) -> list[str]:
+    """Split one CSV record on a (possibly multi-char) delimiter with
+    quote/doubled-quote handling — the header-parse twin of the scan's
+    escape == quote dialect."""
+    fields: list[str] = []
+    buf: list[str] = []
+    i, n, dl, inq = 0, len(line), len(delim), False
+    while i < n:
+        ch = line[i]
+        if inq:
+            if ch == quote:
+                if i + 1 < n and line[i + 1] == quote:  # doubled quote
+                    buf.append(quote)
+                    i += 2
+                    continue
+                inq = False
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == quote:
+            inq = True
+            i += 1
+            continue
+        if line.startswith(delim, i):
+            fields.append("".join(buf))
+            buf = []
+            i += dl
+            continue
+        buf.append(ch)
+        i += 1
+    fields.append("".join(buf))
+    return fields
+
+
 def positional_column_name(i: int) -> str:
     """Headerless naming: ``Column 1``.. 1-based (CSVProvider.cs:292-295)."""
     return f"Column {i + 1}"
@@ -198,8 +234,15 @@ class CsvSource:
     def _header_fields(self, table: str) -> list[str]:
         """Header cells parsed with full quoting rules (CsvHelper-parsed
         headers, CSVSourceReader.cs:245-250): a quoted name may contain
-        the delimiter or doubled quotes \u2014 naive split would miscount."""
+        the delimiter or doubled quotes \u2014 naive split would miscount.
+        Multi-char delimiters (a CsvHelper string-delimiter feature that
+        Spark's sep also supports) take a hand-rolled quote-aware walk,
+        since Python's csv module only accepts 1-char delimiters."""
         header = self._first_line(self.path_for_table(table))
+        if len(self.options.delimiter) > 1:
+            return _split_quoted(
+                header, self.options.delimiter, self.options.quote
+            )
         rows = list(
             csv.reader(
                 [header],

@@ -209,3 +209,45 @@ def test_utf8_bom_header_not_polluted(spark, tmp_path):
         ("1", "alice"),
         ("2", "bob"),
     }
+
+
+def test_multiline_quoted_newlines_read(spark, tmp_path):
+    """multi_line=True reads quoted embedded newlines as one record (the
+    reference's CsvHelper does this natively; Spark needs the whole-file
+    parser — non-splittable, hence an explicit fidelity knob)."""
+    p = tmp_path / "ml.csv"
+    p.write_text('a;b\n"line1\nline2";x\nplain;y\n', encoding="utf-8")
+    src = CsvSource(
+        file=str(p), options=CsvSourceOptions(multi_line=True)
+    )
+    rows = {
+        (r["a"], r["b"]) for r in src.read(spark, "ml").collect()
+    }
+    assert rows == {("line1\nline2", "x"), ("plain", "y")}
+
+
+def test_multichar_delimiter_roundtrip(spark, tmp_path):
+    """Multi-char delimiters parse (CsvHelper's delimiter is a string;
+    Spark's sep accepts multi-char since 3.0)."""
+    p = tmp_path / "mc.csv"
+    p.write_text("a||b||c\n1||x y||3\n4|| z||6\n", encoding="utf-8")
+    src = CsvSource(file=str(p), options=CsvSourceOptions(delimiter="||"))
+    rows = {
+        tuple(r) for r in src.read(spark, "mc").collect()
+    }
+    # trim-at-scan applies to each field (reference TrimOptions.Trim)
+    assert rows == {("1", "x y", "3"), ("4", "z", "6")}
+
+
+def test_multichar_delimiter_quoted_header():
+    """Quote-aware multi-char split: quoted header names may contain the
+    delimiter or doubled quotes."""
+    from dataintegration_csvprovider_spark.sources.csv_source import (
+        _split_quoted,
+    )
+
+    assert _split_quoted('a||"b||c"||"d""e"', "||", '"') == [
+        "a", "b||c", 'd"e'
+    ]
+    assert _split_quoted("x", "||", '"') == ["x"]
+    assert _split_quoted("", "||", '"') == [""]
