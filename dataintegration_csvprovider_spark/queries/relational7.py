@@ -235,3 +235,106 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty"
         ),
     )
+
+
+@register(
+    "q_impute_group_mean",
+    oracle=f"""
+    WITH masked AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ), means AS (
+      SELECT user_id,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v)
+               AS user_mean
+      FROM masked GROUP BY user_id
+    )
+    SELECT m.user_id,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (m.v IS NULL) AS n_imputed,
+           {sql_dsum('COALESCE(m.v, s.user_mean)')} AS total_after_impute
+    FROM masked m JOIN means s ON m.user_id = s.user_id
+    GROUP BY m.user_id
+    """,
+    doc="Missing-value imputation with the per-group mean: error-row "
+        "values are masked NULL, each user's mean over observed values "
+        "is computed once (decimal sum / count — deterministic) and "
+        "joined back to fill the gaps. Two shuffles on the same key; "
+        "the mean table is group-cardinality small. The standard "
+        "feature-cleaning op before training.",
+    tags=("agg", "impute", "quality"),
+)
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    means = masked.groupBy("user_id").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count("v")
+        ).alias("user_mean")
+    )
+    return (
+        masked.join(means, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("v").isNull()).alias("n_imputed"),
+            F.sum(
+                F.coalesce(F.col("v"), F.col("user_mean")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("total_after_impute"),
+        )
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (e.value < b.lo OR e.value > b.hi) AS n_clipped,
+           {sql_dsum('least(greatest(e.value, b.lo), b.hi)')} AS total_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Winsorization (outlier clipping to the per-group P5/P95 band): "
+        "exact interpolated percentiles per event type (Spark "
+        "percentile == DuckDB quantile_cont, parity already pinned by "
+        "q_percentiles), broadcast back onto the stream, values clamped "
+        "with least/greatest. The robust-statistics companion to the "
+        "z-score anomaly flags.",
+    tags=("agg", "percentile", "quality"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("n_clipped"),
+            F.sum(clipped.cast("decimal(18,6)")).cast("double").alias(
+                "total_winsorized"
+            ),
+        )
+    )
