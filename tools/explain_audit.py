@@ -50,6 +50,14 @@ NLJ_OK = {
     "q_triangle_count",  # single-row edge/node/triangle count crossJoins
 }
 
+#: queries whose PURPOSE is the row-Python UDTF surface itself (API
+#: parity for the reference's row-level script hooks, SURVEY §2.9) —
+#: deliberately bounded input, documented as the last-resort tier
+ROW_PY_OK = {
+    "q_udtf_installments",
+    "q_udtf_installment_amounts",
+}
+
 
 def main() -> int:
     import __spark_entry__ as entry
@@ -74,7 +82,7 @@ def main() -> int:
             n_err += 1
             continue
         flags = []
-        if "BatchEvalPython" in plan:
+        if "BatchEvalPython" in plan and name not in ROW_PY_OK:
             flags.append("ROW-PYTHON-UDF")
             n_err += 1
         has_nlj = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
