@@ -1092,3 +1092,83 @@ def q_arrow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return arrow_score(emb, _score_weights())
+
+
+@register(
+    "q_hll_union",
+    # two-level sketching: per-source sketches unioned into a global
+    # estimate — mergeability is the property under test; the exact
+    # global count and a 5% bound are what SQL can pin
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_global_distinct,
+           CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+             AS n_sketches_merged,
+           TRUE AS est_within_5pct
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    """,
+    doc="Sketch mergeability end-to-end: one HLL sketch per source "
+        "(hll_sketch_agg), then hll_union_agg folds the per-source "
+        "binaries into a single global distinct-token estimate — the "
+        "pre-aggregate-then-merge idiom that replaces full re-scans in "
+        "rollup pipelines (build sketches per day/partition, store as "
+        "binary columns, union on demand). The union's estimate must "
+        "land within 5% of the exact global distinct, oracle-pinned.",
+    tags=("agg", "sketch"),
+)
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok").alias("sketch")
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketches_merged"),
+    )
+    exact = toks.agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_global_distinct")
+    )
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_global_distinct",
+        "n_sketches_merged",
+        (
+            F.abs(F.col("est") - F.col("exact_global_distinct"))
+            <= 0.05 * F.col("exact_global_distinct")
+        ).alias("est_within_5pct"),
+    )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+    doc="EXACT distinct counting via mergeable bitmaps: user ids hash "
+        "to (bucket, bit position), per-(group, bucket) bitmaps are "
+        "built with bitmap_construct_agg, OR-merged, and their "
+        "popcounts summed — count-distinct as an associative aggregate "
+        "(partial-aggregable, storable, re-mergeable) instead of a "
+        "shuffle of raw ids. Unlike HLL this is exact, so the oracle "
+        "is plain COUNT(DISTINCT).",
+    tags=("agg", "sketch", "bitmap"),
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = (
+        ev.withColumn("buck", F.expr("bitmap_bucket_number(user_id)"))
+        .withColumn("pos", F.expr("bitmap_bit_position(user_id)"))
+        .groupBy("event_type", "buck")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(
+                "n_distinct_users"
+            )
+        )
+    )
