@@ -414,3 +414,71 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_stream_exactly_once",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id < 60 GROUP BY user_id
+    """,
+    doc="Exactly-once across restarts, made observable: per-batch "
+        "partial counts are APPENDED to a parquet ledger by "
+        "foreachBatch, so any re-delivery would double-count. The "
+        "same checkpointed query runs THREE times — initial two-file "
+        "backlog, an idle restart (must append nothing), and a restart "
+        "after a late third file lands (must append only that file's "
+        "counts). The summed ledger equals the plain batch GROUP BY "
+        "only if the checkpoint's offset tracking delivered every file "
+        "exactly once.",
+    tags=("streaming", "cdc", "checkpoint"),
+)
+def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    stage = tempfile.mkdtemp(prefix="eo_stage_")
+    ledger = tempfile.mkdtemp(prefix="eo_ledger_") + "/parts"
+    ck = tempfile.mkdtemp(prefix="eo_ck_")
+
+    ev.filter(F.col("user_id") < 50).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    def run_once() -> None:
+        feed = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+        def append_partials(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(ledger)
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(append_partials)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # initial backlog
+    run_once()  # restart with nothing new: must be a no-op
+    # a late file lands, then another restart picks up ONLY that file
+    ev.filter((F.col("user_id") >= 50) & (F.col("user_id") < 60)).coalesce(
+        1
+    ).write.mode("append").parquet(stage)
+    run_once()
+
+    return (
+        spark.read.parquet(ledger)
+        .groupBy("user_id")
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
+    )
