@@ -92,3 +92,79 @@ def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS price_rank
         FROM orders WHERE o_custkey < 100
     """)
+
+
+@register(
+    "q_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+    doc="Parameterized SQL (spark.sql named parameters): the engine's "
+        "native replacement for the reference's request-value "
+        "substitution into conditionals (ReplaceMappingConditionalsWith"
+        "ValuesFromRequest, CSVProvider.cs:545) — values bind as typed "
+        "parameters in the parser, never string-spliced, so injection "
+        "is structurally impossible and plans cache across values.",
+    tags=("sql", "parameter"),
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1994-01-01", "min_price": 1000.0},
+    )
+
+
+@register(
+    "q_sql_scripting",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
+    )
+    SELECT total, n, CAST(total / n AS DOUBLE) AS avg_price FROM agg
+    """,
+    doc="Spark 4 SQL scripting (BEGIN ... END with DECLARE/SET): a "
+        "multi-statement procedural script computes an aggregate into "
+        "session variables and returns a final SELECT over them — the "
+        "stored-procedure-style surface for migration from procedural "
+        "ETL; the script's result must equal the single-statement CTE "
+        "the oracle runs.",
+    tags=("sql", "scripting"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "lineitem")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE total DOUBLE;
+              DECLARE n BIGINT;
+              SET (total, n) = (
+                SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                            AS DOUBLE),
+                       COUNT(*)
+                FROM lineitem WHERE l_shipdate < DATE '1995-01-01');
+              SELECT total, n, CAST(total / n AS DOUBLE) AS avg_price;
+            END
+            """
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
