@@ -420,13 +420,17 @@ def ngram_jaccard_pairs(
 
     ``max_token_doc_freq`` additionally hard-drops ultra-common grams
     (approximate; off by default). ``method``: 'index' (default) joins the
-    full inverted index — fastest when Σdf² is manageable (measured 3×
-    faster than 'prefix' at both sf0.01 and sf0.1 — 7.3s vs 22s warm at
-    sf0.1, Σdf²=73M — because the fixture's tiny uniform vocabulary
-    leaves no rare-gram tail for the prefix to exploit); 'prefix'
-    indexes only each set's rare-gram prefix and verifies candidates
-    exactly — the right trade once stopword-gram df² dominates
-    (web-scale corpora with Zipfian vocabularies)."""
+    full inverted index — fastest when Σdf² is manageable (measured at
+    three scales: 3× faster at sf0.01 and sf0.1 — 7.3s vs 22s warm at
+    sf0.1, Σdf²=73M — and 4.8× at a 15k-doc 3× blow-up, 29s vs 139s,
+    with index runtime growing ~quadratically in corpus size exactly as
+    Σdf² predicts). The fixture's tiny uniform vocabulary leaves no
+    rare-gram tail for the prefix to exploit — every gram is a
+    stopword-gram, so the prefix is half the set and its per-doc window
+    rank dominates. 'prefix' indexes only each set's rare-gram prefix
+    and verifies candidates exactly — the right trade once the
+    vocabulary is Zipfian (web-scale corpora), where the prefix is a
+    handful of genuinely rare grams per doc."""
     grams = _spread(_with_content(df, text_col, min_words=n).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("grams"),
