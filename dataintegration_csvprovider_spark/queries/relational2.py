@@ -347,3 +347,52 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_asof_forward_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           a.ts AS purchase_ts, a.value AS purchase_value
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT p.ts, p.value FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+      ORDER BY p.ts ASC LIMIT 1) a ON true
+    WHERE e.event_type = 'view' AND e.event_id < 3000
+    """,
+    doc="Forward as-of join with tolerance: each view matched to the "
+        "user's EARLIEST purchase at-or-after it, but only within 1 "
+        "hour — the attribution-window variant (pandas merge_asof "
+        "direction='forward', tolerance). Same union-sort-window plan "
+        "as backward (one shuffle); the tolerance is a post-match "
+        "predicate that nulls the payload, preserving left-outer "
+        "row counts. Oracle recomputes via correlated LATERAL top-1.",
+    tags=("join", "asof", "timeseries"),
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") < 3000)
+    ).select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["value"],
+        direction="forward",
+        tolerance="1 HOUR",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
