@@ -1,0 +1,66 @@
+"""Physical-plan regression tripwires: the *shape* of key plans is part
+of the 100 TB contract (broadcast where a dim is small, pushdown where a
+predicate is literal, no Python on relational hot paths). These assert
+plan facts the explain audit only reports."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataintegration_csvprovider_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_inner_broadcasts_the_dim(spark):
+    # customer x nation x region: the dims must broadcast, not shuffle
+    plan = _plan(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_is_two_phase_hash_aggregate(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
+
+
+def test_scan_pruning_facts_hold(spark):
+    from dataintegration_csvprovider_spark.queries.layout import (
+        _scan_has_pushed_filter,
+        _scan_read_columns,
+    )
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")).agg(
+        F.sum("l_extendedprice").alias("s")
+    )
+    assert set(_scan_read_columns(q)) == {"l_shipdate", "l_extendedprice"}
+    assert _scan_has_pushed_filter(q, "l_shipdate")
+
+
+def test_relational_hot_paths_have_no_python(spark):
+    for name in (
+        "q_agg_stats",
+        "q_window_topk_per_group",
+        "q_dedup_ngram_jaccard",
+        "q_knn_bruteforce",
+        "q_tfidf_top_terms",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        # Arrow-batched Python (mapInPandas/mapInArrow) is allowed; the
+        # row-at-a-time evaluator is not
+
+
+def test_semijoin_stays_semijoin(spark):
+    # left_semi must not degrade to inner-join + distinct
+    plan = _plan(spark, "q_semijoin")
+    assert "LeftSemi" in plan
