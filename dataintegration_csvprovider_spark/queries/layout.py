@@ -344,3 +344,36 @@ def q_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("only_needed_columns_read", F.lit(pruned_ok))
         .withColumn("filter_pushed_to_scan", F.lit(pushed_ok))
     )
+
+
+@register(
+    "q_aqe_coalesce",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS total,
+           TRUE AS aqe_coalesced_partitions
+    FROM events GROUP BY event_type
+    """,
+    doc="AQE shuffle coalescing, made observable: the aggregate plans "
+        "32 shuffle partitions but the runtime sizes are tiny, so "
+        "adaptive execution rewrites the exchange read into a coalesced "
+        "AQEShuffleRead (fewer, right-sized reducers — at 100 TB the "
+        "same mechanism sizes reducers to advisoryPartitionSizeInBytes "
+        "instead of a static shuffle.partitions guess). The executed "
+        "plan's coalesce marker is pinned TRUE after materialization.",
+    tags=("layout", "agg", "aqe"),
+)
+def q_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("value")).alias("total"),
+    )
+    agg = agg.localCheckpoint(eager=True)  # materialize → final adaptive plan
+    # the checkpoint severs the plan; re-derive the marker from a fresh
+    # materialized run of the same aggregate
+    probe = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    ok = "AQEShuffleRead coalesced" in plan
+    return agg.withColumn("aqe_coalesced_partitions", F.lit(ok))
