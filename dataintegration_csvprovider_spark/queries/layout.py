@@ -377,3 +377,65 @@ def q_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = probe._jdf.queryExecution().executedPlan().toString()
     ok = "AQEShuffleRead coalesced" in plan
     return agg.withColumn("aqe_coalesced_partitions", F.lit(ok))
+
+
+@register(
+    "q_parquet_codecs",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           TRUE AS roundtrip_exact,
+           TRUE AS zstd_not_larger
+    FROM lineitem
+    """,
+    doc="Columnar compression codecs: lineitem written once with snappy "
+        "and once with zstd (single file each for a fair byte count); "
+        "zstd must not be larger (it trades CPU for ratio — the 100 TB "
+        "storage default), and the zstd roundtrip must aggregate "
+        "identically to the source, both oracle-pinned alongside the "
+        "content totals.",
+    tags=("layout", "sink", "parquet", "codec"),
+)
+def q_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="codec_")
+    try:
+        for codec in ("snappy", "zstd"):
+            li.coalesce(1).write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(f"{d}/{codec}")
+
+        def bytes_of(sub: str) -> int:
+            root = f"{d}/{sub}"
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in os.listdir(root)
+                if f.endswith(".parquet")
+            )
+
+        sn, zs = bytes_of("snappy"), bytes_of("zstd")
+        back = spark.read.parquet(f"{d}/zstd").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        src = li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+            dsum(F.col("l_extendedprice")).alias("t0"),
+        )
+        return (
+            back.crossJoin(F.broadcast(src))
+            .select(
+                "n",
+                "total_price",
+                (
+                    (F.col("n") == F.col("n0"))
+                    & (F.col("total_price") == F.col("t0"))
+                ).alias("roundtrip_exact"),
+                F.lit(zs <= sn).alias("zstd_not_larger"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
