@@ -282,3 +282,43 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bal",
         )
     )
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(i) AS BIGINT) AS min_id,
+           CAST(MAX(i) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(((i * 31) % 997) / 997.0 AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_x
+    FROM (SELECT unnest(generate_series(0, 19999)) AS i),
+         LATERAL (SELECT i % 7 AS bucket)
+    GROUP BY bucket
+    """,
+    doc="Custom Python DataSource (Spark 4 datasource API, "
+        "sources/pyds.py): a from-scratch format with declared schema "
+        "and 8 planned input partitions, each generating its slice "
+        "executor-side — the template for API-backed or synthetic "
+        "sources; no driver materialization anywhere. Values are "
+        "rational in the row id, so the generate_series oracle matches "
+        "bit-for-bit.",
+    tags=("source", "datasource"),
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("seqgen")
+        .option("n", 20000)
+        .option("parts", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("total_x"),
+    )
