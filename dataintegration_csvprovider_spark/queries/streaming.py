@@ -482,3 +482,71 @@ def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("n").cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "q_python_stream_source",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(((i * 31) % 997) / 997.0 AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_x
+    FROM (SELECT unnest(generate_series(0, 99)) AS i)
+    GROUP BY 1
+    """,
+    doc="Custom Python STREAMING source (SimpleDataSourceStreamReader, "
+        "sources/pyds.py): a 100-row sequence delivered 40 rows per "
+        "micro-batch through engine-checkpointed offsets. The query "
+        "restarts availableNow until the offset stops advancing — each "
+        "restart resumes exactly where the committed offset left off, "
+        "appending partials to a parquet ledger; the summed ledger "
+        "equals the batch oracle only under exactly-once delivery.",
+    tags=("streaming", "source", "datasource"),
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import pyds
+
+    pyds.register_stream(spark)
+    ledger = tempfile.mkdtemp(prefix="pysrc_ledger_") + "/parts"
+    ck = tempfile.mkdtemp(prefix="pysrc_ck_")
+
+    def run_once() -> None:
+        feed = (
+            spark.readStream.format("seqstream")
+            .option("n", 100)
+            .option("batch", 40)
+            .load()
+        )
+
+        def append(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+                )
+                .write.mode("append")
+                .parquet(ledger)
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(append)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(4):  # 3 batches of data + one provably-idle restart
+        run_once()
+
+    return (
+        spark.read.parquet(ledger)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sx").cast("double").alias("total_x"),
+        )
+    )

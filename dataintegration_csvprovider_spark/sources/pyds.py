@@ -61,3 +61,55 @@ class SequenceReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent format registration."""
     spark.dataSource.register(SequenceDataSource)
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class SequenceStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read over the same synthetic sequence:
+    each micro-batch advances ``pos`` by ``batch`` rows; the engine's
+    checkpoint persists the committed offset, so restarts resume at the
+    exact row where the previous run stopped — the custom-source half
+    of the exactly-once contract (q_stream_exactly_once proves the
+    file-source half)."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 100))
+        self.batch = int(options.get("batch", 40))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        s = start["pos"]
+        e = min(self.n, s + self.batch)
+        return iter(
+            [(i, i % 7, ((i * 31) % 997) / 997.0) for i in range(s, e)]
+        ), {"pos": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                (i, i % 7, ((i * 31) % 997) / 997.0)
+                for i in range(start["pos"], end["pos"])
+            ]
+        )
+
+
+class SequenceStreamDataSource(DataSource):
+    """``spark.readStream.format("seqstream")`` — batch twin above."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "seqstream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, x double"
+
+    def simpleStreamReader(self, schema) -> SequenceStreamReader:
+        return SequenceStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SequenceStreamDataSource)
