@@ -48,6 +48,7 @@ NLJ_OK = {
     "q_drift_tvd",  # single-row midpoint + totals aggregate broadcasts
     "q_funnel",  # 1x1x1-row crossJoin of stage-count aggregates
     "q_triangle_count",  # single-row edge/node/triangle count crossJoins
+    "q_hll_union",  # single-row merged-sketch estimate broadcast
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
