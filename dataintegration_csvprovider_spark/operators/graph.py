@@ -70,3 +70,49 @@ def pagerank(
         if (i + 1) % 3 == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: (node, dist) with
+    the hop count from the nearest source, unreachable nodes absent.
+
+    Frontier expansion, one equi-join shuffle per level; visited set
+    grows monotonically and the frontier is anti-joined against it so a
+    node is settled exactly once (BFS guarantees first touch = shortest
+    distance). Frontiers are eagerly checkpointed — same iterative-join
+    lineage discipline as PageRank above. Terminates at the first empty
+    frontier, so the round count is the graph's eccentricity bound, not
+    max_depth.
+    """
+    from pyspark.sql import functions as F
+
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

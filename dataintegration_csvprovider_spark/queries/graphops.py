@@ -136,3 +136,44 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+@register(
+    "q_bfs_levels",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders),
+    und AS (SELECT src AS u, dst AS v FROM edges
+            UNION SELECT dst, src FROM edges),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT und.v, walk.dist + 1
+      FROM und JOIN walk ON und.u = walk.node
+      WHERE walk.dist < 10
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc="Single-source BFS shortest hop counts over the same derived "
+        "50-node graph as q_pagerank: frontier-expansion joins, one "
+        "shuffle per level, visited-set anti-join settles each node on "
+        "first touch, early exit on empty frontier. The oracle walks "
+        "all paths with a depth-bounded recursive CTE and takes the "
+        "per-node minimum (UNION-deduped per level, depth-capped well "
+        "past the graph's eccentricity) — an independent algorithm for "
+        "the same distances.",
+    tags=("graph", "bfs"),
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_levels
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 50).alias("dst"),
+    ).distinct()
+    sources = spark.range(1).select(F.lit(0).cast("bigint").alias("node"))
+    out = bfs_levels(edges, sources)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
