@@ -64,3 +64,33 @@ def test_semijoin_stays_semijoin(spark):
     # left_semi must not degrade to inner-join + distinct
     plan = _plan(spark, "q_semijoin")
     assert "LeftSemi" in plan
+
+
+def test_mapping_pipeline_is_shuffle_free(spark):
+    # the reference-parity path (scan -> conditionals filter -> column
+    # mappings) must compile to a pure narrow plan: zero exchanges, one
+    # codegen stage — per-row work only, any input size streams through
+    from dataintegration_csvprovider_spark.plans.conditionals import (
+        Conditional,
+    )
+    from dataintegration_csvprovider_spark.plans.mapping_compiler import (
+        ColumnMapping,
+        Mapping,
+        compile_mapping,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "1,5", "x"), ("b", "2,5", "y")], "name string, amt string, z string"
+    )
+    m = Mapping(
+        source_table="t",
+        column_mappings=[
+            ColumnMapping(source_column="name", destination_column="n"),
+            ColumnMapping(source_column="amt", dest_type="double"),
+        ],
+        conditionals=[Conditional("z", "neq", "q")],
+    )
+    out = compile_mapping(df, m, decimal_separator=",")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
