@@ -1172,3 +1172,61 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ), p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.25
+    ), und AS (
+      SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY u
+    )
+    SELECT s.vec_id,
+           COALESCE(c.cluster, s.vec_id) AS cluster,
+           s.vec_id = COALESCE(c.cluster, s.vec_id) AS is_representative
+    FROM s LEFT JOIN comp c USING (vec_id)
+    """,
+    doc="Semantic dedup (the SemDeDup recipe: Abbas et al. 2023): "
+        "embedding-cosine near-dup pairs (exact, 1-in-5 sample) feed "
+        "the large-star/small-star components operator; each semantic "
+        "cluster keeps its min-id member as the representative. Third "
+        "pair source composed with the same graph-contraction "
+        "primitive (bigram Jaccard and edit-distance being the other "
+        "two); the oracle replays match -> closure -> elect in SQL.",
+    tags=("dedup", "embedding", "graph"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.25)
+        .select("a", "b")
+    )
+    labels = connected_components(pairs, src="a", dst="b")
+    return (
+        emb.select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster"),
+        )
+        .withColumn(
+            "is_representative", F.col("vec_id") == F.col("cluster")
+        )
+    )
