@@ -338,3 +338,45 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_relational_division",
+    oracle="""
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT event_type FROM events) t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.user_id = e.user_id AND x.event_type = t.event_type))
+    GROUP BY e.user_id
+    """,
+    doc="Relational division (the 'for all' query): users who have "
+        "performed EVERY event type in the catalog. The Spark plan is "
+        "the aggregation form — distinct (user, type) pairs counted per "
+        "user and compared to the catalog size via a single-row "
+        "broadcast — one shuffle instead of the oracle's nested "
+        "double-NOT-EXISTS, which Catalyst would otherwise decorrelate "
+        "into two anti-joins.",
+    tags=("agg", "subquery", "division"),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    per_user = ev.select("user_id", "event_type").distinct().groupBy(
+        "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_types"))
+    complete = (
+        per_user.crossJoin(F.broadcast(n_types))
+        .filter(F.col("n_types") == F.col("k"))
+        .select("user_id")
+    )
+    return (
+        ev.join(complete, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
