@@ -1,0 +1,179 @@
+"""Feature-engineering prep queries: correlation matrix, min-max
+scaling, deterministic dataset splits.
+
+The tabular-ML companions to the text/embedding prep in llm.py — each a
+single-pass aggregation shape with a full SQL oracle. All arithmetic is
+decimal-accumulated sums + rational expressions + sqrt (IEEE-exact), so
+the engines agree bit-for-bit ([[oracle-determinism rules in
+queries/registry.py docstring]]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+_DEC = "decimal(28,6)"
+_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             {sums}
+      FROM lineitem
+    )
+    SELECT a_name, b_name,
+           (n * sab - sa * sb)
+             / (sqrt(greatest(n * saa - sa * sa, 1e-12))
+                * sqrt(greatest(n * sbb - sb * sb, 1e-12))) AS corr
+    FROM (
+      {pairs}
+    ) p
+    """.format(
+        sums=",\n             ".join(
+            f"CAST(SUM(CAST({a} AS DECIMAL(28,6))) AS DOUBLE) AS s_{a}"
+            for a in _COLS
+        )
+        + ",\n             "
+        + ",\n             ".join(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(28,6))) AS DOUBLE) AS s_{a}_{b}"
+            for i, a in enumerate(_COLS)
+            for b in _COLS[i:]
+        ),
+        pairs="\n      UNION ALL\n      ".join(
+            f"SELECT '{a}' AS a_name, '{b}' AS b_name, n, "
+            f"s_{a} AS sa, s_{b} AS sb, s_{a}_{b} AS sab, "
+            f"s_{a}_{a} AS saa, s_{b}_{b} AS sbb FROM m"
+            for i, a in enumerate(_COLS)
+            for b in _COLS[i + 1:]
+        ),
+    ),
+    doc="Pairwise Pearson correlation matrix over the four lineitem "
+        "measures in ONE scan: every first/second moment accumulates in "
+        "a single aggregate (map-side partials, no per-pair passes), "
+        "and the 6 correlations are rational + sqrt over those moments "
+        "— the single-pass trick that makes a k-column correlation "
+        "matrix O(scan + k^2 tiny arithmetic) instead of O(k^2 scans).",
+    tags=("agg", "corr", "mlprep"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in _COLS:
+        aggs.append(
+            F.sum(F.col(a).cast(_DEC)).cast("double").alias(f"s_{a}")
+        )
+    for i, a in enumerate(_COLS):
+        for b in _COLS[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(_DEC))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(_COLS):
+        for b in _COLS[i + 1:]:
+            corr = (
+                F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ) / (
+                F.sqrt(
+                    F.greatest(
+                        F.col("n") * F.col(f"s_{a}_{a}")
+                        - F.col(f"s_{a}") * F.col(f"s_{a}"),
+                        F.lit(1e-12),
+                    )
+                )
+                * F.sqrt(
+                    F.greatest(
+                        F.col("n") * F.col(f"s_{b}_{b}")
+                        - F.col(f"s_{b}") * F.col(f"s_{b}"),
+                        F.lit(1e-12),
+                    )
+                )
+            )
+            rows.append(
+                m.select(
+                    F.lit(a).alias("a_name"),
+                    F.lit(b).alias("b_name"),
+                    corr.alias("corr"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "q_minmax_scale",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - b.lo) / greatest(b.hi - b.lo, 1e-12) AS scaled
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.event_id < 3000
+    """,
+    doc="Per-group min-max feature scaling to [0,1]: group bounds from "
+        "one aggregate, broadcast back onto the stream; rational "
+        "arithmetic, zero-span groups guarded. The normalize step of "
+        "every tabular feature pipeline.",
+    tags=("scalar", "mlprep"),
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.filter(F.col("event_id") < 3000)
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("value") - F.col("lo"))
+                / F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12))
+            ).alias("scaled"),
+        )
+    )
+
+
+@register(
+    "q_train_test_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 dataset split by key modulus: "
+        "reproducible across runs and engines with no RNG state, "
+        "stable under corpus growth for existing ids (a doc never "
+        "migrates between splits), and computable inside the scan — "
+        "the split column costs nothing at 100 TB. Summary counts per "
+        "split are the oracle surface.",
+    tags=("sample", "mlprep"),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, F.lit("train"))
+        .when(F.col("doc_id") % 10 == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -144,6 +144,7 @@ def all_queries() -> dict[str, Query]:
     from . import timeseries  # noqa: F401
     from . import udtfops  # noqa: F401
     from . import product  # noqa: F401
+    from . import mlprep  # noqa: F401
     from . import profiling  # noqa: F401
     from . import graphops  # noqa: F401
     from . import llm  # noqa: F401
