@@ -4,8 +4,8 @@ scaling, deterministic dataset splits.
 The tabular-ML companions to the text/embedding prep in llm.py — each a
 single-pass aggregation shape with a full SQL oracle. All arithmetic is
 decimal-accumulated sums + rational expressions + sqrt (IEEE-exact), so
-the engines agree bit-for-bit ([[oracle-determinism rules in
-queries/registry.py docstring]]).
+the engines agree bit-for-bit (see the determinism rules in the
+queries/registry.py module docstring).
 """
 
 from __future__ import annotations
