@@ -317,3 +317,55 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter(F.col("n") >= 24)
         .select("h", "n", corr.alias("corr_24h"))
     )
+
+
+@register(
+    "q_rolling_median",
+    oracle=f"""
+    WITH {_HOURLY_SQL}
+    SELECT a.user_id, a.bucket_hour, a.x,
+           median(b.x) AS med_24h,
+           COUNT(*) AS n_window
+    FROM numbered a JOIN numbered b
+      ON a.user_id = b.user_id AND b.i BETWEEN a.i - 23 AND a.i
+    GROUP BY a.user_id, a.bucket_hour, a.x
+    HAVING COUNT(*) >= 12
+    """,
+    doc="Exact rolling median over the trailing 24 hourly buckets "
+        "(>= 12 samples): the robust central-tendency companion to "
+        "q_ewma, on the same bounded-lag self-join — an order "
+        "statistic has no incremental window form, so the join "
+        "materializes each bounded window and percentile() reduces it "
+        "(shuffle-partitionable; window size caps the blow-up at 24x). "
+        "Spark's interpolated percentile(0.5) equals DuckDB's median "
+        "bit-for-bit (parity pinned by q_percentiles).",
+    tags=("timeseries", "window", "percentile"),
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = (
+        ev.withColumn("bucket_hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "bucket_hour")
+        .agg(dsum(F.col("value")).alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket_hour")
+    numbered = hourly.withColumn("i", F.row_number().over(w))
+    a, b = numbered.alias("a"), numbered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.i") >= F.col("a.i") - 23)
+            & (F.col("b.i") <= F.col("a.i")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.bucket_hour").alias("bucket_hour"),
+            F.col("a.x").alias("x"),
+        )
+        .agg(
+            F.percentile(F.col("b.x"), 0.5).alias("med_24h"),
+            F.count(F.lit(1)).alias("n_window"),
+        )
+        .filter(F.col("n_window") >= 12)
+    )
