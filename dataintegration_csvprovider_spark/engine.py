@@ -85,6 +85,31 @@ class Engine:
     bucketed_join = staticmethod(bucketed_join)
     write_bucketed = staticmethod(write_bucketed)
 
+    # round-2 extension operators
+    @staticmethod
+    def connected_components(edges, src="src", dst="dst", max_iter=25):
+        from .operators.components import connected_components as _cc
+
+        return _cc(edges, src=src, dst=dst, max_iter=max_iter)
+
+    @staticmethod
+    def heavy_hitters(df, col, min_frac, total=None):
+        from .operators.frequent import heavy_hitters as _hh
+
+        return _hh(df, col, min_frac, total=total)
+
+    @staticmethod
+    def arrow_score(df, weights, vec_col="embedding", id_col="vec_id"):
+        from .operators.similarity import arrow_score as _as
+
+        return _as(df, weights, vec_col=vec_col, id_col=id_col)
+
+    @staticmethod
+    def bfs_levels(edges, sources, src="src", dst="dst", max_depth=20):
+        from .operators.graph import bfs_levels as _bfs
+
+        return _bfs(edges, sources, src=src, dst=dst, max_depth=max_depth)
+
     # -- JSONL source/sink -------------------------------------------------
     def read_jsonl(
         self, source: JsonlSource, table: str, **kwargs
