@@ -293,3 +293,63 @@ def test_heavy_hitters_matches_exact_for_any_stream(spark_prop, items, parts):
         (k, c) for k, c in counts.items() if c > frac * len(items)
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("L", "N", "P", "S"),
+                exclude_characters="\r\n",
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_quoted_matches_csv_module_for_single_char_delim(fields):
+    # the hand-rolled multi-char splitter must agree with Python's csv
+    # parser on the single-char dialect for ANY quoted header
+    import csv as _csv
+    import io
+
+    from dataintegration_csvprovider_spark.sources.csv_source import (
+        _split_quoted,
+    )
+
+    buf = io.StringIO()
+    w = _csv.writer(
+        buf, delimiter=";", quotechar='"', quoting=_csv.QUOTE_ALL,
+        lineterminator="",
+    )
+    w.writerow(fields)
+    line = buf.getvalue()
+    assert _split_quoted(line, ";", '"') == fields
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("L", "N"),
+            ),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_split_quoted_multichar_roundtrip(fields):
+    from dataintegration_csvprovider_spark.sources.csv_source import (
+        _split_quoted,
+    )
+
+    line = "||".join('"' + f.replace('"', '""') + '"' for f in fields)
+    assert _split_quoted(line, "||", '"') == fields
