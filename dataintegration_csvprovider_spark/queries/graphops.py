@@ -177,3 +177,40 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = spark.range(1).select(F.lit(0).cast("bigint").alias("node"))
     out = bfs_levels(edges, sources)
     return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "q_degree_distribution",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders),
+    und AS (SELECT src AS u, dst AS v FROM edges
+            UNION SELECT dst, src FROM edges),
+    deg AS (SELECT u, COUNT(*) AS degree FROM und GROUP BY u)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the derived 50-node graph: two "
+        "aggregations (per-node degree, then the histogram) — the "
+        "shape diagnostic that decides the scale strategy for every "
+        "other graph operator here (hub-heavy distributions are why "
+        "triangle counting orients by degree and components avoid "
+        "collect_list).",
+    tags=("graph", "agg"),
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 50).alias("dst"),
+    ).distinct()
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()  # SQL UNION semantics: self-loops collapse to one row
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -161,3 +161,70 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_last_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts, value AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT p.purchase_id, p.revenue, t.event_type AS channel, t.ts,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM purchases p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type IN ('view', 'click')
+       AND t.ts <= p.p_ts AND t.ts >= p.p_ts - INTERVAL 24 HOUR
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_revenue
+    FROM touches WHERE rn = 1
+    GROUP BY channel
+    """,
+    doc="Last-touch attribution: each purchase credits its revenue to "
+        "the user's most recent view/click in the prior 24h (ties on "
+        "event_id). A bounded interval join on the user key feeds one "
+        "per-purchase window — the credit-assignment companion to "
+        "q_funnel's stage counting; revenue sums through the decimal "
+        "accumulator.",
+    tags=("agg", "product", "attribution", "join"),
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (touches.ts <= purchases.p_ts)
+        & (touches.ts >= purchases.p_ts - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return last.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("revenue").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
