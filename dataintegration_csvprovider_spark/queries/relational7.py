@@ -380,3 +380,40 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "q_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MIN(m.m) AS median_value,
+           median(abs(e.value - m.m)) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Median absolute deviation per group — the robust spread "
+        "statistic (breakdown point 50% vs 0% for stddev): group "
+        "medians from one exact-percentile aggregate broadcast back "
+        "onto the stream, then a second percentile over the absolute "
+        "deviations. Two aggregation passes by construction (an order "
+        "statistic of a function of an order statistic cannot "
+        "one-pass); both reuse the event_type partitioning. "
+        "percentile/median parity across engines is already pinned by "
+        "q_percentiles.",
+    tags=("agg", "percentile", "robust"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("m").alias("median_value"),
+            F.median(F.abs(F.col("value") - F.col("m"))).alias("mad"),
+        )
+    )
