@@ -64,62 +64,126 @@ def register(
 
 
 #: Names surfaced first to the driver's correctness gate (which grades a
-#: bounded prefix of the registry per round). Round 1 graded the first 50
-#: registration-order entries — all relational; this prefix rotates the
-#: window to the families not yet driver-graded (TPC-H, CSV/JSONL, LLM
-#: pipeline, streaming) plus the flagship and the repaired q_array_agg, so
-#: every oracle-backed query has a driver-recorded verdict across rounds.
+#: bounded prefix of the registry per round). Rounds 1+2 graded 98 distinct
+#: names (relational, TPC-H core, CSV/JSONL, LLM headline, streaming core)
+#: — all green. This round-3 prefix rotates the window to families with no
+#: driver verdict yet: graph, cdc, layout, timeseries, product, profiling,
+#: sqlapi, mlprep, udtf, multimodal, quality gates, and a TPC-H sample.
+#: Remaining never-graded names follow in registration order for round 4.
 _GRADE_FIRST = [
-    "q1_pricing_summary",
-    "q_array_agg",
-    "q_sql_recursive_cte",
-    "q_lateral_topk",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q6_forecast_revenue",
-    "q14_promo_effect",
-    "q_part_supplier_stats",
-    "q_listagg",
-    "q_corr_decimal",
-    "q_map_column",
-    "q_date_spine",
-    "q_first_last_value",
-    "q_mode_per_group",
-    "q_histogram",
-    "q_salted_join",
-    "q_trailing_features",
-    "q_bucketed_join",
-    "q_except_all",
-    "q_null_ordering",
-    "q_intersect_all",
-    "q_sql_window",
-    "q_csv_roundtrip",
-    "q_csv_mapping_pipeline",
-    "q_csv_null_sentinel",
-    "q_csv_decimal_comma",
-    "q_csv_dialects",
-    "q_csv_datetime_format",
-    "q_jsonl_roundtrip",
-    "q_jsonl_skip_corrupt",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_embedding_neardup",
-    "q_knn_bruteforce",
-    "q_embedding_centroid",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_normalize",
-    "q_text_redact",
-    "q_curation_pipeline",
-    "q_grouped_fit",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_csv_source",
-    "q_stream_static_join",
-    "q_stream_stream_join",
+    # graph
+    "q_pagerank",
+    "q_triangle_count",
+    "q_bfs_levels",
+    "q_degree_distribution",
+    # cdc
+    "q_upsert_changeset",
+    "q_scd2_history",
+    "q_incremental_agg",
+    # layout / scan
+    "q_partition_prune_static",
+    "q_partition_prune_dynamic",
+    "q_compact_small_files",
+    "q_zorder_layout",
+    "q_scan_pruning",
+    "q_aqe_coalesce",
+    "q_parquet_codecs",
+    "q_parquet_schema_evolution",
+    # timeseries
+    "q_gap_fill_locf",
+    "q_ewma",
+    "q_anomaly_zscore",
+    "q_rolling_corr",
+    "q_rolling_median",
+    # product analytics
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_last_touch_attribution",
+    # profiling / data quality
+    "q_profile_table",
+    "q_fuzzy_match",
+    "q_constraint_audit",
+    "q_entity_resolution",
+    # sql api surface
+    "q_python_datasource",
+    "q_parameterized_sql",
+    "q_sql_scripting",
+    "q_collation_group",
+    # ml prep
+    "q_corr_matrix",
+    "q_minmax_scale",
+    "q_train_test_split",
+    "q_kmeans",
+    # udtf
+    "q_udtf_installments",
+    "q_udtf_installment_amounts",
+    # sampling
+    "q_stratified_sample_det",
+    # llm-pipeline gates and fixed-this-round entries
+    "q_knn_recall_gate",
+    "q_dedup_quality_gate",
+    "q_dedup_components",
+    "q_sequence_packing",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    # TPC-H sample (rest of q2-q22 follow below)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q21_waiting_suppliers",
+    # --- beyond the ~50-name grading window: every remaining never-graded
+    # name in priority order, so a larger driver prefix grades more of them
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_dedup_minhash",
+    "q_dedup_minhash_full",
+    "q_dedup_simhash",
+    "q_embedding_neardup_ivf",
+    "q_doc_fingerprint",
+    "q_hll_sketch",
+    "q_hll_union",
+    "q_bitmap_distinct",
+    "q_embedding_quantize",
+    "q_doc_chunking",
+    "q_contamination",
+    "q_arrow_score",
+    "q_semantic_dedup",
+    "q_tfidf_top_terms",
+    "q_term_lift_pairs",
+    "q_stream_stateful",
+    "q_stream_upsert",
+    "q_stream_topk",
+    "q_stream_exactly_once",
+    "q_python_stream_source",
+    "q_approx_percentile",
+    "q_asof_forward_tolerance",
+    "q_variant_shred",
+    "q_join_strategy_hints",
+    "q_runtime_bloom_filter",
+    "q_heavy_hitters",
+    "q_interval_overlap_join",
+    "q_drift_tvd",
+    "q_orc_roundtrip",
+    "q_impute_group_mean",
+    "q_winsorize",
+    "q_relational_division",
+    "q_mad",
+    "q_text_source_logs",
+    "q_join_nullsafe",
+    "q_skyline",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q22_idle_customers",
 ]
 
 
