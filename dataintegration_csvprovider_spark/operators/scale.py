@@ -92,6 +92,68 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum of ``value_col`` by ``order_col``
+    WITHOUT a single-partition window — the classic two-phase distributed
+    prefix sum:
+
+    1. range-partition on ``order_col`` (partition i holds keys strictly
+       below partition i+1, so partition order == global order);
+    2. local running sum per partition via a ``partitionBy(pid)`` window
+       (partition-parallel);
+    3. per-partition totals — O(num_partitions) rows — come to the driver,
+       are turned into exclusive prefix offsets, and rejoin by broadcast.
+
+    The driver fetch scales with the partition count (thousands of rows on
+    a 1000-executor cluster), never with the data. A naive
+    ``Window.orderBy(order_col)`` with no partitionBy funnels every row
+    through one task — the exact anti-pattern this replaces.
+
+    ``value_col`` must be integer-typed and non-null; ``order_col`` must be
+    unique for a deterministic result. The input is re-evaluated twice
+    (totals pass + final pass), so ``df`` should be a deterministic plan —
+    cache it first if its lineage is expensive.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["__pid"], r["__tot"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, running))
+        running += tot
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets] or [(0, 0)],
+        "__pid INT, __off BIGINT",
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__local_cum", "__off")
+    )
+
+
 def explain_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle Exchange — the
     assertion helper for shuffle-free-join tests."""

@@ -969,15 +969,17 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Greedy sequence packing for training batches: documents in "
         "deterministic doc_id order are packed into 512-token bins via "
-        "a running-token-count cumulative sum (one global window over "
-        "per-doc token counts — tiny, one row per doc; the heavy "
-        "tokenize stays partition-parallel). A bin can exceed the "
-        "budget by at most its largest document (the standard greedy "
-        "bound), which the oracle pins per bin.",
+        "a running token count. The cumulative sum is the two-phase "
+        "distributed prefix sum (scale.distributed_cumsum): range-"
+        "partition by doc_id, partition-local window sums, O(#partitions) "
+        "offsets broadcast back — no single-partition WindowExec "
+        "anywhere, so one row per doc never funnels through one task. "
+        "A bin can exceed the budget by at most its largest document "
+        "(the standard greedy bound), which the oracle pins per bin.",
     tags=("text", "packing", "window"),
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.scale import distributed_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -988,9 +990,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    binned = toks.withColumn(
-        "bin", ((F.sum("n_tokens").over(w) - 1) / 512).cast("bigint")
+    cum = distributed_cumsum(toks, "doc_id", "n_tokens", "cum_tokens")
+    binned = cum.withColumn(
+        "bin", ((F.col("cum_tokens") - 1) / 512).cast("bigint")
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
