@@ -1,0 +1,102 @@
+"""Pins the exact-Jaccard strategy auto-selection and its rationale.
+
+Measured basis (sf0.1 fixture: 5000 docs, 931 distinct bigrams, median
+df 285 — every gram is a stopword-gram, Σdf² = 73M):
+
+- ``index`` (full inverted-index join): 7.3 s warm — join size is Σdf²,
+  which grows ~quadratically in corpus size when the vocabulary stays
+  uniform (measured 29 s at a 15k-doc 3× blow-up).
+- ``prefix`` (PPJoin): 22 s on the same fixture — a uniform vocabulary
+  has no rare-gram tail, so the prefix is ~half of each set and the
+  per-doc df-rank window dominates. It wins precisely when the
+  vocabulary is Zipfian (web-scale corpora), which is why it is the
+  non-dense default.
+- ``dense`` (broadcast packed bitset + blocked matmul): ~1 s of scoring
+  on the same fixture — the tiny-uniform-vocabulary regime is exactly
+  where inverted indexes degenerate to the same O(n²) with shuffle-join
+  constants, so the O(n²)-by-construction scorer with BLAS constants
+  wins. Bounded by DENSE_MAX_DOCS / DENSE_MAX_CELLS / DENSE_MAX_MULS so
+  it can never be chosen at 100 TB scale (the driver collect is capped
+  at ~64 MB of packed bits and the vocabulary collect is LIMIT-capped).
+"""
+
+from pyspark.sql import functions as F
+
+from dataintegration_csvprovider_spark.operators.dedup import (
+    DENSE_MAX_CELLS,
+    DENSE_MAX_DOCS,
+    DENSE_MAX_MULS,
+    _choose_jaccard_method,
+    ngram_jaccard_pairs,
+)
+
+
+def test_choose_dense_for_small_uniform_corpus():
+    # the bench fixture's regime at sf0.01 / sf0.1 / a 15k-doc blow-up
+    assert _choose_jaccard_method(500, 916) == "dense"
+    assert _choose_jaccard_method(5_000, 931) == "dense"
+    assert _choose_jaccard_method(15_000, 931) == "dense"
+
+
+def test_choose_prefix_at_scale():
+    # any web-scale corpus: billions of docs and/or a vocabulary whose
+    # bitset matrix cannot broadcast
+    assert _choose_jaccard_method(1_000_000, 50_000) == "prefix"
+    assert _choose_jaccard_method(2_000_000_000, 10_000_000) == "prefix"
+    # doc-count bound alone
+    assert _choose_jaccard_method(DENSE_MAX_DOCS + 1, 10) == "prefix"
+    # bitset-broadcast bound: docs * vocab bits > DENSE_MAX_CELLS
+    docs = 100_000
+    assert docs * (DENSE_MAX_CELLS // docs + 1) > DENSE_MAX_CELLS
+    assert _choose_jaccard_method(docs, DENSE_MAX_CELLS // docs + 1) == "prefix"
+    # matmul-work bound: docs² * vocab > DENSE_MAX_MULS
+    docs = 150_000
+    v = DENSE_MAX_MULS // (docs * docs) + 1
+    assert _choose_jaccard_method(docs, v) == "prefix"
+
+
+def test_bounds_are_broadcast_and_seconds_scale():
+    # the gates encode "fits in one broadcast" and "a few seconds of
+    # BLAS": packed bits <= 64 MB, multiply-adds <= 2e12
+    assert DENSE_MAX_CELLS // 8 <= 64 * 1024 * 1024
+    assert DENSE_MAX_MULS <= 2_000_000_000_000
+
+
+def test_auto_selects_dense_and_matches_index(spark):
+    rows = [
+        (i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} w{i % 5} w{(i + 3) % 7}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    )
+    idx = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5, method="index"
+        ).collect()
+    )
+    assert auto == idx and auto
+
+
+def test_dense_handles_empty_and_degenerate(spark):
+    # all docs below min_words -> no gram sets at all
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = ngram_jaccard_pairs(docs, n=2, threshold=0.5, method="dense")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["a", "b", "jaccard"]
+
+
+def test_dense_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("d1", "a b c d"), ("d2", "a b c d"), ("d3", "x y z w")],
+        "doc_id string, text string",
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", n=2, threshold=0.5, method="dense"
+    ).collect()
+    assert [(r.a, r.b, r.jaccard) for r in pairs] == [("d1", "d2", 1.0)]

@@ -145,17 +145,21 @@ def test_ngram_jaccard_exactness(spark):
 
 
 def test_ngram_jaccard_methods_agree(docs):
-    # prefix filtering (PPJoin-style) must find exactly the index join's
-    # pairs — it is an exact optimization, not an approximation
+    # prefix filtering (PPJoin-style) and the dense bitset-matmul path
+    # must find exactly the index join's pairs — both are exact
+    # optimizations, not approximations
     a = sorted(
         (r.a, r.b, r.jaccard)
         for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, method="index").collect()
     )
-    b = sorted(
-        (r.a, r.b, r.jaccard)
-        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, method="prefix").collect()
-    )
-    assert a == b and a
+    for method in ("prefix", "dense", "auto"):
+        b = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, n=2, threshold=0.5, method=method
+            ).collect()
+        )
+        assert a == b and a, method
 
 
 def test_cosine_and_knn(spark, emb):

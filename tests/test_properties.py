@@ -182,7 +182,7 @@ def test_ngram_jaccard_matches_bruteforce(spark_prop, texts):
             jac = len(gi & gj) / len(gi | gj)
             if jac >= 0.5:
                 expected.add((i, j))
-    for method in ("index", "prefix"):
+    for method in ("index", "prefix", "dense"):
         got = {
             (r.a, r.b)
             for r in ngram_jaccard_pairs(
