@@ -225,24 +225,80 @@ def knn_lsh(
     )
 
 
+def assign_ivf_partitions_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Multi-probe IVF assignment: each vector lands in its ``n_probe``
+    nearest partitions (highest cosine, lowest centroid id on ties), so a
+    pair sitting on a partition boundary still shares at least one
+    partition with high probability. One row per (vector, probe);
+    broadcast centroids, then a per-id window rank (distributed — the
+    window partitions by the vector id)."""
+    from pyspark.sql import Window
+
+    joined = df.crossJoin(F.broadcast(centroids))
+    sim = cosine_similarity_expr(F.col(vec_col), F.col(centroid_vec_col))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col(centroid_id_col)
+    )
+    return (
+        joined.withColumn("__sim", sim)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_probe)
+        .select(id_col, centroid_id_col, vec_col)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    n_probe: int = 2,
+    train: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), blocked by IVF
-    partition: only vectors sharing a centroid are compared (near-dups
-    land in the same partition for thresholds near 1). Equi-join on
-    centroid_id — no cross join."""
+    partition: only vectors sharing a partition are compared. Equi-join
+    on centroid_id — no cross join, and every emitted pair is scored
+    exactly (precision is 1.0 by construction; blocking only affects
+    recall).
+
+    Defaults are the scale-safe configuration: ``train=True`` fits
+    k-means partition centers (:func:`trained_ivf_centroids`) so real
+    clustered corpora get balanced partitions — seed centroids (first-k
+    by id) put most of a clustered corpus into one bucket, recreating
+    the quadratic blowup blocking exists to avoid — and ``n_probe=2``
+    multi-probe assignment catches boundary pairs that straddle two
+    partitions. Pass ``centroids`` to reuse a trained snapshot across
+    jobs (train once per corpus version), ``train=False`` for the
+    dependency-free seed-centroid behavior. Recall vs the exact answer
+    is pinned by the q_embedding_neardup_trained gate."""
     df = _with_valid_vectors(df, vec_col)
-    centroids = (
-        df.orderBy(F.col(id_col))
-        .limit(num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+    if centroids is None:
+        if train:
+            centroids = trained_ivf_centroids(
+                df, k=num_centroids, vec_col=vec_col, id_col=id_col
+            )
+        else:
+            centroids = (
+                df.orderBy(F.col(id_col))
+                .limit(num_centroids)
+                .select(
+                    F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("centroid"),
+                )
+            )
+    assigned = assign_ivf_partitions_multi(
+        df, centroids, n_probe=n_probe, vec_col=vec_col, id_col=id_col
     )
-    assigned = assign_ivf_partitions(df, centroids, vec_col, id_col)
     l = assigned.select(
         F.col(id_col).alias("a"), F.col("centroid_id"), F.col(vec_col).alias("va")
     )
@@ -254,7 +310,10 @@ def embedding_near_dup_pairs(
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+        # multi-probe can surface the same pair from two shared
+        # partitions; the groupBy dedupes (cosine is identical per copy)
+        .groupBy("a", "b")
+        .agg(F.min("cosine").alias("cosine"))
     )
 
 

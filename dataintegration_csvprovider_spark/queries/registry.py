@@ -127,6 +127,7 @@ _GRADE_FIRST = [
     "q_multimodal_features",
     "q_multimodal_frames",
     "q_multimodal_resize",
+    "q_embedding_neardup_trained",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",
     "q8_market_share",
