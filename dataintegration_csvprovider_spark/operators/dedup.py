@@ -589,7 +589,10 @@ def ngram_jaccard_pairs(
         # gram sets recompute in ~1/10th the time the block cache takes to
         # encode nested string arrays (measured at sf0.1: 4.5 s persist vs
         # 0.5 s/recompute), and the dense path only needs two more passes.
-        n_docs = grams.count()
+        # The doc count is the UNFILTERED input count — parquet answers it
+        # from footer metadata without a scan, and an upper bound is
+        # exactly what a conservative dense-regime gate needs.
+        n_docs = df.count()
         vocab = None
         if n_docs <= DENSE_MAX_DOCS and n_docs > 0:
             # collect the vocabulary ONLY up to the dense bound (+1 row
