@@ -61,6 +61,67 @@ def parse_double(col: Column, mode: str = "auto") -> Column:
     return normalize_decimal(col, mode).try_cast("double")
 
 
+#: culture → (decimal separator, group separator), the NumberFormatInfo
+#: subset the reference's job cultures exercise (it formats numerics with
+#: string.Format(cultureInfo, "{0}", v) — culture decimal separator, no
+#: grouping — CSVDestinationWriter.cs:135, culture resolution
+#: CSVProvider.cs:618-629; its encoding surface implies the cp1252/cp1251
+#: culture families, CSVProvider.cs:603-616). Values follow .NET/ICU;
+#: space-grouping cultures use NBSP. Unknown cultures resolve to
+#: invariant — deterministically, where the reference falls back to the
+#: HOST's CurrentCulture (a machine-dependence this engine designs out).
+CULTURE_NUMBER_FORMATS: dict[str, tuple[str, str]] = {
+    "": (".", ","),  # invariant
+    "invariant": (".", ","),
+    "en-US": (".", ","),
+    "en-GB": (".", ","),
+    "en-AU": (".", ","),
+    "zh-CN": (".", ","),
+    "ja-JP": (".", ","),
+    "da-DK": (",", "."),
+    "de-DE": (",", "."),
+    "es-ES": (",", "."),
+    "it-IT": (",", "."),
+    "nl-NL": (",", "."),
+    "pt-BR": (",", "."),
+    "tr-TR": (",", "."),
+    "fr-FR": (",", "\u00a0"),
+    "ru-RU": (",", "\u00a0"),
+    "sv-SE": (",", "\u00a0"),
+    "nb-NO": (",", "\u00a0"),
+    "fi-FI": (",", "\u00a0"),
+    "pl-PL": (",", "\u00a0"),
+    "cs-CZ": (",", "\u00a0"),
+}
+
+
+def culture_number_format(culture: str | None) -> tuple[str, str]:
+    """Resolve a .NET-style culture name to (decimal_sep, group_sep);
+    unknown/empty names resolve to invariant ('.', ',')."""
+    return CULTURE_NUMBER_FORMATS.get(culture or "", (".", ","))
+
+
+def render_number(
+    col: Column, culture: str | None = None, grouping: bool = False
+) -> Column:
+    """T6 — render a numeric column as the reference's job-culture
+    formatting would (``string.Format(cultureInfo, "{0}", v)``:
+    culture decimal separator, NO thousands grouping; grouping=True adds
+    the culture's group separator like an explicit "{0:N}" format).
+    Pure Column expressions — cast to string, then a 1:1 separator
+    translate; decimal-typed inputs render exact digits on any engine."""
+    dec, grp = culture_number_format(culture)
+    if grouping:
+        rendered = F.format_number(col.cast("double"), 2)
+        if (dec, grp) != (".", ","):
+            rendered = F.translate(rendered, ".,", dec + grp)
+        return rendered
+    rendered = col.cast("string")
+    if dec != ".":
+        rendered = F.translate(rendered, ".", dec)
+    return rendered
+
+
 def format_decimal(
     col: Column, decimal_separator: str = ".", grouping: bool = False
 ) -> Column:

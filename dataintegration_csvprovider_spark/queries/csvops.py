@@ -322,3 +322,37 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").cast("bigint").alias("max_id"),
         F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("total_x"),
     )
+
+
+@register(
+    "q_csv_culture_render",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           REPLACE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+                   '.', ',') AS acctbal_dk
+    FROM customer
+    """,
+    doc="T6: job-culture numeric rendering at the sink — a da-DK job "
+        "writes comma-decimal cells (reference formats numerics with "
+        "string.Format(cultureInfo, ...), CSVDestinationWriter.cs:135; "
+        "culture from job config, CSVProvider.cs:618-629). The file is "
+        "scanned back raw, so the oracle sees the exact written bytes.",
+    tags=("csv", "culture"),
+)
+def q_csv_culture_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.csv_sink import CsvSinkOptions
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")
+    )
+    d = tempfile.mkdtemp(prefix="csvops_culture_")
+    CsvSink(folder=d, options=CsvSinkOptions(culture="da-DK")).write(
+        cust, "customer_dk"
+    )
+    back = CsvSource(folder=d, options=CsvSourceOptions()).read(
+        spark, "customer_dk"
+    )
+    return back.select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal_dk"),
+    )

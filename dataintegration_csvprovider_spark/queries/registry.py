@@ -119,6 +119,8 @@ _GRADE_FIRST = [
     "q_udtf_installment_amounts",
     # sampling
     "q_stratified_sample_det",
+    # T6 culture rendering (new this round)
+    "q_csv_culture_render",
     # llm-pipeline gates and fixed-this-round entries
     "q_knn_recall_gate",
     "q_dedup_quality_gate",

@@ -36,6 +36,7 @@ from dataclasses import dataclass, field, asdict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import render_number
 from ..functions.text import csv_quote
 
 #: reference encoding map (CSVProvider.cs:603-616)
@@ -57,6 +58,10 @@ class CsvSinkOptions:
     encoding: str = "UTF-8"
     include_timestamp_in_filename: bool = False  # CSVDestinationWriter.cs:24-27
     null_sentinel: str = "NULL"
+    #: T6 — job culture for numeric rendering (CSVDestinationWriter.cs:135
+    #: formats with string.Format(cultureInfo, "{0}", v); culture comes
+    #: from the job config, CSVProvider.cs:618-629). "" = invariant.
+    culture: str = ""
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -77,10 +82,24 @@ class CsvSink:
     def _serialized(self, df: DataFrame) -> DataFrame:
         """One string column per row: reference-style quoting + newline
         scrub, joined with the delimiter. concat_ws skips NULLs, so cells
-        are rendered via csv_quote first (NULL → unquoted sentinel)."""
+        are rendered via csv_quote first (NULL → unquoted sentinel).
+        Float/double/decimal columns render through the job culture (T6)
+        — a no-op translate for '.'-decimal cultures."""
         o = self.options
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("double", "float")
+            or f.dataType.simpleString().startswith("decimal")
+        }
         cells = [
-            csv_quote(F.col(c), quote=o.quote, null_sentinel=o.null_sentinel)
+            csv_quote(
+                render_number(F.col(c), culture=o.culture)
+                if c in numeric
+                else F.col(c),
+                quote=o.quote,
+                null_sentinel=o.null_sentinel,
+            )
             for c in df.columns
         ]
         return df.select(F.concat_ws(o.delimiter, *cells).alias("value"))

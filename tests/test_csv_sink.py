@@ -109,3 +109,45 @@ def test_roundtrip_through_source(spark, tmp_path):
     back = src.read(spark, "t").collect()
     got = sorted(tuple(r) for r in back)
     assert got == [("1", "alpha", None), ("2", None, "x;y"), ("3", 'q"q', "z")]
+
+
+def test_culture_number_rendering(spark, tmp_path):
+    # T6: reference parity for string.Format(cultureInfo, "{0}", v) —
+    # da-DK renders ',' decimals, en-US '.', no thousands grouping
+    # (CSVDestinationWriter.cs:135; culture res CSVProvider.cs:618-629)
+    df = spark.createDataFrame(
+        [(1, 1234.56, "a"), (2, -0.5, "b"), (3, None, "c")],
+        "id int, amount double, tag string",
+    )
+    for culture, expect in (
+        ("da-DK", "1234,56"),
+        ("en-US", "1234.56"),
+        ("", "1234.56"),  # invariant default
+        ("no-such-culture", "1234.56"),  # unknown -> invariant, not host
+    ):
+        sink = CsvSink(
+            folder=str(tmp_path / f"c_{culture or 'inv'}"),
+            options=CsvSinkOptions(culture=culture),
+        )
+        path = sink.write(df, "t")
+        lines = open(path, encoding="utf-8").read().splitlines()
+        row1 = [c.strip('"') for c in lines[1].split(";")]
+        assert row1[1] == expect, (culture, lines[1])
+    # decimal-typed columns render exact digits with the culture separator
+    dec = spark.createDataFrame([(1,)], "id int").selectExpr(
+        "id", "CAST(99999.10 AS DECIMAL(18,2)) AS amt"
+    )
+    sink = CsvSink(folder=str(tmp_path / "dec"), options=CsvSinkOptions(culture="de-DE"))
+    path = sink.write(dec, "t")
+    assert '"99999,10"' in open(path, encoding="utf-8").read()
+
+
+def test_culture_map_groups():
+    from dataintegration_csvprovider_spark.functions.numeric import (
+        culture_number_format,
+    )
+
+    assert culture_number_format("da-DK") == (",", ".")
+    assert culture_number_format("fr-FR") == (",", "\u00a0")  # NBSP grouping
+    assert culture_number_format("en-US") == (".", ",")
+    assert culture_number_format(None) == (".", ",")
