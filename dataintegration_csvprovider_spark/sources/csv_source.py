@@ -278,6 +278,41 @@ class CsvSource:
         # inference (CSVProvider.cs:294,303)
         return T.StructType([T.StructField(c, T.StringType(), True) for c in names])
 
+    # -- persisted schema override (CSVProvider.cs:150-153,317-351,389-391)
+    def schema_file_for_table(self, table: str) -> str:
+        """Side-file path holding the persisted (possibly user-edited)
+        schema for ``table``: ``{table}.csv.schema.json`` next to the
+        data. The reference persists its editable schema inside the job
+        XML (SaveAsXml writes the Schema node, restore at
+        CSVProvider.cs:389-391); a JSON side-file is the engine's
+        host-independent equivalent."""
+        return self.path_for_table(table) + ".schema.json"
+
+    def save_schema(self, table: str, schema: T.StructType) -> str:
+        """Persist an edited schema so later reads use it over inference —
+        SchemaIsEditable=true in the reference (CSVProvider.cs:150-153):
+        the user's edit survives restarts and wins over what the file
+        headers say."""
+        path = self.schema_file_for_table(table)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(schema.json())
+        return path
+
+    def load_saved_schema(self, table: str) -> T.StructType | None:
+        """The persisted schema for ``table`` (None when never saved)."""
+        path = self.schema_file_for_table(table)
+        if not os.path.isfile(path):
+            return None
+        import json as _json
+
+        with open(path, encoding="utf-8") as fh:
+            return T.StructType.fromJson(_json.load(fh))
+
+    def original_schema(self, spark: SparkSession, table: str) -> T.StructType:
+        """Inference result regardless of any persisted schema — the
+        reference's GetOriginalSourceSchema (CSVProvider.cs:155-198)."""
+        return self._infer_table(spark, table)
+
     # -- S1 scan ----------------------------------------------------------
     def read(
         self,
@@ -285,9 +320,15 @@ class CsvSource:
         table: str,
         schema: T.StructType | None = None,
     ) -> DataFrame:
-        """Scan one table. With no explicit schema, the inferred all-string
-        schema applies (explicit schema wins — SURVEY.md §1.4)."""
+        """Scan one table. Schema resolution order: explicit argument >
+        persisted side-file (:meth:`save_schema` — the edited schema wins
+        over inference, CSVProvider.cs:150-153,331) > all-string
+        inference. Columns bind by ordinal either way (P2)."""
         path = self.path_for_table(table)
+        overridden = schema is not None
+        if schema is None:
+            schema = self.load_saved_schema(table)
+            overridden = schema is not None
         if schema is None:
             schema = self._infer_table(spark, table)
         enc = ENCODINGS.get(self.options.encoding, self.options.encoding)
@@ -296,7 +337,13 @@ class CsvSource:
             # cp1252/cp1251 need the legacy charset gate; runtime-settable,
             # so sessions not built by our factory still work
             spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-        reader = spark.read.options(**self.options.spark_read_options())
+        opts = self.options.spark_read_options()
+        if overridden:
+            # an edited/explicit schema binds by ordinal and its names are
+            # ALLOWED to differ from the file header (that is the point of
+            # the override) — disable Spark's header-name validation
+            opts["enforceSchema"] = "true"
+        reader = spark.read.options(**opts)
         df = reader.schema(schema).csv(path)
         if self.options.first_row_contains_column_names:
             # Spark binds header names; we bind by schema ordinal to stay

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import types as T
+
 from dataintegration_csvprovider_spark.sources.csv_source import (
     CsvSource,
     CsvSourceOptions,
@@ -251,3 +253,44 @@ def test_multichar_delimiter_quoted_header():
     ]
     assert _split_quoted("x", "||", '"') == ["x"]
     assert _split_quoted("", "||", '"') == [""]
+
+
+def test_persisted_schema_wins_over_inference(spark, tmp_path):
+    # reference: SchemaIsEditable=true; the user-edited schema is
+    # persisted and wins over header inference on the next run
+    # (CSVProvider.cs:150-153, Schema restore :389-391)
+    p = tmp_path / "t.csv"
+    p.write_text('"id";"amount"\n"1";"2.5"\n"2";"3.5"\n')
+    src = CsvSource(folder=str(tmp_path))
+    # before any save: all-string inference
+    df = src.read(spark, "t")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "string",
+    ]
+    # user edits: rename + retype, then persist
+    edited = T.StructType(
+        [
+            T.StructField("order_id", T.IntegerType(), True),
+            T.StructField("amount_dkk", T.DoubleType(), True),
+        ]
+    )
+    side = src.save_schema("t", edited)
+    assert side.endswith("t.csv.schema.json")
+    # same read call now binds the edited schema by ordinal
+    df2 = src.read(spark, "t")
+    assert df2.schema == edited
+    rows = sorted((r.order_id, r.amount_dkk) for r in df2.collect())
+    assert rows == [(1, 2.5), (2, 3.5)]
+    # round-trip through a fresh source object (persistence, not state)
+    src2 = CsvSource(folder=str(tmp_path))
+    assert src2.load_saved_schema("t") == edited
+    assert src2.read(spark, "t").schema == edited
+    # explicit argument still outranks the side-file
+    explicit = T.StructType([T.StructField("a", T.StringType(), True),
+                             T.StructField("b", T.StringType(), True)])
+    assert src2.read(spark, "t", schema=explicit).schema == explicit
+    # original (inference) view is still reachable, like
+    # GetOriginalSourceSchema vs GetSchema in the reference
+    orig = src2.original_schema(spark, "t")
+    assert [f.name for f in orig.fields] == ["id", "amount"]
