@@ -254,7 +254,14 @@ def connected_components(
     primitive — alternating large-star/small-star
     (operators/components.py), O(log n) rounds with per-round lineage
     truncation — keeping this module's historical (id, component)
-    schema."""
+    schema.
+
+    Edge-case contract: self-loops (a, a) are canonicalized away by the
+    contraction, so a node appearing *only* in self-loops is absent from
+    the output (the pre-round-2 label-propagation version emitted it as
+    its own singleton). Benign for this module's pair emitters, which
+    never produce a == b; union in (id, id) singletons yourself if you
+    feed external edge lists that rely on the old behavior."""
     from .components import connected_components as _cc
 
     return _cc(edges, src="a", dst="b", max_iter=max_iterations).select(

@@ -36,7 +36,13 @@ def _mg_partition(k: int, col: str):
             # vectorized per Arrow batch, then one MG merge: add batch
             # counts, and if over k counters subtract the (k+1)-th
             # largest and drop non-positives (mergeable-summaries rule)
-            for item, c in pdf[col].value_counts().items():
+            # dropna=False keeps a NULL candidate: SQL GROUP BY has a NULL
+            # group, so a frequent-enough NULL key must be reportable too.
+            # NaN is normalized to None so repeated batches hit one counter
+            # (distinct float('nan') objects would hash to separate keys).
+            for item, c in pdf[col].value_counts(dropna=False).items():
+                if pd.isna(item):
+                    item = None
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
                 cut = sorted(counters.values(), reverse=True)[k]
@@ -65,8 +71,14 @@ def heavy_hitters(
         src.mapInPandas(_mg_partition(k, col), schema=src.schema)
         .distinct()
     )
+    # Null-safe semi-join (<=>) so a NULL candidate still matches its
+    # rows in the recount — EqualNullSafe is a hash-joinable equi-key,
+    # and groupBy natively keeps the NULL group, matching SQL GROUP BY
+    # / HAVING semantics exactly.
+    cand = candidates.withColumnRenamed(col, "__hh_key")
     return (
-        src.join(F.broadcast(candidates), col, "left_semi")
+        src.join(F.broadcast(cand), F.col(col).eqNullSafe(F.col("__hh_key")),
+                 "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > threshold)

@@ -78,6 +78,7 @@ def bfs_levels(
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 20,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Multi-source BFS over an undirected edge list: (node, dist) with
     the hop count from the nearest source, unreachable nodes absent.
@@ -89,6 +90,13 @@ def bfs_levels(
     lineage discipline as PageRank above. Terminates at the first empty
     frontier, so the round count is the graph's eccentricity bound, not
     max_depth.
+
+    If the frontier is still non-empty after ``max_depth`` rounds the
+    result is a truncated BFS; by default that raises (same convergence
+    discipline as ``connected_components``). Pass ``allow_partial=True``
+    to instead get the depth-bounded partial answer — every returned
+    distance is still exact, nodes farther than ``max_depth`` are simply
+    absent.
     """
     from pyspark.sql import functions as F
 
@@ -102,6 +110,7 @@ def bfs_levels(
         .localCheckpoint(eager=True)
     )
     frontier = visited
+    converged = False
     for depth in range(1, max_depth + 1):
         nxt = (
             sym.join(frontier, sym.u == frontier.node)
@@ -112,7 +121,22 @@ def bfs_levels(
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
+            converged = True
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    if not converged and not allow_partial:
+        # One more expansion probe: the loop may have ended exactly at the
+        # eccentricity, with the last frontier having nothing new to add.
+        remaining = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        if remaining.limit(1).count() > 0:
+            raise RuntimeError(
+                f"bfs_levels did not converge within max_depth={max_depth}; "
+                "pass allow_partial=True for a depth-bounded partial result"
+            )
     return visited

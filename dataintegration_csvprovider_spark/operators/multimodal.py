@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The Spark-side contract is real and tested — schema convention, batch
-iteration, partition sizing — while the actual media decode is stubbed
-(codec libraries aren't in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic pseudo-decoder derived from the payload bytes stands in, so
-the pipeline shape (including feature vectors and resize metadata) is
-exercised end to end.
+The Spark-side contract — schema convention, batch iteration, partition
+sizing — is real and tested, and so is the decode for the formats that
+need nothing beyond stdlib + numpy: PNG, BMP, and PPM images and PCM WAV
+audio decode natively (operators/media_codecs.py) into a deterministic
+grid-luminance / windowed-RMS feature vector. JPEG and other
+codec-library formats are gated behind an optional pillow import that
+raises a clear ``NotImplementedError`` in this container. ``fake=True``
+selects the legacy md5 pseudo-decoder for payloads that are not real
+media (e.g. text-derived fixture bytes).
 
 Scale notes: media blobs dominate partition size — repartition so that
 ``rows_per_partition × avg_blob`` stays under executor memory, and keep
@@ -79,16 +81,63 @@ def _pseudo_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
+#: FEATURE_DIM = _GRID**2 cells: features are per-cell mean luminance
+_GRID = 4
+
+
+def image_grid_features(pixels, grid: int = _GRID) -> list[float]:
+    """(h, w, c) uint8 array → grid² mean-luminance floats in [0, 1],
+    row-major over a grid×grid partition of the image. Deterministic,
+    resolution-independent, and cheap enough for Arrow-batch workers."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    # Rec. 601 luma for RGB(A); single-channel images pass through
+    if a.shape[2] >= 3:
+        luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        luma = a[:, :, 0]
+    h, w = luma.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = []
+    for gy in range(grid):
+        for gx in range(grid):
+            cell = luma[ys[gy] : max(ys[gy + 1], ys[gy] + 1),
+                        xs[gx] : max(xs[gx + 1], xs[gx] + 1)]
+            out.append(float(cell.mean()) / 255.0)
+    return out
+
+
+def audio_rms_features(
+    samples, n_windows: int = FEATURE_DIM
+) -> list[float]:
+    """(n, channels) float samples → RMS energy per equal time window,
+    channel-averaged: the standard cheap audio fingerprint."""
+    import numpy as np
+
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+    edges = np.linspace(0, len(mono), n_windows + 1).astype(int)
+    return [
+        float(np.sqrt(np.mean(np.square(mono[edges[i] : edges[i + 1]]))))
+        if edges[i + 1] > edges[i]
+        else 0.0
+        for i in range(n_windows)
+    ]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode an image payload to features. Real codecs are not available
-    in this environment — STUB: use ``fake=True`` for the deterministic
-    pseudo-decoder, or plug a real decoder in production."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "or wire a real decoder (PIL/torchvision) here"
-        )
-    return _pseudo_features(payload)
+    """Decode an image payload to FEATURE_DIM features. PNG/BMP/PPM decode
+    natively (media_codecs.py, stdlib+numpy only); JPEG is pillow-gated.
+    ``fake=True`` selects the md5 pseudo-decoder for non-media fixture
+    bytes."""
+    if fake:
+        return _pseudo_features(payload)
+    from .media_codecs import decode_image_bytes
+
+    return image_grid_features(decode_image_bytes(payload))
 
 
 def extract_features(
@@ -129,14 +178,15 @@ def extract_features(
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode an audio payload to features. STUB like :func:`decode_image`
-    — real codecs (soundfile/torchaudio) are not in this environment."""
-    if not fake:
-        raise NotImplementedError(
-            "audio codecs not available in this environment; pass fake=True "
-            "or wire a real decoder (soundfile/torchaudio) here"
-        )
-    return _pseudo_features(payload)
+    """Decode an audio payload to FEATURE_DIM windowed-RMS features. PCM
+    WAV decodes natively (stdlib ``wave``); compressed codecs would need
+    soundfile/torchaudio. ``fake=True`` selects the md5 pseudo-decoder."""
+    if fake:
+        return _pseudo_features(payload)
+    from .media_codecs import decode_wav
+
+    samples, _rate = decode_wav(payload)
+    return audio_rms_features(samples)
 
 
 def sample_frames(

@@ -26,11 +26,22 @@ from .registry import dsum, register, sql_dsum
 
 def _roundtrip(spark: SparkSession, df: DataFrame, table: str,
                src_options: CsvSourceOptions | None = None) -> DataFrame:
-    """parquet df → CsvSink single-file write → CsvSource scan."""
+    """parquet df → CsvSink single-file write → CsvSource scan.
+
+    The scanned table is eagerly localCheckpoint'ed so the temp folder
+    can be removed immediately instead of leaking per run (these are
+    small fixture-scale roundtrips; at production scale the sink writes
+    to a durable destination, not a temp dir).
+    """
+    import shutil
+
     d = tempfile.mkdtemp(prefix=f"csvops_{table}_")
-    CsvSink(folder=d).write(df, table)
-    src = CsvSource(folder=d, options=src_options or CsvSourceOptions())
-    return src.read(spark, table)
+    try:
+        CsvSink(folder=d).write(df, table)
+        src = CsvSource(folder=d, options=src_options or CsvSourceOptions())
+        return src.read(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
@@ -154,25 +165,30 @@ def q_csv_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supplier = load_table(spark, sf_dir, "supplier")
     out = []
+    import shutil
+
     for dialect, sep, quote in [("tab", "\t", "'"), ("comma", ",", '"')]:
         d = tempfile.mkdtemp(prefix=f"dialect_{dialect}_")
-        CsvSink(
-            folder=d, options=CsvSinkOptions(delimiter=sep, quote=quote)
-        ).write(supplier, "supplier")
-        src = CsvSource(
-            folder=d,
-            options=CsvSourceOptions(delimiter=sep, quote=quote),
-        )
-        back = src.read(spark, "supplier")
-        out.append(
-            back.agg(
-                F.lit(dialect).alias("dialect"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("total"),
+        try:
+            CsvSink(
+                folder=d, options=CsvSinkOptions(delimiter=sep, quote=quote)
+            ).write(supplier, "supplier")
+            src = CsvSource(
+                folder=d,
+                options=CsvSourceOptions(delimiter=sep, quote=quote),
             )
-        )
+            back = src.read(spark, "supplier")
+            out.append(
+                back.agg(
+                    F.lit(dialect).alias("dialect"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("total"),
+                ).localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     return out[0].unionByName(out[1])
 
 
@@ -225,23 +241,34 @@ def q_text_source_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value"),
         ).alias("value")
     )
+    import shutil
+
     d = tempfile.mkdtemp(prefix="text_logs_")
-    lines.write.mode("overwrite").text(d)
-    raw = spark.read.text(d)
-    pat = r"^([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
-    parsed = raw.select(
-        F.regexp_extract("value", pat, 1).cast("timestamp_ntz").alias("ts"),
-        F.regexp_extract("value", pat, 2).alias("event_type"),
-        F.regexp_extract("value", pat, 3).cast("bigint").alias("user_id"),
-        F.regexp_extract("value", pat, 4).cast("double").alias("val"),
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("total"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "last_seen"
-        ),
-    )
+    try:
+        lines.write.mode("overwrite").text(d)
+        raw = spark.read.text(d)
+        pat = r"^([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
+        parsed = raw.select(
+            F.regexp_extract("value", pat, 1).cast("timestamp_ntz").alias("ts"),
+            F.regexp_extract("value", pat, 2).alias("event_type"),
+            F.regexp_extract("value", pat, 3).cast("bigint").alias("user_id"),
+            F.regexp_extract("value", pat, 4).cast("double").alias("val"),
+        )
+        return (
+            parsed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("val").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "last_seen"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
@@ -345,14 +372,19 @@ def q_csv_culture_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")
     )
+    import shutil
+
     d = tempfile.mkdtemp(prefix="csvops_culture_")
-    CsvSink(folder=d, options=CsvSinkOptions(culture="da-DK")).write(
-        cust, "customer_dk"
-    )
-    back = CsvSource(folder=d, options=CsvSourceOptions()).read(
-        spark, "customer_dk"
-    )
-    return back.select(
-        F.col("c_custkey").cast("bigint").alias("custkey"),
-        F.col("c_acctbal").alias("acctbal_dk"),
-    )
+    try:
+        CsvSink(folder=d, options=CsvSinkOptions(culture="da-DK")).write(
+            cust, "customer_dk"
+        )
+        back = CsvSource(folder=d, options=CsvSourceOptions()).read(
+            spark, "customer_dk"
+        )
+        return back.select(
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal_dk"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

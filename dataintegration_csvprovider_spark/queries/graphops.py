@@ -161,9 +161,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle per level, visited-set anti-join settles each node on "
         "first touch, early exit on empty frontier. The oracle walks "
         "all paths with a depth-bounded recursive CTE and takes the "
-        "per-node minimum (UNION-deduped per level, depth-capped well "
-        "past the graph's eccentricity) — an independent algorithm for "
-        "the same distances.",
+        "per-node minimum (UNION-deduped per level). Both sides share "
+        "the same depth bound (10), so even if the derived graph's "
+        "eccentricity ever exceeded it they would truncate identically; "
+        "allow_partial=True opts into that documented truncation.",
     tags=("graph", "bfs"),
 )
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +176,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 50).alias("dst"),
     ).distinct()
     sources = spark.range(1).select(F.lit(0).cast("bigint").alias("node"))
-    out = bfs_levels(edges, sources)
+    out = bfs_levels(edges, sources, max_depth=10, allow_partial=True)
     return out.select("node", F.col("dist").cast("int").alias("dist"))
 
 

@@ -25,10 +25,19 @@ from .registry import dsum, register, sql_dsum
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sample = docs.select("doc_id", "lang", "n_chars")
+    import shutil
+
     d = tempfile.mkdtemp(prefix="jsonl_rt_")
-    JsonlSink(folder=d).write(sample, "documents")
-    back = JsonlSource(folder=d).read(spark, "documents", schema=sample.schema)
-    return back.select("doc_id", "lang", "n_chars")
+    try:
+        JsonlSink(folder=d).write(sample, "documents")
+        back = JsonlSource(folder=d).read(
+            spark, "documents", schema=sample.schema
+        )
+        return back.select("doc_id", "lang", "n_chars").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
@@ -46,15 +55,24 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jsonl_skip_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sample = docs.select("doc_id", "lang", "n_chars")
+    import shutil
+
     d = tempfile.mkdtemp(prefix="jsonl_bad_")
-    path = JsonlSink(folder=d).write(sample, "documents")
-    with open(path, "a", encoding="utf-8") as fh:
-        fh.write('{"doc_id": broken,,,\n')
-        fh.write("not json at all\n")
-    back = JsonlSource(folder=d).read(
-        spark, "documents", schema=sample.schema, skip_defective=True
-    )
-    return back.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        dsum(F.col("n_chars")).alias("total_chars"),
-    )
+    try:
+        path = JsonlSink(folder=d).write(sample, "documents")
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write('{"doc_id": broken,,,\n')
+            fh.write("not json at all\n")
+        back = JsonlSource(folder=d).read(
+            spark, "documents", schema=sample.schema, skip_defective=True
+        )
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                dsum(F.col("n_chars")).alias("total_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -13,6 +13,8 @@ extraction have no DuckDB twin → rows-only.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -485,6 +487,120 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resize_to.width").alias("target_w"),
         F.col("resize_to.height").alias("target_h"),
     )
+
+
+@register(
+    "q_multimodal_decode_real",
+    # REAL decode, independently checkable: each doc gets an actual 8x8
+    # image payload (even doc_id → BMP, odd → PNG) whose left half is
+    # gray (doc_id % 256) and right half gray (doc_id * 7 % 256). The
+    # engine sniffs the format, decodes the genuine bytes
+    # (operators/media_codecs.py — no codec libraries involved), and the
+    # 4x4 grid-luminance features recover the two gray levels exactly;
+    # the oracle computes them from doc_id arithmetic alone.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           CAST(doc_id % 256 AS INT) AS left_gray,
+           CAST((doc_id * 7) % 256 AS INT) AS right_gray
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="End-to-end REAL image decode inside the Arrow batch path: "
+        "synthesize true BMP/PNG payloads per doc, decode them with the "
+        "native stdlib+numpy codecs, and reconstruct the pixel values "
+        "from the grid-luminance features — a decode bug, a format-sniff "
+        "bug, or a batch-plumbing bug all break the doc_id-arithmetic "
+        "oracle.",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import extract_features
+
+    @pandas_udf("binary")
+    def make_media(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import encode_bmp, encode_png
+
+        def build(doc_id: int) -> bytes:
+            img = np.zeros((8, 8, 3), np.uint8)
+            img[:, :4] = doc_id % 256
+            img[:, 4:] = (doc_id * 7) % 256
+            return (
+                encode_bmp(img) if doc_id % 2 == 0 else encode_png(img)
+            )
+
+        return ids.map(build)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        make_media(F.col("doc_id")).alias("payload"),
+    )
+    feats = extract_features(media, fake=False)
+    # grid cells are row-major over a 4x4 grid of the 8x8 image: cell 0
+    # sits in the left half, cell 3 in the right; a constant 2x2 cell's
+    # mean luminance times 255 is the gray level, exactly (float32
+    # storage error ~1e-5 ≪ the 0.5 rounding margin)
+    return feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("bmp"))
+        .otherwise(F.lit("png"))
+        .alias("fmt"),
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias(
+            "left_gray"
+        ),
+        F.round(F.element_at("feature", 4) * 255).cast("int").alias(
+            "right_gray"
+        ),
+    )
+
+
+@register(
+    "q_multimodal_audio_rms",
+    # constant-amplitude PCM WAV: amplitude a = (doc_id % 128)/128
+    # truncates to floor(a * 32767)/32768 at 16-bit encode, and the
+    # windowed RMS of a constant is that constant — both sides exact in
+    # doubles because 128 and 32768 are powers of two
+    oracle="""
+    SELECT doc_id,
+           CAST(FLOOR((doc_id % 128) * 32767.0 / 128) AS INT) AS amp_q
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="End-to-end REAL audio decode: synthesize true 16-bit PCM WAV "
+        "payloads (stdlib wave), decode through the windowed-RMS feature "
+        "path, and recover the quantized amplitude the oracle derives "
+        "from doc_id arithmetic.",
+    tags=("multimodal", "audio", "decode"),
+)
+def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import decode_audio
+
+    @pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import encode_wav
+
+        return ids.map(
+            lambda doc_id: encode_wav(
+                np.full(320, (doc_id % 128) / 128.0), sample_rate=16000
+            )
+        )
+
+    @pandas_udf("int")
+    def rms_q(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda p: int(round(decode_audio(bytes(p))[0] * 32768.0))
+        )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", rms_q(make_wav(F.col("doc_id"))).alias("amp_q"))
 
 
 # --------------------------------------------------------------------------

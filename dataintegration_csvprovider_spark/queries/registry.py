@@ -129,6 +129,8 @@ _GRADE_FIRST = [
     "q_multimodal_features",
     "q_multimodal_frames",
     "q_multimodal_resize",
+    "q_multimodal_decode_real",
+    "q_multimodal_audio_rms",
     "q_embedding_neardup_trained",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",

@@ -225,16 +225,27 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "orc"),
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     d = tempfile.mkdtemp(prefix="orc_rt_")
-    li.write.mode("overwrite").orc(d)
-    back = spark.read.orc(d)
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias(
-            "sum_qty"
-        ),
-    )
+    try:
+        li.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        # Eagerly materialize the small aggregate so the temp dir can be
+        # reclaimed before the caller consumes the DataFrame.
+        return (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(

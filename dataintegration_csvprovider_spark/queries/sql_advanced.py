@@ -156,22 +156,31 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    import shutil
+
     d = tempfile.mkdtemp(prefix="schema_evo_")
-    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_totalprice"
-    )
-    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    old.write.mode("overwrite").parquet(f"{d}/v1")
-    new.write.mode("overwrite").parquet(f"{d}/v2")
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        f"{d}/v1", f"{d}/v2"
-    )
-    return merged.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(F.col("o_totalprice")).alias("total_price"),
-    )
+    try:
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        old.write.mode("overwrite").parquet(f"{d}/v1")
+        new.write.mode("overwrite").parquet(f"{d}/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{d}/v1", f"{d}/v2"
+        )
+        return (
+            merged.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(

@@ -168,3 +168,5 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+        else:
+            spark.conf.unset("spark.sql.scripting.enabled")

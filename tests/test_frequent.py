@@ -30,3 +30,17 @@ def test_heavy_hitters_equals_exact(spark):
 def test_heavy_hitters_empty_when_uniform(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "item long")
     assert heavy_hitters(df, "item", min_frac=0.05).count() == 0
+
+
+def test_heavy_hitters_null_key_reported(spark):
+    # SQL GROUP BY has a NULL group; a frequent-enough NULL key must be
+    # reported with its exact count, like HAVING count(*) > threshold.
+    rows = [(None,)] * 30 + [("a",)] * 25 + [(str(i),) for i in range(45)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters(
+            df, "item", min_frac=0.2, total=len(rows)
+        ).collect()
+    }
+    assert got == {(None, 30), ("a", 25)}

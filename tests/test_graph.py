@@ -1,0 +1,46 @@
+"""BFS convergence contract: exact levels, loud truncation."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataintegration_csvprovider_spark.operators.graph import bfs_levels
+
+
+def _path_graph(spark, n):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+
+
+def _sources(spark):
+    return spark.createDataFrame([(0,)], "node long")
+
+
+def test_bfs_levels_exact_on_path(spark):
+    edges = _path_graph(spark, 6)
+    out = bfs_levels(edges, _sources(spark))
+    got = {(r["node"], r["dist"]) for r in out.collect()}
+    assert got == {(i, i) for i in range(6)}
+
+
+def test_bfs_levels_raises_when_truncated(spark):
+    edges = _path_graph(spark, 6)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bfs_levels(edges, _sources(spark), max_depth=2)
+
+
+def test_bfs_levels_allow_partial_is_depth_bounded_prefix(spark):
+    edges = _path_graph(spark, 6)
+    out = bfs_levels(edges, _sources(spark), max_depth=2, allow_partial=True)
+    got = {(r["node"], r["dist"]) for r in out.collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_bfs_levels_no_raise_at_exact_eccentricity(spark):
+    # eccentricity of the 6-node path from node 0 is 5: the loop ends by
+    # range exhaustion with a non-empty final frontier that has nothing
+    # new to add — the extra expansion probe must not raise.
+    edges = _path_graph(spark, 6)
+    out = bfs_levels(edges, _sources(spark), max_depth=5)
+    assert out.count() == 6

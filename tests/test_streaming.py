@@ -234,3 +234,7 @@ def test_stateful_v2_transform_with_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
