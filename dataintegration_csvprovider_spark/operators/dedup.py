@@ -711,3 +711,104 @@ def ngram_jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return _eager_release(pairs, grams)
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment (benchmark decontamination)
+# --------------------------------------------------------------------------
+
+
+def containment_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.8,
+    method: str = "prefix",
+) -> DataFrame:
+    """Exact asymmetric n-gram containment: (t_id, e_id, containment)
+    where containment = |T∩E| / |T| >= threshold — the decontamination
+    measure (how much of a TRAINING doc's gram set an eval doc covers).
+
+    ``prefix`` (default, the 100 TB path): containment >= t means T
+    misses at most (1-t)·|T| of E's grams, so ANY (1-t)·|T|+1 grams of T
+    must include a shared one (pigeonhole) — index only that prefix of
+    T, choosing T's grams RAREST ON THE EVAL SIDE first (eval-absent
+    grams have df 0, generating zero candidates), against the full eval
+    inverted index, then verify candidates exactly via array_intersect.
+    The join size falls from Σ(df_t·df_e) over all grams (quadratic on
+    stopword-grams) to the eval-rare tail. Unlike the symmetric Jaccard
+    prefix, only the probe side is prefixed — the indexed (eval) side
+    must stay complete for the bound to hold.
+
+    ``index``: the plain inverted-index join counting shared grams per
+    pair — fine when the corpora are small or gram frequencies are
+    bounded, Σdf² otherwise.
+    """
+    gt = _spread(
+        _with_content(train, text_col, min_words=n).select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("t_id"),
+        word_shingles(F.col(text_col), n).alias("gt"),
+    ).withColumn("t_size", F.size("gt"))
+    ge = _spread(
+        _with_content(eval_df, text_col, min_words=n).select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("e_id"),
+        word_shingles(F.col(text_col), n).alias("ge"),
+    )
+    e_inv = ge.select("e_id", F.explode("ge").alias("gram"))
+
+    if method == "index":
+        t_inv = gt.select("t_id", "t_size", F.explode("gt").alias("gram"))
+        common = (
+            t_inv.join(e_inv, "gram")
+            .groupBy("t_id", "t_size", "e_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return common.select(
+            "t_id",
+            "e_id",
+            (F.col("n_common").cast("double") / F.col("t_size")).alias(
+                "containment"
+            ),
+        ).filter(F.col("containment") >= threshold)
+
+    if method != "prefix":
+        raise ValueError("method must be 'prefix' or 'index'")
+
+    gt = gt.persist()
+    ge = ge.persist()
+    t_inv = gt.select("t_id", "t_size", F.explode("gt").alias("gram"))
+    e_freq = e_inv.groupBy("gram").agg(F.count(F.lit(1)).alias("edf"))
+    ranked = t_inv.join(e_freq, "gram", "left").withColumn(
+        "edf", F.coalesce("edf", F.lit(0))
+    )
+    w = W.partitionBy("t_id").orderBy("edf", "gram")
+    prefix_len = (
+        F.col("t_size") - F.ceil(F.col("t_size") * F.lit(threshold)) + 1
+    )
+    prefix = (
+        ranked.withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        # eval-absent grams can't produce candidates; dropping them here
+        # skips the join probe entirely for most clean training docs
+        .filter(F.col("edf") > 0)
+        .select("t_id", "gram")
+    )
+    cands = prefix.join(e_inv, "gram").select("t_id", "e_id").distinct()
+    verified = (
+        cands.join(gt, "t_id")
+        .join(ge, "e_id")
+        .withColumn(
+            "containment",
+            (
+                F.size(F.array_intersect("gt", "ge")).cast("double")
+                / F.col("t_size")
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("t_id", "e_id", "containment")
+    )
+    return _eager_release(verified, gt, ge)

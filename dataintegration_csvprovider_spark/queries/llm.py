@@ -1186,39 +1186,25 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'src0') whose bigram set is >= 80% contained in some eval "
         "document (source = 'src0') — the asymmetric-overlap variant "
         "of near-dup detection used to scrub eval leakage from "
-        "training corpora. Same inverted-index equi-join shape as "
-        "ngram Jaccard (shared grams counted per pair, no cross "
-        "join); containment divides by the TRAIN side's set size only.",
+        "training corpora. Runs the scale-safe containment-prefix path "
+        "(operators/dedup.py containment_pairs): only (1-t)|T|+1 "
+        "eval-rarest grams of each training doc probe the eval index, "
+        "so the join never sees the Σdf² stopword-gram blowup; "
+        "candidates verify exactly.",
     tags=("text", "dedup", "contamination"),
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        "source",
-        word_shingles(F.col("text"), 2).alias("grams"),
-    ).withColumn("set_size", F.size("grams"))
-    train = grams.filter(F.col("source") != "src0")
-    ev = grams.filter(F.col("source") == "src0")
-    t_inv = train.select(
-        F.col("doc_id").alias("t_id"),
-        F.col("set_size").alias("t_size"),
-        F.explode("grams").alias("gram"),
-    )
-    e_inv = ev.select(F.col("doc_id").alias("e_id"), F.explode("grams").alias("gram"))
-    common = (
-        t_inv.join(e_inv, "gram")
-        .groupBy("t_id", "t_size", "e_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    contained = common.select(
-        "t_id",
-        (F.col("n_common").cast("double") / F.col("t_size")).alias("containment"),
+    pairs = containment_pairs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=2,
+        threshold=0.8,
     )
     return (
-        contained.groupBy(F.col("t_id").alias("doc_id"))
+        pairs.groupBy(F.col("t_id").alias("doc_id"))
         .agg(F.max("containment").alias("max_containment"))
         .filter(F.col("max_containment") >= 0.8)
     )

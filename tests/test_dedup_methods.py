@@ -100,3 +100,65 @@ def test_dense_string_ids(spark):
         docs, id_col="doc_id", n=2, threshold=0.5, method="dense"
     ).collect()
     assert [(r.a, r.b, r.jaccard) for r in pairs] == [("d1", "d2", 1.0)]
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment (decontamination)
+# --------------------------------------------------------------------------
+
+
+def test_containment_prefix_equals_index(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated training text with private words"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "short overlap quick brown only here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "benchmark says the quick brown fox jumps over the lazy "
+                  "dog today and tomorrow"),
+            (101, "another eval doc about nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for m in ("prefix", "index"):
+        got[m] = sorted(
+            (r.t_id, r.e_id, round(r.containment, 9))
+            for r in containment_pairs(
+                train, ev, threshold=0.8, method=m
+            ).collect()
+        )
+    assert got["prefix"] == got["index"]
+    # docs 1 and 3's bigram sets are fully inside eval 100's set
+    # (eval 100 extends the shared sentence, so even "dog today" is
+    # covered) -> containment 1.0; doc 2 shares nothing, doc 4 shares
+    # only "quick brown" (1/5 < 0.8)
+    hits = {(t, e): c for t, e, c in got["prefix"]}
+    assert hits == {(1, 100): 1.0, (3, 100): 1.0}
+
+
+def test_containment_threshold_pigeonhole_edge(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # 10 bigrams, exactly 8 shared -> containment 0.8 sits ON the
+    # threshold; the prefix (10 - ceil(8) + 1 = 3 rarest grams) must
+    # still surface the pair
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(2, "a b c d e f g h i zz yy")], "doc_id long, text string"
+    )
+    out = containment_pairs(train, ev, threshold=0.8, method="prefix").collect()
+    assert len(out) == 1 and abs(out[0].containment - 0.8) < 1e-9
