@@ -110,6 +110,31 @@ class Engine:
 
         return _bfs(edges, sources, src=src, dst=dst, max_depth=max_depth)
 
+    # round-3 extension operators
+    @staticmethod
+    def containment_pairs(train, eval_df, **kwargs):
+        from .operators.dedup import containment_pairs as _cp
+
+        return _cp(train, eval_df, **kwargs)
+
+    @staticmethod
+    def repetition_stats(df, text_col="text", id_col="doc_id", **kwargs):
+        from .operators.textstats import repetition_stats as _rs
+
+        return _rs(df, text_col=text_col, id_col=id_col, **kwargs)
+
+    @staticmethod
+    def temperature_sample(df, group_col, id_col, alpha=0.5, target_total=1000):
+        from .operators.sampling import temperature_sample as _ts
+
+        return _ts(df, group_col, id_col, alpha=alpha, target_total=target_total)
+
+    @staticmethod
+    def extract_frame_features(df, frame_indices=None, **kwargs):
+        from .operators.multimodal import extract_frame_features as _ef
+
+        return _ef(df, frame_indices=frame_indices, **kwargs)
+
     # -- JSONL source/sink -------------------------------------------------
     def read_jsonl(
         self, source: JsonlSource, table: str, **kwargs

@@ -275,6 +275,30 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------
+# Concatenated-BMP video container
+# --------------------------------------------------------------------------
+
+
+def split_concatenated_bmps(payload: bytes) -> list[bytes]:
+    """Split a raw concatenation of BMP frames into per-frame payloads —
+    the simplest seekable video container expressible without codec
+    libraries (each BMP header carries its own file size at offset 2, so
+    frames are walked without an index). Real containers (mp4/mkv) would
+    ride the same per-row contract behind a pillow/av gate."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < 14 or pos + size > len(payload):
+            raise ValueError(f"bad frame size {size} at offset {pos}")
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
+# --------------------------------------------------------------------------
 # Sniffing dispatch
 # --------------------------------------------------------------------------
 

@@ -183,8 +183,11 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
     soundfile/torchaudio. ``fake=True`` selects the md5 pseudo-decoder."""
     if fake:
         return _pseudo_features(payload)
-    from .media_codecs import decode_wav
+    from .media_codecs import decode_wav, sniff_format
 
+    fmt = sniff_format(payload)
+    if fmt != "wav":
+        raise ValueError(f"unrecognized audio payload (format={fmt!r})")
     samples, _rate = decode_wav(payload)
     return audio_rms_features(samples)
 
@@ -224,6 +227,69 @@ def sample_frames(
             "payload",
         )
     )
+
+
+_FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_frame_features(
+    df: DataFrame,
+    frame_indices: list[int] | None = None,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """REAL per-frame decode for video payloads (concatenated-BMP
+    container, media_codecs.split_concatenated_bmps): each sampled frame
+    decodes to its grid-luminance feature inside the Arrow batch worker,
+    one output row per (doc, frame). ``frame_indices=None`` decodes every
+    frame.
+
+    The row fan-out happens *inside* mapInPandas (bounded by
+    len(frame_indices) per doc), so partition sizing follows the input
+    docs; at corpus scale the caller repartitions by the expected
+    decoded volume, exactly like extract_features."""
+    from .media_codecs import decode_bmp, split_concatenated_bmps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out_id, out_idx, out_n, out_feat = [], [], [], []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    if payload is None:
+                        continue
+                    frames = split_concatenated_bmps(bytes(payload))
+                    wanted = (
+                        range(len(frames))
+                        if frame_indices is None
+                        else [i for i in frame_indices if i < len(frames)]
+                    )
+                    for i in wanted:
+                        out_id.append(doc_id)
+                        out_idx.append(i)
+                        out_n.append(len(frames))
+                        out_feat.append(
+                            image_grid_features(decode_bmp(frames[i]))
+                        )
+                # object dtype keeps Arrow's list<float> conversion happy
+                # when a chunk produces zero rows (an empty float64 ndarray
+                # column is not convertible to a list type)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_id, dtype="int64"),
+                        "frame_idx": pd.Series(out_idx, dtype="int32"),
+                        "n_frames": pd.Series(out_n, dtype="int32"),
+                        "feature": pd.Series(out_feat, dtype="object"),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=_FRAME_FEATURE_SCHEMA)
 
 
 def resize_metadata(df: DataFrame, max_side: int = 224) -> DataFrame:

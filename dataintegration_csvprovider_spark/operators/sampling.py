@@ -1,0 +1,74 @@
+"""Deterministic corpus-mixture sampling.
+
+Temperature sampling is how multi-source pretraining mixes are balanced
+(cf. multilingual sampling in XLM-R / mT5: p_g ∝ n_g^α with α < 1
+flattens the source distribution so huge domains don't drown small
+ones). The engine's variant is fully deterministic — targets derive from
+exact decimal-summed weights, membership from a Knuth-multiplicative
+hash rank — so the *sample itself* is oracle-checkable, unlike RNG
+sampling.
+
+Scale shape: one tiny per-group aggregate broadcast back, one window
+rank partitioned by group (the shuffle every stratified operation pays),
+no driver-side loops. Skewed groups are bounded by their target: the
+rank filter discards the bulk of a dominant domain at the shuffle
+reader, not after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative hash constants (same as q_stratified_sample_det)
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+) -> DataFrame:
+    """Sample ~``target_total`` rows with per-group quotas ∝ n_g^alpha.
+
+    Per-group target: floor(target_total · w_g / Σw) with w_g =
+    round(n_g^alpha, 6), capped at n_g. The 6-dp round + exact
+    DECIMAL(18,6) sum make the quota arithmetic independent of
+    floating-point summation order, so two engines (or two cluster
+    topologies) compute identical quotas; floor() never sits on an
+    order-dependent ULP boundary. Rows are then ranked inside each group
+    by (id·2654435761) mod 2³² — a fixed, uniform-ish permutation — and
+    the first ``target_g`` survive. Because of floor(), the achieved
+    total is ≤ target_total (short by at most one row per group).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w6 = F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 6)
+    weighted = counts.withColumn("__w", w6.cast("decimal(18,6)"))
+    total_w = weighted.agg(F.sum("__w").alias("__sumw"))
+    targets = (
+        weighted.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "__target",
+            F.least(
+                F.col("__n"),
+                F.floor(
+                    F.lit(int(target_total))
+                    * F.col("__w").cast("double")
+                    / F.col("__sumw").cast("double")
+                ),
+            ),
+        )
+        .select(group_col, "__target")
+    )
+    rank_w = W.partitionBy(group_col).orderBy(
+        (F.col(id_col) * F.lit(_KNUTH)) % F.lit(_MOD), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= F.col("__target"))
+        .drop("__rn", "__target")
+    )

@@ -109,6 +109,77 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1): the fraction of tokens taken by the single most frequent
+    word / word-bigram, plus the distinct-word ratio, and a
+    ``repetitive`` flag at the given thresholds.
+
+    Shape: explode → count per (doc, term) → per-doc max/sum — linear
+    work, two doc-keyed shuffles, no per-doc quadratic HOF loops (a
+    10k-line doc would make the pure-expression nested-loop variant
+    O(L²); this stays O(L) and partition-parallel at 100 TB). The two
+    term-level aggregates join back on the doc key they are already
+    partitioned by.
+    """
+    toks = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    base = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    )
+    word_rows = base.select("__id", F.explode("__toks").alias("term"))
+    per_doc_words = (
+        word_rows.groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.max("c").alias("top_word"),
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+        ),
+    )
+    bigram_rows = base.filter(F.size("__toks") >= 2).select(
+        "__id", F.explode(bigrams).alias("term")
+    )
+    per_doc_bigrams = (
+        bigram_rows.groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams"))
+    )
+    top_word_frac = (F.col("top_word") / F.col("n_words")).cast("double")
+    top_bigram_frac = F.coalesce(
+        (F.col("top_bigram") / F.col("n_bigrams")).cast("double"), F.lit(0.0)
+    )
+    return (
+        per_doc_words.join(per_doc_bigrams, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            (F.col("n_distinct") / F.col("n_words"))
+            .cast("double")
+            .alias("distinct_word_ratio"),
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (top_word_frac > max_top_word_frac)
+                | (top_bigram_frac > max_top_bigram_frac)
+            ).alias("repetitive"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

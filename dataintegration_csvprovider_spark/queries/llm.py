@@ -314,6 +314,94 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_repetition_stats",
+    # fractions are ratios of small integer counts — both engines compute
+    # max(c)/sum(c) in doubles from identical integers, so hashes match
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents),
+    w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    wc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    dw AS (SELECT doc_id, MAX(c) AS top_word, SUM(c) AS n_words,
+                  COUNT(*) AS n_distinct
+           FROM wc GROUP BY 1),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS term
+      FROM toks WHERE len(t) >= 2),
+    bc AS (SELECT doc_id, term, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    db AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+           FROM bc GROUP BY 1)
+    SELECT dw.doc_id,
+           CAST(dw.n_words AS BIGINT) AS n_words,
+           CAST(dw.n_distinct AS DOUBLE) / dw.n_words AS distinct_word_ratio,
+           CAST(dw.top_word AS DOUBLE) / dw.n_words AS top_word_frac,
+           COALESCE(CAST(db.top_bigram AS DOUBLE) / db.n_bigrams, 0.0)
+             AS top_bigram_frac,
+           (CAST(dw.top_word AS DOUBLE) / dw.n_words > 0.3
+            OR COALESCE(CAST(db.top_bigram AS DOUBLE) / db.n_bigrams, 0.0)
+               > 0.18) AS repetitive
+    FROM dw LEFT JOIN db USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals per document: top-word "
+        "and top-bigram token fractions, distinct-word ratio, and the "
+        "repetitive flag at the paper's thresholds — the within-doc "
+        "repetition filters a pretraining curation pass runs before "
+        "cross-doc dedup. Linear explode+count shape (operators/"
+        "textstats.py repetition_stats), never per-doc quadratic.",
+    tags=("text", "quality", "repetition"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+@register(
+    "q_temperature_sample",
+    # quota arithmetic is engine-portable by construction: 6-dp-rounded
+    # sqrt weights summed as exact decimals, ratio+floor on identical
+    # doubles; membership is the Knuth-hash rank, no RNG anywhere
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    w AS (SELECT source, n,
+                 CAST(round(pow(CAST(n AS DOUBLE), 0.5), 6)
+                      AS DECIMAL(18,6)) AS wt
+          FROM c),
+    t AS (SELECT source, n,
+                 LEAST(n, CAST(floor(300 * CAST(wt AS DOUBLE) /
+                       CAST((SELECT SUM(wt) FROM w) AS DOUBLE)) AS BIGINT))
+                   AS target
+          FROM w),
+    r AS (SELECT d.doc_id, d.source, t.target,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id
+                 ) AS rn
+          FROM documents d JOIN t USING (source))
+    SELECT doc_id, source FROM r WHERE rn <= target
+    """,
+    doc="Temperature-balanced corpus mixture (alpha=0.5, ~300 docs): "
+        "per-source quotas ∝ sqrt(n), drawn deterministically by "
+        "multiplicative-hash rank (operators/sampling.py) — the "
+        "source-rebalancing step of a pretraining-mix builder, with the "
+        "sample itself (not just its size) oracle-pinned.",
+    tags=("sample", "llm", "mixture"),
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(
+        docs, "source", "doc_id", alpha=0.5, target_total=300
+    ).select("doc_id", "source")
+
+
 def _duck_lang_score(words_expr: str, stops: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{s}'" for s in stops)
     return f"len(list_filter({words_expr}, w -> list_contains([{lst}], w)))"
@@ -556,6 +644,55 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 4) * 255).cast("int").alias(
             "right_gray"
         ),
+    )
+
+
+@register(
+    "q_multimodal_video_decode",
+    # a 5-frame concatenated-BMP "video" per doc; frame f is a constant
+    # gray (doc_id*13 + f*29) % 256, so the decoded grid features
+    # reconstruct every sampled frame's pixel value from doc_id math
+    oracle="""
+    SELECT d.doc_id, f.frame_idx, CAST(5 AS INT) AS n_frames,
+           CAST((d.doc_id * 13 + f.frame_idx * 29) % 256 AS INT) AS gray
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+    CROSS JOIN (SELECT UNNEST([0, 2, 4]) AS frame_idx) f
+    """,
+    doc="End-to-end REAL video-frame decode: per-doc concatenated-BMP "
+        "payloads are frame-split and pixel-decoded inside the Arrow "
+        "batch path (operators/multimodal.py extract_frame_features), "
+        "sampling frames {0,2,4} of 5; each decoded frame's gray level "
+        "must match the doc_id-arithmetic oracle.",
+    tags=("multimodal", "video", "decode"),
+)
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import extract_frame_features
+
+    @pandas_udf("binary")
+    def make_video(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import encode_bmp
+
+        def build(doc_id: int) -> bytes:
+            frames = []
+            for f in range(5):
+                img = np.full((8, 8, 3), (doc_id * 13 + f * 29) % 256, np.uint8)
+                frames.append(encode_bmp(img))
+            return b"".join(frames)
+
+        return ids.map(build)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select("doc_id", make_video(F.col("doc_id")).alias("payload"))
+    feats = extract_frame_features(media, frame_indices=[0, 2, 4])
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("gray"),
     )
 
 

@@ -131,6 +131,9 @@ _GRADE_FIRST = [
     "q_multimodal_resize",
     "q_multimodal_decode_real",
     "q_multimodal_audio_rms",
+    "q_multimodal_video_decode",
+    "q_repetition_stats",
+    "q_temperature_sample",
     "q_embedding_neardup_trained",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",

@@ -244,8 +244,10 @@ def test_multimodal_pipeline(docs):
     assert [r.feature for r in feats] == [r.feature for r in again]
 
 
-def test_multimodal_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_rejects_non_media():
+    # real decode now ships for PNG/BMP/PPM; arbitrary bytes are a loud
+    # ValueError, never silently pseudo-decoded
+    with pytest.raises(ValueError, match="unrecognized image payload"):
         decode_image(b"bytes", fake=False)
 
 
@@ -271,10 +273,10 @@ def test_multimodal_frame_sampling(spark):
     assert per_doc[1][2] == (2, 2000)
 
 
-def test_multimodal_audio_stub():
+def test_multimodal_audio_rejects_non_media():
     from dataintegration_csvprovider_spark.operators.multimodal import decode_audio
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unrecognized audio payload"):
         decode_audio(b"bytes")
     assert len(decode_audio(b"bytes", fake=True)) == 16
 

@@ -193,3 +193,52 @@ def test_audio_rms_features_two_level():
     f = audio_rms_features(sig.reshape(-1, 1))
     assert all(v == 0.0 for v in f[:8])
     assert all(abs(v - 0.25) < 1e-9 for v in f[8:])
+
+
+def test_split_concatenated_bmps():
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        encode_bmp,
+        split_concatenated_bmps,
+    )
+
+    frames = [_gradient(4, 4), _gradient(4, 4) + 7, _gradient(4, 4) + 99]
+    payload = b"".join(encode_bmp(f.astype(np.uint8)) for f in frames)
+    parts = split_concatenated_bmps(payload)
+    assert len(parts) == 3
+    for part, f in zip(parts, frames):
+        assert np.array_equal(
+            decode_bmp(part), f.astype(np.uint8)
+        )
+    with pytest.raises(ValueError, match="bad frame magic"):
+        split_concatenated_bmps(payload + b"XX")
+
+
+def test_extract_frame_features_all_and_sampled(spark):
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        encode_bmp,
+    )
+    from dataintegration_csvprovider_spark.operators.multimodal import (
+        extract_frame_features,
+    )
+
+    def video(doc_id, n):
+        return b"".join(
+            encode_bmp(np.full((4, 4, 3), (doc_id + 10 * f) % 256, np.uint8))
+            for f in range(n)
+        )
+
+    df = spark.createDataFrame(
+        [(1, video(1, 3)), (2, video(2, 2)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out_all = extract_frame_features(df).collect()
+    # doc 3 (null payload) contributes nothing; 3 + 2 frames remain
+    assert len(out_all) == 5
+    for r in out_all:
+        expect = (r.doc_id + 10 * r.frame_idx) % 256
+        assert abs(r.feature[0] * 255 - expect) < 1e-3
+    out_sampled = extract_frame_features(df, frame_indices=[0, 2]).collect()
+    # doc 1 has frames 0 and 2; doc 2 only frame 0 (index 2 out of range)
+    assert sorted((r.doc_id, r.frame_idx) for r in out_sampled) == [
+        (1, 0), (1, 2), (2, 0),
+    ]
