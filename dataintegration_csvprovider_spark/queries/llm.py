@@ -1036,6 +1036,58 @@ def q_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pq_quality_gate",
+    # PQ is approximate by design, but its quality on the fixed fixture
+    # is deterministic (lowest-id seeds, first-min tie-breaks, decimal
+    # accumulators): the oracle pins recall@10 of the two-stage search
+    # (ADC shortlist=100 → exact rerank) >= 0.5 against brute force, and
+    # the mean squared reconstruction error <= 0.7 of the mean squared
+    # norm. Measured: recall 1.0 / recon 0.561 at sf0.01, 0.8 / 0.597 at
+    # sf0.1 — on uniform RANDOM embeddings, PQ's adversarial no-cluster
+    # case; clustered real corpora quantize far better.
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS recon_ok, CAST(32 AS INT) AS compression
+    """,
+    doc="Product-quantization quality gate (operators/pq.py): 8 "
+        "subspaces x 16 codes (32x compression of 64-dim float32), "
+        "jointly-trained Lloyd codebooks, ADC-shortlist + exact-rerank "
+        "search. Recall@10 >= 0.5 and reconstruction-error ratio <= 0.7 "
+        "asserted in-query; the oracle pins both.",
+    tags=("similarity", "pq", "quality"),
+)
+def q_pq_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_knn, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16, n_iter=3)
+    codes = pq_encode(emb, books)
+    q = _query_vec(spark, sf_dir)
+    exact = knn_bruteforce(emb, q, k=10).select("vec_id")
+    approx = pq_knn(emb, codes, books, q, k=10, shortlist=100).select("vec_id")
+    recall_ok = exact.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) >= 5).alias("recall_ok")
+    )
+    # mean recon_sq relative to the mean squared norm (the trivial
+    # all-zeros codebook scores 1.0; anything useful sits well below)
+    norm_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    recon_ok = (
+        codes.agg(F.avg("recon_sq").alias("re"))
+        .crossJoin(F.broadcast(emb.agg(F.avg(norm_sq).alias("nn"))))
+        .select((F.col("re") / F.col("nn") <= 0.7).alias("recon_ok"))
+    )
+    return (
+        recall_ok.crossJoin(F.broadcast(recon_ok))
+        .select(
+            "recall_ok", "recon_ok", F.lit(32).cast("int").alias("compression")
+        )
+    )
+
+
+@register(
     "q_dedup_quality_gate",
     # minhash signatures are xxhash-based (no DuckDB twin), but with a
     # fixed seed the pair set is DETERMINISTIC per fixture — so its

@@ -49,6 +49,8 @@ NLJ_OK = {
     "q_funnel",  # 1x1x1-row crossJoin of stage-count aggregates
     "q_triangle_count",  # single-row edge/node/triangle count crossJoins
     "q_hll_union",  # single-row merged-sketch estimate broadcast
+    "q_temperature_sample",  # single-row Σweight aggregate broadcast
+    "q_pq_quality_gate",  # 1x1-row recall/recon aggregate crossJoins + query-vector scan
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
