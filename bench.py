@@ -58,6 +58,12 @@ HEADLINE = (
     "q_csv_mapping_pipeline",
     "q_pagerank",
     "q_sql_recursive_cte",
+    # round-3 additions: the new training-mix / decode / decontamination
+    # operators, each with a full oracle
+    "q_contamination",
+    "q_repetition_stats",
+    "q_temperature_sample",
+    "q_multimodal_video_decode",
 )
 
 

@@ -235,6 +235,70 @@ def pq_adc_topk(
     )
 
 
+def knn_ivfpq(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    num_centroids: int = 16,
+    shortlist: int = 100,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The composed FAISS-IVFPQ layout: IVF partition pruning chooses
+    WHICH vectors the query touches (n_probe of num_centroids trained
+    partitions), PQ codes decide WHAT each touched vector costs (m
+    lookup-adds on the 32×-compressed codes), and an exact rerank over
+    the ADC shortlist restores precision. At corpus scale both the
+    partition assignment and the codes are precomputed columns; here the
+    whole pipeline runs in one job so the quality gate can pin its
+    recall."""
+    from .similarity import assign_ivf_partitions, trained_ivf_centroids
+
+    pts = _with_nonnull_vectors(df, vec_col)
+    if centroids is None:
+        centroids = trained_ivf_centroids(
+            pts, k=num_centroids, vec_col=vec_col, id_col=id_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(pts, vec_col=vec_col, id_col=id_col)
+    assigned = assign_ivf_partitions(pts, centroids, vec_col, id_col)
+    # probe the n_probe partitions whose centers are L2-nearest the query
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qdist = F.aggregate(
+        F.zip_with(
+            F.transform("centroid", lambda x: x.cast("double")),
+            qlit,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.withColumn("__qd", qdist)
+        .orderBy(F.col("__qd").asc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    codes = pq_encode(candidates, codebooks, vec_col=vec_col, id_col=id_col)
+    return pq_knn(
+        candidates,
+        codes,
+        codebooks,
+        query,
+        k=k,
+        shortlist=shortlist,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def pq_knn(
     df: DataFrame,
     codes_df: DataFrame,

@@ -1088,6 +1088,33 @@ def q_pq_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ivfpq_recall_gate",
+    # the full FAISS-style composition: IVF pruning (4 of 16 trained
+    # partitions) -> ADC over 32x-compressed codes -> exact rerank of the
+    # 100-row shortlist. Deterministic per fixture; measured recall@10 =
+    # 0.9 (sf0.01) / 0.8 (sf0.1) on uniform random vectors, pinned >= 0.5.
+    oracle="""
+    SELECT TRUE AS recall_ok
+    """,
+    doc="IVF+PQ quality gate (operators/pq.py knn_ivfpq): partition "
+        "pruning chooses which vectors the query touches, PQ codes set "
+        "what each touched vector costs, exact rerank restores "
+        "precision; recall@10 vs brute force asserted >= 0.5.",
+    tags=("similarity", "pq", "ivf", "quality"),
+)
+def q_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import knn_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    exact = knn_bruteforce(emb, q, k=10).select("vec_id")
+    approx = knn_ivfpq(emb, q, k=10, n_probe=4, shortlist=100).select("vec_id")
+    return exact.join(approx, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)) >= 5).alias("recall_ok")
+    )
+
+
+@register(
     "q_dedup_quality_gate",
     # minhash signatures are xxhash-based (no DuckDB twin), but with a
     # fixed seed the pair set is DETERMINISTIC per fixture — so its

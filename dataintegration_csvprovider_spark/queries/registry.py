@@ -135,6 +135,7 @@ _GRADE_FIRST = [
     "q_repetition_stats",
     "q_temperature_sample",
     "q_pq_quality_gate",
+    "q_ivfpq_recall_gate",
     "q_embedding_neardup_trained",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",

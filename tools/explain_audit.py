@@ -51,6 +51,7 @@ NLJ_OK = {
     "q_hll_union",  # single-row merged-sketch estimate broadcast
     "q_temperature_sample",  # single-row Σweight aggregate broadcast
     "q_pq_quality_gate",  # 1x1-row recall/recon aggregate crossJoins + query-vector scan
+    "q_ivfpq_recall_gate",  # single-row query-vector cross, same as q_knn_*
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
