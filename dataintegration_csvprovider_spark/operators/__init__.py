@@ -2,24 +2,35 @@
 dedup, similarity search, text analysis, multimodal columns."""
 
 from .dedup import (  # noqa: F401
+    containment_pairs,
     dedup_exact,
-    minhash_signatures,
+    dedup_near_minhash,
+    dedup_spans_across_corpus,
     lsh_candidate_pairs,
     minhash_near_dup_pairs,
-    dedup_near_minhash,
+    minhash_signatures,
+    ngram_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
-    ngram_jaccard_pairs,
 )
+from .pq import (  # noqa: F401
+    knn_ivfpq,
+    pq_adc_topk,
+    pq_encode,
+    pq_knn,
+    train_pq_codebooks,
+)
+from .sampling import temperature_sample  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_similarity_expr,
+    embedding_near_dup_pairs,
     knn_bruteforce,
     knn_ivf,
-    embedding_near_dup_pairs,
 )
 from .textstats import (  # noqa: F401
-    token_count,
-    text_quality,
-    language_id,
     doc_fingerprint,
+    language_id,
+    repetition_stats,
+    text_quality,
+    token_count,
 )

@@ -714,6 +714,87 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Cross-corpus span dedup (the C4 line-dedup recipe on span units)
+# --------------------------------------------------------------------------
+
+
+def dedup_spans_across_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicate-span removal: split every document into
+    consecutive ``span_words``-word spans, keep each distinct span text
+    only at its first occurrence (lowest (doc_id, position)), and
+    reassemble the surviving spans in order — C4's
+    remove-duplicated-lines curation step (Raffel et al. 2020 §2.2) with
+    a fixed word window as the unit, since the unit boundary is a
+    parameter, not a semantic.
+
+    Scale shape: explode to (doc, pos, span) → one span-keyed shuffle
+    finds the global first occurrence (min struct aggregation, no
+    collect) → one doc-keyed shuffle reassembles. Both keys are the
+    natural partitioning of their stage; a duplicated span that appears
+    a million times costs one group, not a blowup.
+
+    Returns (id, clean_text, n_spans_kept, n_spans_total).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit("")
+    )
+    n_spans = F.ceil(F.size("__toks") / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice("__toks", i * span_words + 1, span_words)
+        ),
+    )
+    exploded = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("__id", F.posexplode(spans).alias("pos", "span"))
+    )
+    first = exploded.groupBy("span").agg(
+        F.min(F.struct("__id", "pos")).alias("first_at")
+    )
+    kept = exploded.join(first, "span").withColumn(
+        "keep",
+        (F.col("first_at.__id") == F.col("__id"))
+        & (F.col("first_at.pos") == F.col("pos")),
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("pos", "span")
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias(
+                "n_spans_kept"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans_total"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "clean_text",
+            "n_spans_kept",
+            "n_spans_total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Asymmetric containment (benchmark decontamination)
 # --------------------------------------------------------------------------
 

@@ -1381,6 +1381,48 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_span_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS pos
+      FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos,
+             array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS span
+      FROM p),
+    r AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos)
+               AS rn
+      FROM s)
+    SELECT doc_id,
+           COALESCE(string_agg(span, ' ' ORDER BY pos)
+                      FILTER (WHERE rn = 1), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_spans_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_spans_total
+    FROM r GROUP BY doc_id
+    """,
+    doc="C4-style cross-corpus duplicate-span removal (operators/"
+        "dedup.py dedup_spans_across_corpus): every 10-word span is kept "
+        "only at its globally-first (doc_id, pos) occurrence and the "
+        "surviving spans reassemble in order — one span-keyed shuffle "
+        "for the first-occurrence choice, one doc-keyed shuffle for "
+        "reassembly, no collect anywhere.",
+    tags=("text", "dedup", "curation"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_spans_across_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_spans_across_corpus(docs, span_words=10)
+
+
+@register(
     "q_contamination",
     oracle=f"""
     WITH g AS (SELECT doc_id, source, {_DUCK_BIGRAMS} AS grams

@@ -134,6 +134,8 @@ _GRADE_FIRST = [
     "q_multimodal_video_decode",
     "q_repetition_stats",
     "q_temperature_sample",
+    "q_span_dedup",
+    "q_stream_late_drop",
     "q_pq_quality_gate",
     "q_ivfpq_recall_gate",
     "q_embedding_neardup_trained",

@@ -550,3 +550,119 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sx").cast("double").alias("total_x"),
         )
     )
+
+
+@register(
+    "q_stream_late_drop",
+    # watermark semantics pinned as constants: the two-batch schedule
+    # below is fully deterministic (explicit file->batch order via
+    # mtimes, availableNow), so the exact set of emitted windows and the
+    # dropped late row are fixed facts the oracle states directly
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-03-01 00:00:00', 2),
+      ('2024-03-01 01:00:00', 1),
+      ('2024-03-01 05:00:00', 3)
+    ) AS t(win_start, n)
+    """,
+    doc="Watermark late-data semantics, end to end: batch 1's 05:00 "
+        "sentinel advances the event-time watermark to 04:00; Spark "
+        "activates an updated watermark one batch later (the late-row "
+        "filter uses the pre-batch value), so a spacer batch makes "
+        "04:00 operative before batch 3 delivers the LATE 00:30 row — "
+        "dropped, the 00:00 window keeps n=2. Append mode emits only "
+        "windows the final 22:00 watermark closed, so the 23:00 "
+        "sentinel's own window is deliberately absent. A regression in "
+        "watermark tracking, late-row filtering, or append finalization "
+        "changes the emitted set and fails the constants oracle.",
+    tags=("streaming", "watermark"),
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="late_stage_")
+    ck = tempfile.mkdtemp(prefix="late_ck_")
+
+    def write_file(rows: list[str], name: str, mtime: int) -> None:
+        df = spark.createDataFrame(
+            [(r,) for r in rows], "ts_str string"
+        ).select(F.col("ts_str").cast("timestamp").alias("ts"))
+        tmp = tempfile.mkdtemp(prefix="late_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = os.path.join(stage, name)
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    try:
+        # batch 1: two 00:xx rows, one 01:xx row, and a 05:00 sentinel
+        # that advances the watermark to 04:00 for the NEXT batch
+        write_file(
+            [
+                "2024-03-01 00:10:00",
+                "2024-03-01 00:20:00",
+                "2024-03-01 01:15:00",
+                "2024-03-01 05:00:00",
+            ],
+            "a.parquet",
+            1_000_000_000,
+        )
+        # batch 2 (spacer): one on-time row; its real purpose is to let
+        # the 04:00 watermark computed from batch 1 become the operative
+        # filter value (watermark activation lags one batch)
+        write_file(["2024-03-01 05:10:00"], "b_spacer.parquet", 1_000_010_000)
+        # batch 3: a LATE 00:30 row (< 04:00 watermark -> dropped), an
+        # on-time 05:30 row, and a 23:00 sentinel that closes every
+        # window up to 22:00
+        write_file(
+            [
+                "2024-03-01 00:30:00",
+                "2024-03-01 05:30:00",
+                "2024-03-01 23:00:00",
+            ],
+            "c.parquet",
+            1_000_020_000,
+        )
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        agg = (
+            feed.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        import uuid as _uuid
+
+        name = f"late_{_uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .select(
+                F.date_format("window.start", _TS_FMT_SPARK).alias(
+                    "win_start"
+                ),
+                F.col("n").cast("int").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)

@@ -162,3 +162,41 @@ def test_containment_threshold_pigeonhole_edge(spark):
     )
     out = containment_pairs(train, ev, threshold=0.8, method="prefix").collect()
     assert len(out) == 1 and abs(out[0].containment - 0.8) < 1e-9
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        dedup_spans_across_corpus,
+    )
+
+    # span unit = 3 words; "a b c" appears in doc 1 (pos 0), doc 1 again
+    # (pos 1), and doc 2 (pos 0) — only doc 1 pos 0 survives
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c x y z"),
+            (2, "a b c q r s"),
+            (3, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_spans_kept, r.n_spans_total)
+        for r in dedup_spans_across_corpus(df, span_words=3).collect()
+    }
+    assert out[1] == ("a b c x y z", 2, 3)
+    assert out[2] == ("q r s", 1, 2)
+    # 4 words -> spans "unique words only" + tail "here", both unique
+    assert out[3] == ("unique words only here", 2, 2)
+
+
+def test_span_dedup_fully_duplicated_doc_empties(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        dedup_spans_across_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.clean_text for r in
+           dedup_spans_across_corpus(df, span_words=3).collect()}
+    assert out == {1: "a b c", 2: ""}
