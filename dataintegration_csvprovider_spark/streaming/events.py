@@ -188,6 +188,47 @@ def run_to_completion(
     return stream_df.sparkSession.table(name)
 
 
+def run_with_progress(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> tuple[DataFrame, list[dict]]:
+    """Like :func:`run_to_completion`, but also returns the query's
+    per-batch :class:`StreamingQueryProgress` records as plain dicts.
+
+    The progress stream is the production observability contract for a
+    stateful query: ``stateOperators[*].numRowsTotal`` is the live state
+    cardinality (the thing that grows without bound when a watermark is
+    mis-set), ``numRowsUpdated``/``numRowsRemoved`` show churn and
+    eviction, and ``observedMetrics`` carries any ``df.observe`` counters.
+    A monitor that alerts on these is how a 1000-executor deployment
+    notices state-store leaks before executors start spilling — so the
+    engine pins their semantics in tests rather than treating them as
+    opaque."""
+    import json as _json
+
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [
+        p if isinstance(p, dict) else _json.loads(p.json) for p in q.recentProgress
+    ]
+    return stream_df.sparkSession.table(name), progresses
+
+
+def observe_rows(df: DataFrame, name: str = "engine_metrics") -> DataFrame:
+    """Attach an ``observe`` accumulator counting rows and null-keyed rows
+    flowing through this point of the (batch or streaming) plan. Free at
+    scale: observed metrics ride the existing tasks as accumulators — no
+    extra pass, no collect — and surface in ``observedMetrics`` of each
+    progress record (streaming) or via a QueryExecutionListener (batch)."""
+    return df.observe(name, F.count(F.lit(1)).alias("n_rows"))
+
+
 def stream_to_csv_sink(
     stream_df: DataFrame,
     sink,

@@ -238,3 +238,57 @@ def test_stateful_v2_transform_with_state(spark, tmp_path):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_progress_state_metrics_tumbling(spark, tmp_path):
+    # stateOperators.numRowsTotal is the live state cardinality: for a
+    # complete-mode windowed agg over one availableNow pass it must equal
+    # the emitted (window, group) row count — the invariant a state-store
+    # monitor alerts on at scale.
+    from dataintegration_csvprovider_spark.streaming.events import (
+        observe_rows,
+        run_with_progress,
+    )
+
+    events, stream = _staged_stream(spark, tmp_path)
+    out, progresses = run_with_progress(
+        tumbling_agg(observe_rows(stream), window="1 hour"), "complete"
+    )
+    n_groups = out.count()
+    assert progresses, "availableNow run must record at least one progress"
+    state_totals = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_totals and max(state_totals) == n_groups
+    # every input row passed the observe point exactly once
+    observed = [
+        p["observedMetrics"]["engine_metrics"]["n_rows"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("engine_metrics")
+    ]
+    assert sum(observed) == events.count()
+
+
+def test_progress_state_metrics_dedup(spark, tmp_path):
+    # within-watermark dedup keeps one state row per distinct key seen
+    # inside the horizon; with a single batch that is every distinct key.
+    from dataintegration_csvprovider_spark.streaming.events import (
+        run_with_progress,
+    )
+
+    events, stream = _staged_stream(spark, tmp_path)
+    out, progresses = run_with_progress(
+        dedup_within_watermark(stream, keys=("user_id", "event_type")), "append"
+    )
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+    state_totals = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_totals and max(state_totals) == n_keys

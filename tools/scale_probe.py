@@ -1,0 +1,130 @@
+"""Dedup-family scale probe: measured growth from sf0.1 to ~sf1.
+
+Builds scaled copies of the sf0.1 ``documents`` table (multipliers 1x /
+3x / 10x — 10x ~= sf1's ~50k docs) and times each dedup operator
+end-to-end at every scale. Each copy k gets a disjoint doc_id range and a
+copy-specific token prefix on every word, so cross-copy similarity is
+zero: the corpus grows k-fold while each copy keeps exactly the original
+duplicate structure. That isolates *throughput* scaling from
+*candidate-volume* blowup — a probe that duplicated text verbatim would
+instead measure the pair explosion of an adversarial all-duplicates
+corpus.
+
+Usage:
+    python tools/scale_probe.py [--multipliers 1 3 10]
+
+Prints one JSON object: {"rows": {mult: n}, "secs": {op: {mult: sec}},
+"ratios": {op: sec@10x / sec@1x}}. Linear-ish ops should show ratio ~10
+or less (overhead-dominated); anything super-linear is a scale bug.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dataintegration_csvprovider_spark.operators import dedup  # noqa: E402
+from dataintegration_csvprovider_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, mult: int, out_dir: str) -> None:
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = []
+    for k in range(mult):
+        tagged = base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            # prefix every word with a copy tag: intra-copy shingle
+            # structure is preserved, cross-copy overlap is nil
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(F.lit(f"c{k}_"), w),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        copies.append(tagged)
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(out_dir)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def probe_ops(spark, path: str) -> dict[str, float]:
+    docs = spark.read.parquet(path)
+    ops = {
+        "exact": lambda d: dedup.dedup_exact(d, ["text"], "doc_id"),
+        "minhash_pairs": lambda d: dedup.minhash_near_dup_pairs(d),
+        "simhash_pairs": lambda d: dedup.simhash_near_dup_pairs(d),
+        "ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
+        "span_dedup": lambda d: dedup.dedup_spans_across_corpus(d),
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(docs))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scale_probe")
+    root = tempfile.mkdtemp(prefix="scale_probe_")
+    rows: dict[int, int] = {}
+    secs: dict[str, dict[int, float]] = {}
+    try:
+        warmed = False
+        for mult in args.multipliers:
+            d = f"{root}/x{mult}"
+            build_scaled(spark, mult, d)
+            rows[mult] = spark.read.parquet(d).count()
+            if not warmed:
+                # session warm-up: run the whole op set once untimed so
+                # the first measured scale doesn't absorb JVM/codegen/
+                # Python-worker startup (measured ~2x inflation otherwise)
+                probe_ops(spark, d)
+                warmed = True
+            for op, s in probe_ops(spark, d).items():
+                secs.setdefault(op, {})[mult] = s
+            print(f"# x{mult}: rows={rows[mult]} {secs_at(secs, mult)}",
+                  file=sys.stderr)
+        lo, hi = min(args.multipliers), max(args.multipliers)
+        ratios = {
+            op: round(by_mult[hi] / max(by_mult[lo], 1e-9), 2)
+            for op, by_mult in secs.items()
+        }
+        print(json.dumps({"rows": rows, "secs": secs, "ratios": ratios}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def secs_at(secs: dict[str, dict[int, float]], mult: int) -> str:
+    return " ".join(f"{op}={by[mult]}" for op, by in secs.items() if mult in by)
+
+
+if __name__ == "__main__":
+    main()
