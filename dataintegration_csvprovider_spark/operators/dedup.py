@@ -416,18 +416,38 @@ DENSE_MAX_DOCS = 200_000
 DENSE_MAX_CELLS = 512_000_000
 DENSE_MAX_MULS = 2_000_000_000_000
 
+#: mid-band gate: choose the plain inverted-index join when its exact
+#: join size Σdf² stays under this many rows. The bound is absolute
+#: work, not a scale factor — 2e9 joined (id,id) rows is ~30-60 s on one
+#: 32-core node and trivial for a 1000-executor cluster, while the
+#: PPJoin prefix path measured 4.7× slower in this regime (uniform
+#: vocabulary ⇒ no rare-gram tail ⇒ prefix-to-prefix candidates are the
+#: same order as Σdf², but each candidate then drags full gram arrays
+#: through a distinct + array_intersect verify).
+INDEX_MAX_WORK = 2_000_000_000
 
-def _choose_jaccard_method(n_docs: int, n_grams: int) -> str:
-    """Pick the exact-Jaccard strategy from two cheap corpus stats.
+
+def _choose_jaccard_method(
+    n_docs: int, n_grams: int, sum_df2: int | None = None
+) -> str:
+    """Pick the exact-Jaccard strategy from cheap corpus stats.
 
     ``dense`` — broadcast packed-bitset + blocked matmul — wins when the
     vocabulary is so small/uniform that every gram is a stopword-gram
     (inverted-index join size Σdf² → n_docs²·avg_set, quadratic), AND the
     whole corpus bitset fits in a broadcast with bounded pairwise work.
-    Outside that box the PPJoin ``prefix`` path is the scale default:
-    web-scale corpora have Zipfian vocabularies, so each doc's prefix is
-    a handful of genuinely rare grams and the index join touches only the
-    rare tail. Both are exact; the regimes where each wins are pinned by
+
+    ``index`` — plain inverted-index join — wins the mid band where the
+    bitset matrix no longer fits/pays but the exact join size ``sum_df2``
+    (Σ over grams of document-frequency², one cheap aggregation) is still
+    bounded: measured 33.6 s vs prefix's 156.7 s at a 50k-doc ~9.3k-gram
+    uniform-vocabulary probe (tools/scale_probe.py 10×).
+
+    ``prefix`` — PPJoin — is the open-scale default: web-scale corpora
+    have Zipfian vocabularies, so each doc's prefix is a handful of
+    genuinely rare grams and the index join touches only the rare tail
+    (Σdf² itself is unbounded there, which is exactly when the gate
+    above fails). All three are exact; the regimes are pinned by
     measurement in tests/test_dedup_methods.py."""
     if (
         n_docs <= DENSE_MAX_DOCS
@@ -435,6 +455,8 @@ def _choose_jaccard_method(n_docs: int, n_grams: int) -> str:
         and n_docs * n_docs * n_grams <= DENSE_MAX_MULS
     ):
         return "dense"
+    if sum_df2 is not None and sum_df2 <= INDEX_MAX_WORK:
+        return "index"
     return "prefix"
 
 
@@ -552,9 +574,10 @@ def ngram_jaccard_pairs(
     method: str = "auto",
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets. Three strategies,
-    all exact; ``method='auto'`` (default) picks per-corpus from two
-    cheap stats (doc count, vocab size — one extra aggregation pass over
-    the persisted gram sets):
+    all exact; ``method='auto'`` (default) picks per-corpus from three
+    cheap stats (doc count, vocab size, and — outside the dense box —
+    the exact inverted-index join size Σdf²; each is one metadata fetch
+    or aggregation pass):
 
     - ``dense`` (auto, small-corpus regime): broadcast packed-bitset +
       blocked matmul. Chosen when the vocabulary is tiny/uniform — the
@@ -571,11 +594,12 @@ def ngram_jaccard_pairs(
       rare-gram tail; Zipfian web-scale vocabularies make that tail a
       handful of grams per doc. Candidates verify exactly via
       array_intersect.
-    - ``index`` (manual override): full inverted-index join — wins only
-      in the mid-size band where Σdf² is manageable but the bitset matrix
-      no longer fits (measured: 3× faster than prefix at sf0.1,
-      Σdf²=73M; 4.8× at a 15k-doc blow-up — but both lose to dense
-      there, and index grows ~quadratically exactly as Σdf² predicts).
+    - ``index`` (auto, mid band): full inverted-index join — wins when
+      Σdf² is bounded (:data:`INDEX_MAX_WORK`) but the bitset matrix no
+      longer fits/pays (measured: 3× faster than prefix at sf0.1,
+      Σdf²=73M; 4.7× at the 50k-doc 10× probe, Σdf²≈640M — and index
+      grows ~quadratically exactly as Σdf² predicts, which is why the
+      gate is on Σdf² itself, computed exactly by one aggregation).
 
     ``max_token_doc_freq`` hard-drops ultra-common grams before pairing
     (approximate — a pair sharing only dropped grams is lost; off by
@@ -620,9 +644,23 @@ def ngram_jaccard_pairs(
                 and _choose_jaccard_method(n_docs, len(rows)) == "dense"
             ):
                 vocab = sorted(r["gram"] for r in rows)
-        method = "dense" if vocab is not None else "prefix"
-        if method == "dense":
+        if vocab is not None:
             return _dense_jaccard_pairs(grams, threshold, vocab=vocab)
+        # outside the dense box: one more cheap aggregation gives the
+        # EXACT inverted-index join size Σdf²; bounded ⇒ index beats the
+        # prefix path's candidate-verify machinery (measured 4.7× at the
+        # 10× uniform-vocabulary probe), unbounded ⇒ Zipfian rare tail
+        # exists and prefix is the only non-quadratic plan
+        sum_df2 = (
+            grams.select(F.explode("grams").alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("w"))
+            .collect()[0]["w"]
+        )
+        method = _choose_jaccard_method(
+            n_docs, DENSE_MAX_CELLS, sum_df2=int(sum_df2 or 0)
+        )
 
     if method == "dense":
         return _dense_jaccard_pairs(grams, threshold)

@@ -200,3 +200,25 @@ def test_span_dedup_fully_duplicated_doc_empties(spark):
     out = {r.doc_id: r.clean_text for r in
            dedup_spans_across_corpus(df, span_words=3).collect()}
     assert out == {1: "a b c", 2: ""}
+
+
+def test_choose_index_mid_band():
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        INDEX_MAX_WORK,
+    )
+
+    # the 10x scale-probe regime: 50k docs, ~9.3k uniform grams — dense
+    # is muls-bound, but the exact join size (~640M) is bounded, so the
+    # inverted index wins (measured 33.6 s vs prefix's 156.7 s)
+    assert (
+        _choose_jaccard_method(50_000, 9_310, sum_df2=640_000_000) == "index"
+    )
+    # unbounded join size (stopword-grams on a web corpus): prefix
+    assert (
+        _choose_jaccard_method(50_000, 9_310, sum_df2=INDEX_MAX_WORK + 1)
+        == "prefix"
+    )
+    # no stat provided (pre-gate callers): conservative prefix default
+    assert _choose_jaccard_method(1_000_000, 50_000) == "prefix"
+    # dense box still wins ahead of the mid-band gate
+    assert _choose_jaccard_method(5_000, 931, sum_df2=73_000_000) == "dense"
