@@ -67,6 +67,7 @@ class Engine:
     dedup_exact = staticmethod(dedup_ops.dedup_exact)
     dedup_near_minhash = staticmethod(dedup_ops.dedup_near_minhash)
     minhash_near_dup_pairs = staticmethod(dedup_ops.minhash_near_dup_pairs)
+    incremental_near_dup_flags = staticmethod(dedup_ops.incremental_near_dup_flags)
     simhash_near_dup_pairs = staticmethod(dedup_ops.simhash_near_dup_pairs)
     ngram_jaccard_pairs = staticmethod(dedup_ops.ngram_jaccard_pairs)
     knn_bruteforce = staticmethod(sim_ops.knn_bruteforce)

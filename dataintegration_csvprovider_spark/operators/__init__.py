@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     dedup_exact,
     dedup_near_minhash,
     dedup_spans_across_corpus,
+    incremental_near_dup_flags,
     lsh_candidate_pairs,
     minhash_near_dup_pairs,
     minhash_signatures,

@@ -158,16 +158,16 @@ def _eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
-def lsh_candidate_pairs(
+def _band_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, band-hash) buckets.
-    Returns candidate (a, b) pairs with a < b, deduplicated across bands.
-    Shuffle key = (band index, band hash): uniformly distributed unless
-    the corpus is degenerate, and AQE skew-join splits hot buckets."""
+    """Explode each signature into its LSH band buckets: one (id, band,
+    bucket) row per band, where bucket = hash of that band's signature
+    slice. The bucket index is the joinable form of a corpus's minhash
+    state — equi-joins on (band, bucket) replace all-pairs work."""
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.struct(
@@ -183,10 +183,23 @@ def lsh_candidate_pairs(
             ).alias("bucket"),
         ),
     )
-    exploded = (
+    return (
         sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("bb"))
         .select("id", "bb.band", "bb.bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) buckets.
+    Returns candidate (a, b) pairs with a < b, deduplicated across bands.
+    Shuffle key = (band index, band hash): uniformly distributed unless
+    the corpus is degenerate, and AQE skew-join splits hot buckets."""
+    exploded = _band_buckets(sigs, id_col, num_bands, rows_per_band)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -284,6 +297,82 @@ def dedup_near_minhash(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_near_dup_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    num_bands: int = 16,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Flag documents in an incoming ``batch`` that are near-duplicates
+    of ANY document already in ``corpus`` — the daily-ingestion shape of
+    minhash dedup. Returns (id, max_est_jaccard, n_corpus_dups) per
+    flagged batch doc.
+
+    At 100 TB the point is what this does NOT do: no corpus×corpus pair
+    work, no recompute of previous batches. The corpus contributes only
+    its signature table — pass a persisted ``corpus_sigs`` snapshot
+    (:func:`minhash_signatures` output, stored once per corpus version,
+    appended as batches are accepted) and the per-batch cost is hashing
+    the batch plus one (band, bucket) equi-join against the corpus
+    bucket index; the corpus side streams through the join shuffle
+    without ever pairing with itself. Candidates verify by exact
+    signature overlap (unbiased Jaccard estimate), same contract as
+    :func:`minhash_near_dup_pairs`."""
+    rows_per_band = num_hashes // num_bands
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            _with_content(corpus, text_col, min_words=shingle_size),
+            text_col,
+            id_col,
+            num_hashes,
+            shingle_size,
+        )
+    batch_sigs = minhash_signatures(
+        _with_content(batch, text_col, min_words=shingle_size),
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_size,
+    ).persist()
+    cb = _band_buckets(batch_sigs, id_col, num_bands, rows_per_band)
+    cc = _band_buckets(corpus_sigs, id_col, num_bands, rows_per_band)
+    cands = (
+        cb.join(cc.withColumnRenamed("id", "corpus_id"), ["band", "bucket"])
+        .select("id", "corpus_id")
+        .distinct()
+    )
+    sb = batch_sigs.select(F.col(id_col).alias("id"), F.col("signature").alias("sig_b"))
+    sc = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_c")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    ).cast("double")
+    flags = (
+        cands.join(sb, "id")
+        .join(sc, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.max("est_jaccard").alias("max_est_jaccard"),
+            F.count(F.lit(1)).alias("n_corpus_dups"),
+        )
+    )
+    return _eager_release(flags, batch_sigs)
 
 
 # --------------------------------------------------------------------------

@@ -1637,3 +1637,176 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_representative", F.col("vec_id") == F.col("cluster")
         )
     )
+
+
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2]))"
+)
+
+
+@register(
+    "q_dedup_incremental",
+    # the minhash flags are xxhash-seeded (no DuckDB twin) but
+    # deterministic per fixture, so their quality against the exact
+    # trigram-Jaccard truth is a fixed fact: the oracle recomputes
+    # n_exact (how many batch docs truly have a corpus near-dup) and
+    # pins the recall/precision booleans.
+    oracle=f"""
+    WITH g AS (SELECT doc_id, source, {_DUCK_TRIGRAMS} AS grams
+               FROM documents),
+    b AS (SELECT * FROM g
+          WHERE source IN ('src0','src1','src2','src3','src4')
+            AND len(grams) > 0),
+    c AS (SELECT * FROM g
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')
+            AND len(grams) > 0),
+    x AS (
+      SELECT DISTINCT b.doc_id FROM b JOIN c ON
+        CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE) /
+        (len(b.grams) + len(c.grams) - len(list_intersect(b.grams, c.grams)))
+        >= 0.5
+    )
+    SELECT CAST((SELECT count(*) FROM x) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    """,
+    doc="Incremental (batch-vs-corpus) minhash dedup "
+        "(operators/dedup.py incremental_near_dup_flags): incoming "
+        "batch docs (sources src0-src4) are flagged when they near-"
+        "duplicate ANY existing corpus doc — corpus signatures probe "
+        "once per snapshot, batch hashes only itself, one (band, "
+        "bucket) equi-join, NO corpus×corpus pair work: the daily-"
+        "ingestion path at 100 TB. Gate: recall and precision >= 0.8 "
+        "vs the exact trigram-Jaccard >= 0.5 cross-pairs (measured "
+        "1.0/1.0 at sf0.01 under the fixed hash seed).",
+    tags=("dedup", "minhash", "incremental", "quality"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_near_dup_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    batch = docs.filter(F.col("source").isin(batch_srcs))
+    corpus = docs.filter(~F.col("source").isin(batch_srcs))
+    flagged = incremental_near_dup_flags(
+        corpus, batch, threshold=0.5
+    ).select("doc_id")
+
+    # exact truth: trigram-Jaccard cross pairs from the self-join
+    # operator, restricted to batch-vs-corpus endpoints
+    src = docs.select("doc_id", "source")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    sided = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a"), F.col("source").alias("src_a")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b"), F.col("source").alias("src_b")
+            ),
+            "b",
+        )
+    )
+    in_b = F.col("src_a").isin(batch_srcs)
+    in_c = ~F.col("src_b").isin(batch_srcs)
+    in_b2 = F.col("src_b").isin(batch_srcs)
+    in_c2 = ~F.col("src_a").isin(batch_srcs)
+    exact_ids = (
+        sided.filter((in_b & in_c) | (in_b2 & in_c2))
+        .select(
+            F.when(in_b, F.col("a")).otherwise(F.col("b")).alias("doc_id")
+        )
+        .distinct()
+    )
+    hits = exact_ids.join(flagged, "doc_id", "left_semi")
+    return (
+        exact_ids.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flag")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_hit") >= 0.8 * F.col("n_exact"))
+            ).alias("recall_ok"),
+            (
+                (F.col("n_flag") == 0)
+                | (F.col("n_hit") >= 0.8 * F.col("n_flag"))
+            ).alias("precision_ok"),
+        )
+    )
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT CASE WHEN component % 10 < 8 THEN 'train'
+                WHEN component % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY 1
+    """,
+    doc="Leakage-safe train/valid/test split: near-duplicate clusters "
+        "(exact bigram-Jaccard >= 0.5 pairs through connected "
+        "components) are assigned to splits AS WHOLE UNITS by component-"
+        "id modulus, so no near-duplicate pair ever straddles the "
+        "train/eval boundary — the doc-level modulus split "
+        "(q_train_test_split) leaks: a duplicated doc can land in train "
+        "while its twin lands in test. Deterministic, RNG-free, stable "
+        "under corpus growth for existing clusters. The oracle "
+        "recomputes the transitive closure with a recursive CTE and the "
+        "same modulus.",
+    tags=("dedup", "mlprep", "sample", "components"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    labels = connected_components(pairs, src="a", dst="b")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    split = (
+        F.when(F.col("component") % 10 < 8, F.lit("train"))
+        .when(F.col("component") % 10 == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("component").cast("bigint").alias("n_components"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

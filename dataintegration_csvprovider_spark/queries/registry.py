@@ -139,6 +139,8 @@ _GRADE_FIRST = [
     "q_pq_quality_gate",
     "q_ivfpq_recall_gate",
     "q_embedding_neardup_trained",
+    "q_dedup_incremental",
+    "q_leakage_safe_split",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -222,3 +222,45 @@ def test_choose_index_mid_band():
     assert _choose_jaccard_method(1_000_000, 50_000) == "prefix"
     # dense box still wins ahead of the mid-band gate
     assert _choose_jaccard_method(5_000, 931, sum_df2=73_000_000) == "dense"
+
+
+def test_incremental_near_dup_flags(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        incremental_near_dup_flags,
+        minhash_signatures,
+        _with_content,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark plans"),
+         (3, "yet another unrelated corpus document entirely")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base + " tail"),      # near-dup of corpus doc 1
+         (101, "fresh novel content sharing nothing with the corpus")],
+        "doc_id long, text string",
+    )
+    flags = incremental_near_dup_flags(corpus, batch, threshold=0.5)
+    rows = {r.doc_id: r for r in flags.collect()}
+    assert set(rows) == {100}
+    assert rows[100].max_est_jaccard >= 0.5
+    assert rows[100].n_corpus_dups == 1
+
+    # precomputed-signature path (the production snapshot reuse) gives
+    # the identical answer without touching corpus text again
+    sigs = minhash_signatures(_with_content(corpus, "text", 3), "text")
+    flags2 = incremental_near_dup_flags(
+        corpus.limit(0), batch, threshold=0.5, corpus_sigs=sigs
+    )
+    assert {r.doc_id: r.n_corpus_dups for r in flags2.collect()} == {100: 1}
+
+    # batch docs never pair with each other: two identical batch docs
+    # with no corpus twin stay unflagged
+    twin_batch = spark.createDataFrame(
+        [(200, "twin text unique to this batch only"),
+         (201, "twin text unique to this batch only")],
+        "doc_id long, text string",
+    )
+    assert incremental_near_dup_flags(corpus, twin_batch).count() == 0
