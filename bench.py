@@ -64,6 +64,11 @@ HEADLINE = (
     "q_repetition_stats",
     "q_temperature_sample",
     "q_multimodal_video_decode",
+    # NOT q_dedup_incremental: that query is a quality GATE — its cost
+    # is the exact trigram-Jaccard verification harness, not the
+    # incremental operator (which is one band-bucket equi-join)
+    "q_leakage_safe_split",
+    "q_gap_fill_interp",
 )
 
 

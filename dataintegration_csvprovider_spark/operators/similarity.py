@@ -255,12 +255,29 @@ def assign_ivf_partitions_multi(
     )
 
 
+#: adaptive-IVF partition sizing: target vectors per partition. With k =
+#: ceil(n / target), within-partition pair work is k·(n/k)² = n·target —
+#: LINEAR in corpus size. A fixed k would be n²/k, quadratic: measured
+#: 15.8× wall at 10× data before this (tools/scale_probe.py --family
+#: similarity). 500 is conservative next to FAISS practice (cells of
+#: ~60-250 vectors at 1M scale) — recall-friendly at n_probe=2.
+IVF_TARGET_BUCKET = 500
+IVF_MIN_CENTROIDS = 16
+
+
+def _ivf_k(n: int, target_bucket: int = IVF_TARGET_BUCKET) -> int:
+    """Centroid count for an n-vector corpus: enough partitions to keep
+    ~target_bucket vectors in each, never fewer than IVF_MIN_CENTROIDS
+    (k-means under ~16 centers loses blocking power on small corpora)."""
+    return max(IVF_MIN_CENTROIDS, -(-n // target_bucket))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     centroids: DataFrame | None = None,
     n_probe: int = 2,
     train: bool = True,
@@ -280,8 +297,17 @@ def embedding_near_dup_pairs(
     partitions. Pass ``centroids`` to reuse a trained snapshot across
     jobs (train once per corpus version), ``train=False`` for the
     dependency-free seed-centroid behavior. Recall vs the exact answer
-    is pinned by the q_embedding_neardup_trained gate."""
+    is pinned by the q_embedding_neardup_trained gate.
+
+    ``num_centroids=None`` (default) sizes k adaptively as
+    ceil(n / :data:`IVF_TARGET_BUCKET`): fixed-size partitions make the
+    within-partition pair work k·(n/k)² = n·target — linear in corpus
+    size — where any FIXED k is n²/k, quadratic (measured 15.8× wall at
+    10× data with k=16 before this). The count() is metadata-cheap on
+    parquet sources; pass an explicit k to skip it."""
     df = _with_valid_vectors(df, vec_col)
+    if num_centroids is None:
+        num_centroids = _ivf_k(df.count())
     if centroids is None:
         if train:
             centroids = trained_ivf_centroids(
@@ -299,21 +325,103 @@ def embedding_near_dup_pairs(
     assigned = assign_ivf_partitions_multi(
         df, centroids, n_probe=n_probe, vec_col=vec_col, id_col=id_col
     )
-    l = assigned.select(
-        F.col(id_col).alias("a"), F.col("centroid_id"), F.col(vec_col).alias("va")
+    pairs = _bucket_pair_scores(
+        assigned, threshold, vec_col=vec_col, id_col=id_col
     )
-    r = assigned.select(
-        F.col(id_col).alias("b"), F.col("centroid_id"), F.col(vec_col).alias("vb")
-    )
-    pairs = l.join(r, ["centroid_id"]).filter(F.col("a") < F.col("b"))
-    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
     return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
         # multi-probe can surface the same pair from two shared
         # partitions; the groupBy dedupes (cosine is identical per copy)
-        .groupBy("a", "b")
-        .agg(F.min("cosine").alias("cosine"))
+        pairs.groupBy("a", "b").agg(F.min("cosine").alias("cosine"))
+    )
+
+
+def _bucket_pair_scores(
+    assigned: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score every within-partition pair with one Arrow batch per IVF
+    partition (``applyInPandas`` keyed by centroid_id) instead of a
+    self-join + per-pair HOF cosine: the join shape materializes two
+    64-float arrays per candidate row and evaluates the fold interpreted
+    (HOFs get no codegen) — measured ~100k pairs/s across 32 cores,
+    i.e. 90 s for one 6k-vector corpus. The batch path does the same
+    arithmetic vectorized: ~2 orders of magnitude faster, no pair-row
+    shuffle (the only shuffle is the groupBy on centroid_id, which the
+    assignment already keys).
+
+    Determinism contract (same as :func:`arrow_score`): float32 widens
+    to float64 before any arithmetic, and dot/norm accumulate
+    DIMENSION-SEQUENTIALLY (vectorized across pairs, ``acc += x_i*y_i``
+    across dims) — bit-equal to the ``aggregate``-fold expression
+    :func:`cosine_similarity_expr` compiles to, so swapping backends
+    can never flip a threshold comparison. Block-pair loops bound the
+    per-task score matrix at 2048² float64 (~32 MB) even on a skewed
+    partition."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"a {id_type}, b {id_type}, cosine double"
+    thr = float(threshold)
+    block = 2048
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def score(key, pdf: "pd.DataFrame"):
+        m = len(pdf)
+        if m < 2:
+            return _empty()
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        d = X.shape[1]
+        sq = np.zeros(m)
+        for i in range(d):
+            sq = sq + X[:, i] * X[:, i]
+        norms = np.sqrt(sq)
+        parts = []
+        for bi in range(0, m, block):
+            A = X[bi : bi + block]
+            na = norms[bi : bi + block]
+            for bj in range(bi, m, block):
+                B = X[bj : bj + block]
+                nb = norms[bj : bj + block]
+                acc = np.zeros((len(A), len(B)))
+                for i in range(d):
+                    acc = acc + np.multiply.outer(A[:, i], B[:, i])
+                cos = acc / np.multiply.outer(na, nb)
+                mask = cos >= thr
+                if bi == bj:
+                    mask &= np.triu(np.ones(mask.shape, dtype=bool), k=1)
+                if mask.any():
+                    ai, bx = np.nonzero(mask)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "a": ids[bi + ai],
+                                "b": ids[bj + bx],
+                                "cosine": cos[ai, bx],
+                            }
+                        )
+                    )
+        return pd.concat(parts, ignore_index=True) if parts else _empty()
+
+    return (
+        assigned.select("centroid_id", id_col, vec_col)
+        .groupBy("centroid_id")
+        .applyInPandas(score, out_schema)
     )
 
 

@@ -95,6 +95,7 @@ _GRADE_FIRST = [
     "q_anomaly_zscore",
     "q_rolling_corr",
     "q_rolling_median",
+    "q_gap_fill_interp",
     # product analytics
     "q_funnel",
     "q_retention_cohorts",

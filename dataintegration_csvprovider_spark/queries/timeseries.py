@@ -369,3 +369,123 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_window") >= 12)
     )
+
+
+@register(
+    "q_gap_fill_interp",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
+             {sql_dsum('value')} AS v
+      FROM events
+      WHERE user_id < 10
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS bucket_hour
+      FROM (SELECT user_id, MIN(bucket_hour) AS hmin, MAX(bucket_hour) AS hmax
+            FROM buckets GROUP BY user_id)
+    ),
+    joined AS (
+      SELECT s.user_id, s.bucket_hour, b.v
+      FROM spine s LEFT JOIN buckets b
+        ON b.user_id = s.user_id AND b.bucket_hour = s.bucket_hour
+    ),
+    edges AS (
+      SELECT user_id, bucket_hour, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket_hour END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket_hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket_hour END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket_hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined
+    )
+    SELECT user_id, bucket_hour,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) *
+                     ((CAST(epoch(bucket_hour) AS DOUBLE) -
+                       CAST(epoch(ph) AS DOUBLE)) /
+                      (CAST(epoch(nh) AS DOUBLE) -
+                       CAST(epoch(ph) AS DOUBLE)))
+           END AS filled_value,
+           v IS NULL AS was_gap
+    FROM edges
+    """,
+    doc="Hourly per-user grid with LINEAR interpolation across gaps: "
+        "each missing bucket gets the time-weighted blend of the "
+        "nearest observed values on either side (LOCF's step function "
+        "is wrong for rates/levels that drift). Same distributed "
+        "sequence() spine as q_gap_fill_locf; the neighbor values and "
+        "timestamps come from four ignore-nulls running-edge windows, "
+        "all partitioned by user — no self-join, no single-partition "
+        "window. Leading/trailing gaps cannot occur (the spine spans "
+        "each series' own observed range), so the blend is total. The "
+        "interpolation expression is parenthesized identically in both "
+        "engines: IEEE-exact, hash-stable.",
+    tags=("timeseries", "window", "join"),
+)
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    buckets = (
+        ev.withColumn("bucket_hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("user_id", "bucket_hour")
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    spine = (
+        buckets.groupBy("user_id")
+        .agg(
+            F.min("bucket_hour").alias("hmin"),
+            F.max("bucket_hour").alias("hmax"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_hour"),
+        )
+    )
+    joined = spine.join(buckets, ["user_id", "bucket_hour"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("bucket_hour"))
+    edges = joined.select(
+        "user_id",
+        "bucket_hour",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    frac = (
+        F.unix_timestamp("bucket_hour").cast("double")
+        - F.unix_timestamp("ph").cast("double")
+    ) / (
+        F.unix_timestamp("nh").cast("double")
+        - F.unix_timestamp("ph").cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return edges.select(
+        "user_id",
+        "bucket_hour",
+        filled.alias("filled_value"),
+        F.col("v").isNull().alias("was_gap"),
+    )

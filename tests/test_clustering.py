@@ -41,3 +41,21 @@ def test_grouped_linear_fit_exact_line(spark):
     assert abs(out["g1"].intercept - 1.0) < 1e-12
     assert abs(out["g2"].slope + 0.5) < 1e-12
     assert abs(out["g2"].intercept - 3.0) < 1e-12
+
+
+def test_ivf_k_adaptive_sizing():
+    from dataintegration_csvprovider_spark.operators.similarity import (
+        IVF_MIN_CENTROIDS,
+        IVF_TARGET_BUCKET,
+        _ivf_k,
+    )
+
+    # small corpora clamp to the minimum (k-means needs enough points)
+    assert _ivf_k(0) == IVF_MIN_CENTROIDS
+    assert _ivf_k(2_000) == IVF_MIN_CENTROIDS
+    # beyond min*target vectors, partitions stay ~target-sized: the
+    # within-partition pair work k*(n/k)^2 = n*target is LINEAR in n
+    assert _ivf_k(20_000) == -(-20_000 // IVF_TARGET_BUCKET)
+    n = 10_000_000
+    k = _ivf_k(n)
+    assert abs(n / k - IVF_TARGET_BUCKET) <= 1

@@ -52,6 +52,8 @@ NLJ_OK = {
     "q_temperature_sample",  # single-row Σweight aggregate broadcast
     "q_pq_quality_gate",  # 1x1-row recall/recon aggregate crossJoins + query-vector scan
     "q_ivfpq_recall_gate",  # single-row query-vector cross, same as q_knn_*
+    "q_embedding_neardup_trained",  # 16-row trained-centroid broadcast cross
+    "q_dedup_incremental",  # 1x1x1-row crossJoin of gate-count aggregates
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API

@@ -69,6 +69,69 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def build_scaled_embeddings(spark, mult: int, out_dir: str) -> None:
+    """Scaled embeddings: copy k flips the sign of dimension i when
+    xxhash64(k, i) is odd. A deterministic per-copy sign pattern keeps
+    every within-copy geometry (pairwise cosines, norms) EXACTLY intact
+    while making cross-copy cosines ~0 on average — the corpus grows
+    k-fold without inventing new near-dup structure, so ANN/near-dup
+    timings measure throughput, not a pair explosion."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = []
+    for k in range(mult):
+        signs = F.transform(
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda i: F.when(
+                F.xxhash64(F.lit(k), i) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        copies.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    signs,
+                    lambda x, s: (x * s).cast("float"),
+                ).cast("array<float>").alias("embedding"),
+                "label",
+            )
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(out_dir)
+
+
+def probe_similarity(spark, path: str) -> dict[str, float]:
+    from dataintegration_csvprovider_spark.operators import similarity
+    from dataintegration_csvprovider_spark.operators.pq import knn_ivfpq
+
+    emb = spark.read.parquet(path)
+    qvec = [
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    ops = {
+        "knn_brute": lambda d: similarity.knn_bruteforce(d, qvec, k=10),
+        "knn_ivf": lambda d: similarity.knn_ivf(d, qvec, k=10),
+        "ivfpq": lambda d: knn_ivfpq(d, qvec, k=10, n_probe=4, shortlist=100),
+        "neardup_trained": lambda d: similarity.embedding_near_dup_pairs(
+            d, threshold=0.95
+        ),
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(emb))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
 def probe_ops(spark, path: str) -> dict[str, float]:
     docs = spark.read.parquet(path)
     ops = {
@@ -90,7 +153,16 @@ def probe_ops(spark, path: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
+    ap.add_argument(
+        "--family",
+        choices=["dedup", "similarity"],
+        default="dedup",
+        help="dedup probes the documents table; similarity the embeddings",
+    )
     args = ap.parse_args()
+
+    build = build_scaled if args.family == "dedup" else build_scaled_embeddings
+    probe = probe_ops if args.family == "dedup" else probe_similarity
 
     spark = get_spark(app_name="scale_probe")
     root = tempfile.mkdtemp(prefix="scale_probe_")
@@ -100,15 +172,15 @@ def main() -> None:
         warmed = False
         for mult in args.multipliers:
             d = f"{root}/x{mult}"
-            build_scaled(spark, mult, d)
+            build(spark, mult, d)
             rows[mult] = spark.read.parquet(d).count()
             if not warmed:
                 # session warm-up: run the whole op set once untimed so
                 # the first measured scale doesn't absorb JVM/codegen/
                 # Python-worker startup (measured ~2x inflation otherwise)
-                probe_ops(spark, d)
+                probe(spark, d)
                 warmed = True
-            for op, s in probe_ops(spark, d).items():
+            for op, s in probe(spark, d).items():
                 secs.setdefault(op, {})[mult] = s
             print(f"# x{mult}: rows={rows[mult]} {secs_at(secs, mult)}",
                   file=sys.stderr)
