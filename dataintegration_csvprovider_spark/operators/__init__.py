@@ -8,6 +8,7 @@ from .dedup import (  # noqa: F401
     dedup_spans_across_corpus,
     incremental_near_dup_flags,
     lsh_candidate_pairs,
+    ngram_jaccard_cross_pairs,
     minhash_near_dup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

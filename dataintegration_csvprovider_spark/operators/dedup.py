@@ -299,6 +299,59 @@ def dedup_near_minhash(
     return df.join(losers, id_col, "left_anti")
 
 
+def ngram_jaccard_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs ACROSS two corpora: (a, b,
+    jaccard) with ``a`` from ``left`` and ``b`` from ``right`` — the
+    two-sided companion of :func:`ngram_jaccard_pairs` (batch-vs-corpus
+    verification, train-vs-eval screening). The inverted-index join work
+    is Σ df_left·df_right per gram — when one side is small (an eval
+    slice, a daily batch) this is far below the self-join's Σdf², which
+    is why it gets its own shape instead of filtering the self-join's
+    output. The lossless size prune (J >= t forces t·max <= min) drops
+    mismatched-size pairs inside the join."""
+    gl = _spread(
+        _with_content(left, text_col, min_words=n).select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("a"),
+        word_shingles(F.col(text_col), n).alias("ga"),
+    ).withColumn("size_a", F.size("ga"))
+    gr = _spread(
+        _with_content(right, text_col, min_words=n).select(id_col, text_col)
+    ).select(
+        F.col(id_col).alias("b"),
+        word_shingles(F.col(text_col), n).alias("gb"),
+    ).withColumn("size_b", F.size("gb"))
+    il = gl.select("a", "size_a", F.explode("ga").alias("gram"))
+    ir = gr.select("b", "size_b", F.explode("gb").alias("gram"))
+    t = F.lit(float(threshold))
+    common = (
+        il.join(
+            ir,
+            (il["gram"] == ir["gram"])
+            & (il["size_a"] >= t * ir["size_b"])
+            & (ir["size_b"] >= t * il["size_a"]),
+        )
+        .groupBy("a", "b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jaccard = (
+        F.col("common")
+        / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def incremental_near_dup_flags(
     corpus: DataFrame,
     batch: DataFrame,

@@ -1693,33 +1693,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, batch, threshold=0.5
     ).select("doc_id")
 
-    # exact truth: trigram-Jaccard cross pairs from the self-join
-    # operator, restricted to batch-vs-corpus endpoints
-    src = docs.select("doc_id", "source")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-    sided = (
-        pairs.join(
-            src.select(
-                F.col("doc_id").alias("a"), F.col("source").alias("src_a")
-            ),
-            "a",
-        )
-        .join(
-            src.select(
-                F.col("doc_id").alias("b"), F.col("source").alias("src_b")
-            ),
-            "b",
-        )
-    )
-    in_b = F.col("src_a").isin(batch_srcs)
-    in_c = ~F.col("src_b").isin(batch_srcs)
-    in_b2 = F.col("src_b").isin(batch_srcs)
-    in_c2 = ~F.col("src_a").isin(batch_srcs)
+    # exact truth: trigram-Jaccard cross pairs straight from the
+    # two-corpus operator — Σ df_batch·df_corpus join work, far below
+    # the all-docs self-join Σdf² this previously filtered
+    from ..operators.dedup import ngram_jaccard_cross_pairs
+
     exact_ids = (
-        sided.filter((in_b & in_c) | (in_b2 & in_c2))
-        .select(
-            F.when(in_b, F.col("a")).otherwise(F.col("b")).alias("doc_id")
-        )
+        ngram_jaccard_cross_pairs(batch, corpus, n=3, threshold=0.5)
+        .select(F.col("a").alias("doc_id"))
         .distinct()
     )
     hits = exact_ids.join(flagged, "doc_id", "left_semi")

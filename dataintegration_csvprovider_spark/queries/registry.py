@@ -142,6 +142,8 @@ _GRADE_FIRST = [
     "q_embedding_neardup_trained",
     "q_dedup_incremental",
     "q_leakage_safe_split",
+    "q_sql_udf",
+    "q_stream_state_metrics",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",
     "q8_market_share",

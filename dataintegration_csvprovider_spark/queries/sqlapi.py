@@ -170,3 +170,54 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
         else:
             spark.conf.unset("spark.sql.scripting.enabled")
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 10000.0 THEN 'low'
+                WHEN l_extendedprice < 40000.0 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr): "
+        "named, typed, catalog-registered scalar functions defined in "
+        "pure SQL — the engine's declarative replacement for the "
+        "reference's per-column value-conversion scripts "
+        "(ColumnMapping.ScriptType, CSVDestinationWriter.cs:95-115). "
+        "Because the body is an expression, Catalyst inlines it at "
+        "analysis time: the plan is identical to hand-inlined SQL "
+        "(whole-stage codegen, pushdown through the function), which "
+        "the oracle verifies by running the inlined form.",
+    tags=("sql", "udf"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING RETURN CASE WHEN p < 10000.0 THEN 'low'
+                                   WHEN p < 40000.0 THEN 'mid'
+                                   ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY price_band(l_extendedprice)
+        """
+    )

@@ -666,3 +666,46 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+@register(
+    "q_stream_state_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS state_rows,
+           TRUE AS observed_match
+    FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+    """,
+    doc="Streaming state-store observability as a verifiable fact: run "
+        "the watermarked tumbling agg with per-batch progress capture "
+        "(streaming/events.py run_with_progress) and report "
+        "stateOperators.numRowsTotal — which must equal the number of "
+        "distinct (hour, event_type) groups the oracle counts — plus a "
+        "boolean that the df.observe row counter saw every input row "
+        "exactly once. These are the two alarms a production monitor "
+        "hangs off StreamingQueryProgress; here they're pinned to exact "
+        "values instead of eyeballed.",
+    tags=("streaming", "metrics"),
+)
+def q_stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import observe_rows, run_with_progress
+
+    stream = observe_rows(_events_stream(spark, sf_dir))
+    out, progresses = run_with_progress(
+        tumbling_agg(stream, window="1 hour"), "complete"
+    )
+    state_totals = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    observed = sum(
+        p["observedMetrics"]["engine_metrics"]["n_rows"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("engine_metrics")
+    )
+    n_input = load_table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [(max(state_totals) if state_totals else 0, observed == n_input)],
+        "state_rows bigint, observed_match boolean",
+    )

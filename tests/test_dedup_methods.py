@@ -264,3 +264,38 @@ def test_incremental_near_dup_flags(spark):
         "doc_id long, text string",
     )
     assert incremental_near_dup_flags(corpus, twin_batch).count() == 0
+
+
+def test_ngram_jaccard_cross_pairs(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        ngram_jaccard_cross_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w q")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "a b c d f"), (11, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_cross_pairs(
+            left, right, n=2, threshold=0.3
+        ).collect()
+    }
+    # bigrams of doc1: {ab,bc,cd,de}; doc10: {ab,bc,cd,df} -> J = 3/5
+    assert set(got) == {(1, 10)}
+    assert abs(got[(1, 10)] - 0.6) < 1e-12
+    # cross operator never pairs within one corpus: the self-join op on
+    # the union finds the same cross pair, and the cross op finds no
+    # (left,left) or (right,right) pairs by construction
+    union_pairs = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(
+            left.unionByName(right), n=2, threshold=0.3
+        ).collect()
+    }
+    assert (1, 10) in union_pairs

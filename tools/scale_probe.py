@@ -102,6 +102,62 @@ def build_scaled_embeddings(spark, mult: int, out_dir: str) -> None:
     df.repartition(32).write.mode("overwrite").parquet(out_dir)
 
 
+def build_scaled_edges(spark, mult: int, out_dir: str) -> None:
+    """Scaled undirected edge list: the sf0.1 orders-derived mod-5000
+    graph (~every residue touched, no dangling nodes after the reverse
+    union), copied with disjoint node-id ranges — per-copy structure
+    (degree distribution, components, diameter) is exactly the base
+    graph's, so iterative-join timings measure edge-volume throughput."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    base = orders.select(
+        (F.col("o_custkey") % 5000).alias("src"),
+        (F.col("o_orderkey") % 5000).alias("dst"),
+    ).distinct()
+    und = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    copies = []
+    for k in range(mult):
+        off = F.lit(k * 10_000_000)
+        copies.append(
+            und.select(
+                (F.col("src") + off).alias("src"),
+                (F.col("dst") + off).alias("dst"),
+            )
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(out_dir)
+
+
+def probe_graph(spark, path: str) -> dict[str, float]:
+    from dataintegration_csvprovider_spark.operators.components import (
+        connected_components,
+    )
+    from dataintegration_csvprovider_spark.operators.graph import (
+        bfs_levels,
+        pagerank,
+    )
+
+    edges = spark.read.parquet(path)
+    sources = spark.createDataFrame([(0,)], "node long")
+    ops = {
+        "pagerank_5it": lambda e: pagerank(e, iterations=5),
+        "components": lambda e: connected_components(e, src="src", dst="dst"),
+        "bfs_depth8": lambda e: bfs_levels(
+            e, sources, max_depth=8, allow_partial=True
+        ),
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(edges))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
 def probe_similarity(spark, path: str) -> dict[str, float]:
     from dataintegration_csvprovider_spark.operators import similarity
     from dataintegration_csvprovider_spark.operators.pq import knn_ivfpq
@@ -155,14 +211,18 @@ def main() -> None:
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument(
         "--family",
-        choices=["dedup", "similarity"],
+        choices=["dedup", "similarity", "graph"],
         default="dedup",
-        help="dedup probes the documents table; similarity the embeddings",
+        help="dedup probes the documents table; similarity the "
+        "embeddings; graph an orders-derived edge list",
     )
     args = ap.parse_args()
 
-    build = build_scaled if args.family == "dedup" else build_scaled_embeddings
-    probe = probe_ops if args.family == "dedup" else probe_similarity
+    build, probe = {
+        "dedup": (build_scaled, probe_ops),
+        "similarity": (build_scaled_embeddings, probe_similarity),
+        "graph": (build_scaled_edges, probe_graph),
+    }[args.family]
 
     spark = get_spark(app_name="scale_probe")
     root = tempfile.mkdtemp(prefix="scale_probe_")
