@@ -69,6 +69,7 @@ HEADLINE = (
     # incremental operator (which is one band-bucket equi-join)
     "q_leakage_safe_split",
     "q_gap_fill_interp",
+    "q_knn_batch",
 )
 
 

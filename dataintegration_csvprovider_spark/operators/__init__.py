@@ -26,6 +26,7 @@ from .sampling import temperature_sample  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_similarity_expr,
     embedding_near_dup_pairs,
+    knn_batch,
     knn_bruteforce,
     knn_ivf,
 )

@@ -379,14 +379,19 @@ def incremental_near_dup_flags(
     signature overlap (unbiased Jaccard estimate), same contract as
     :func:`minhash_near_dup_pairs`."""
     rows_per_band = num_hashes // num_bands
+    release = []
     if corpus_sigs is None:
+        # computed here, the corpus signatures feed two plan branches
+        # (band buckets + the verify join) — persist for the call, like
+        # the batch side; a passed-in snapshot is the caller's to cache
         corpus_sigs = minhash_signatures(
             _with_content(corpus, text_col, min_words=shingle_size),
             text_col,
             id_col,
             num_hashes,
             shingle_size,
-        )
+        ).persist()
+        release.append(corpus_sigs)
     batch_sigs = minhash_signatures(
         _with_content(batch, text_col, min_words=shingle_size),
         text_col,
@@ -394,6 +399,7 @@ def incremental_near_dup_flags(
         num_hashes,
         shingle_size,
     ).persist()
+    release.append(batch_sigs)
     cb = _band_buckets(batch_sigs, id_col, num_bands, rows_per_band)
     cc = _band_buckets(corpus_sigs, id_col, num_bands, rows_per_band)
     cands = (
@@ -425,7 +431,7 @@ def incremental_near_dup_flags(
             F.count(F.lit(1)).alias("n_corpus_dups"),
         )
     )
-    return _eager_release(flags, batch_sigs)
+    return _eager_release(flags, *release)
 
 
 # --------------------------------------------------------------------------

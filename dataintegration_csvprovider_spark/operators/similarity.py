@@ -103,6 +103,97 @@ def assign_ivf_partitions(
     )
 
 
+def knn_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY query vector in one pass — the batch
+    retrieval shape (N queries amortize one corpus scan, instead of N
+    scans). Returns (query_id, vec_id, cosine, rank), rank 1..k per
+    query, ties broken by vec_id.
+
+    Plan: the query matrix broadcasts (collected driver-side — batch
+    retrieval means queries are small by definition; shard the query
+    set across jobs otherwise), each corpus partition scores all
+    queries against its Arrow batches and keeps only its LOCAL top-k
+    per query — a lossless prune (any global top-k row is top-k in its
+    own partition), so the shuffle carries ≤ k·partitions rows per
+    query into the final per-query window rank, never the corpus.
+
+    Same determinism contract as :func:`_bucket_pair_scores`: float64
+    widening + dimension-sequential accumulation, bit-equal to the
+    expression fold / a SQL oracle's list_sum."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("knn_batch needs at least one query vector")
+    q_ids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    nq, d = Q.shape
+    q_sq = np.zeros(nq)
+    for i in range(d):
+        q_sq = q_sq + Q[:, i] * Q[:, i]
+    q_norms = np.sqrt(q_sq)
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    mid_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine double"
+
+    src = _with_valid_vectors(df, vec_col).select(id_col, vec_col)
+
+    def score(batches):
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = len(X)
+            sq = np.zeros(m)
+            for i in range(d):
+                sq = sq + X[:, i] * X[:, i]
+            norms = np.sqrt(sq)
+            acc = np.zeros((m, nq))
+            for i in range(d):
+                acc = acc + np.multiply.outer(X[:, i], Q[:, i])
+            cos = acc / np.multiply.outer(norms, q_norms)
+            ids = pdf[id_col].to_numpy()
+            for qi in range(nq):
+                part = pd.DataFrame(
+                    {id_col: ids, "cosine": cos[:, qi]}
+                )
+                prev = best.get(qi)
+                if prev is not None:
+                    part = pd.concat([prev, part], ignore_index=True)
+                # local lossless prune: keep k best (ties by id) per query
+                part = part.sort_values(
+                    ["cosine", id_col], ascending=[False, True]
+                ).head(k)
+                best[qi] = part
+        for qi, part in best.items():
+            out = part.copy()
+            out.insert(0, query_id_col, [q_ids[qi]] * len(part))
+            yield out
+
+    from pyspark.sql import Window
+
+    scored = src.mapInPandas(score, mid_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def knn_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -367,11 +458,13 @@ def _bucket_pair_scores(
     thr = float(threshold)
     block = 2048
 
+    id_dtype = "int64" if id_type in ("bigint", "int", "smallint") else "object"
+
     def _empty():
         return pd.DataFrame(
             {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
+                "a": pd.Series([], dtype=id_dtype),
+                "b": pd.Series([], dtype=id_dtype),
                 "cosine": pd.Series([], dtype="float64"),
             }
         )

@@ -1791,3 +1791,48 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("component").cast("bigint").alias("n_components"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_knn_batch",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 40 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_duck_cos('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Batch kNN (operators/similarity.py knn_batch): exact cosine "
+        "top-10 for EVERY query vector (the 1-in-40 corpus slice) in "
+        "ONE corpus pass — the broadcast query matrix scores against "
+        "each Arrow batch and only k·partitions local winners per "
+        "query reach the final rank window (a lossless prune), vs the "
+        "oracle's full cross join. Dimension-sequential float64 "
+        "accumulation keeps every cosine bit-equal to the SQL fold — "
+        "the whole result hash-matches, ranks included.",
+    tags=("similarity", "knn", "batch"),
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = knn_batch(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )

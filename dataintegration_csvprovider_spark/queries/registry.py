@@ -144,6 +144,7 @@ _GRADE_FIRST = [
     "q_leakage_safe_split",
     "q_sql_udf",
     "q_stream_state_metrics",
+    "q_knn_batch",
     # TPC-H sample (rest of q2-q22 follow below)
     "q2_min_cost_supplier",
     "q8_market_share",

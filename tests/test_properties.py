@@ -353,3 +353,86 @@ def test_split_quoted_multichar_roundtrip(fields):
 
     line = "||".join('"' + f.replace('"', '""') + '"' for f in fields)
     assert _split_quoted(line, "||", '"') == fields
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_jaccard_strategies_agree_property(spark_prop, docs_words):
+    """All three exact-Jaccard strategies emit the identical pair set
+    with identical jaccard values for arbitrary tiny-vocabulary corpora
+    — the regimes differ only in cost, never in answer."""
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    spark = spark_prop
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    results = {}
+    for method in ("dense", "index", "prefix"):
+        results[method] = sorted(
+            (r.a, r.b, round(r.jaccard, 12))
+            for r in ngram_jaccard_pairs(
+                df, n=2, threshold=0.4, method=method
+            ).collect()
+        )
+    assert results["dense"] == results["index"] == results["prefix"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0,
+                max_value=4.0,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ).filter(lambda vs: all(any(x != 0.0 for x in v) for v in vs))
+)
+def test_bucket_scorer_bit_equals_expression_property(spark_prop, vectors):
+    """The Arrow bucket scorer returns BIT-IDENTICAL cosines to the
+    HOF-expression fold for arbitrary float32 vectors — the determinism
+    contract that lets the backends swap without flipping any
+    threshold comparison."""
+    import pyspark.sql.functions as F
+
+    from dataintegration_csvprovider_spark.operators.similarity import (
+        _bucket_pair_scores,
+        cosine_similarity_expr,
+    )
+
+    spark = spark_prop
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = df.withColumn("centroid_id", F.lit(0))
+    got = {
+        (r.a, r.b): r.cosine
+        for r in _bucket_pair_scores(assigned, threshold=-2.0).collect()
+    }
+    l = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r_ = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    want = {
+        (r.a, r.b): r.cosine
+        for r in l.join(r_, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            cosine_similarity_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k].hex(), want[k].hex())
