@@ -71,88 +71,91 @@ def register(
 #: sqlapi, mlprep, udtf, multimodal, quality gates, and a TPC-H sample.
 #: Remaining never-graded names follow in registration order for round 4.
 _GRADE_FIRST = [
-    # graph
+    # ---- driver grades a bounded (~50-name) prefix: the window below
+    # holds every never-driver-graded family AND every operator that is
+    # new this round, so CORRECTNESS_r03 verdicts cover the highest-
+    # uncertainty surface first. Remaining never-graded names follow in
+    # priority order for a larger window / round 4.
+    # graph (never graded)
     "q_pagerank",
     "q_triangle_count",
     "q_bfs_levels",
-    "q_degree_distribution",
-    # cdc
+    # cdc (never graded)
     "q_upsert_changeset",
     "q_scd2_history",
     "q_incremental_agg",
-    # layout / scan
+    # layout / scan (never graded; plan-marker heavy hitters)
     "q_partition_prune_static",
     "q_partition_prune_dynamic",
     "q_compact_small_files",
     "q_zorder_layout",
     "q_scan_pruning",
-    "q_aqe_coalesce",
-    "q_parquet_codecs",
-    "q_parquet_schema_evolution",
-    # timeseries
+    # timeseries (never graded + new interp)
     "q_gap_fill_locf",
     "q_ewma",
-    "q_anomaly_zscore",
-    "q_rolling_corr",
     "q_rolling_median",
     "q_gap_fill_interp",
-    # product analytics
+    # product analytics (never graded)
     "q_funnel",
     "q_retention_cohorts",
     "q_last_touch_attribution",
-    # profiling / data quality
+    # profiling / data quality (never graded)
     "q_profile_table",
-    "q_fuzzy_match",
     "q_constraint_audit",
     "q_entity_resolution",
-    # sql api surface
+    # sql api surface (never graded + new sql udf)
     "q_python_datasource",
     "q_parameterized_sql",
     "q_sql_scripting",
-    "q_collation_group",
-    # ml prep
+    "q_sql_udf",
+    # ml prep (never graded)
     "q_corr_matrix",
     "q_minmax_scale",
     "q_train_test_split",
     "q_kmeans",
-    # udtf
-    "q_udtf_installments",
-    "q_udtf_installment_amounts",
-    # sampling
+    # sampling (never graded + new temperature mix)
     "q_stratified_sample_det",
+    "q_temperature_sample",
     # T6 culture rendering (new this round)
     "q_csv_culture_render",
-    # llm-pipeline gates and fixed-this-round entries
+    # llm-pipeline gates, fixed-this-round, and new-this-round operators
     "q_knn_recall_gate",
     "q_dedup_quality_gate",
     "q_dedup_components",
     "q_sequence_packing",
     "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
     "q_multimodal_decode_real",
     "q_multimodal_audio_rms",
     "q_multimodal_video_decode",
     "q_repetition_stats",
-    "q_temperature_sample",
     "q_span_dedup",
     "q_stream_late_drop",
+    "q_stream_state_metrics",
     "q_pq_quality_gate",
     "q_ivfpq_recall_gate",
     "q_embedding_neardup_trained",
     "q_dedup_incremental",
     "q_leakage_safe_split",
-    "q_sql_udf",
-    "q_stream_state_metrics",
     "q_knn_batch",
-    # TPC-H sample (rest of q2-q22 follow below)
+    # ---- ~position 50: remaining never-graded names in priority order,
+    # so a larger driver prefix grades more of them
+    "q_degree_distribution",
+    "q_anomaly_zscore",
+    "q_rolling_corr",
+    "q_fuzzy_match",
+    "q_aqe_coalesce",
+    "q_parquet_codecs",
+    "q_parquet_schema_evolution",
+    "q_collation_group",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_udtf_installments",
+    "q_udtf_installment_amounts",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q21_waiting_suppliers",
-    # --- beyond the ~50-name grading window: every remaining never-graded
-    # name in priority order, so a larger driver prefix grades more of them
     "q_knn_ivf",
     "q_knn_lsh",
     "q_dedup_minhash",
