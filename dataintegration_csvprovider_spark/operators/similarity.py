@@ -398,7 +398,15 @@ def embedding_near_dup_pairs(
     parquet sources; pass an explicit k to skip it."""
     df = _with_valid_vectors(df, vec_col)
     if num_centroids is None:
-        num_centroids = _ivf_k(df.count())
+        n = df.count()
+        if n == 0:
+            # k-means cannot train on nothing, and an empty corpus has
+            # no pairs — an empty source partition must not kill the job
+            id_type = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"a {id_type}, b {id_type}, cosine double"
+            )
+        num_centroids = _ivf_k(n)
     if centroids is None:
         if train:
             centroids = trained_ivf_centroids(

@@ -1836,3 +1836,111 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle="""
+    WITH N AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM terms GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             (n - CAST(COUNT(*) AS DOUBLE) + 0.5)
+               / (CAST(COUNT(*) AS DOUBLE) + 0.5) AS idf
+      FROM tf, N GROUP BY term, n
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+      FROM tf JOIN idf USING (term)
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
+               AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.a
+    JOIN norms nb ON nb.doc_id = d.b
+    WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.9
+    """,
+    doc="TF-IDF weighted cosine near-dup pairs — the SPARSE-vector "
+        "similarity modality (vs set-Jaccard and dense embeddings): "
+        "rare shared terms dominate, stopword overlap is discounted "
+        "without any stopword list. One inverted-index equi-join on "
+        "term (the same Σdf² regime analysis as exact Jaccard's "
+        "'index' method applies; idf itself downweights exactly the "
+        "hot terms that dominate that bound). Rational BM25-style idf "
+        "(no ln — engine-portable), per-row double products, decimal-"
+        "accumulated dot products and norms (order-independent), "
+        "identical parenthesization both engines: full value-hash "
+        "oracle, no gate needed.",
+    tags=("text", "similarity", "tfidf"),
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    idf = tf.groupBy("term").agg(
+        (
+            (F.lit(n_docs) - F.count(F.lit(1)).cast("double") + F.lit(0.5))
+            / (F.count(F.lit(1)).cast("double") + F.lit(0.5))
+        ).alias("idf")
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    dec = "decimal(28,12)"
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
+        ).alias("nrm")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("a"), "term", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        wa.join(wb, ["term"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast(dec))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    # cosine is REPORTED at 9-decimal precision: the decimal-cast
+    # rounding mode at exact dyadic midpoints (HALF_UP vs HALF_EVEN)
+    # differs between engines by design, producing ~1-ulp divergence on
+    # a handful of the millions of accumulated products; rounding far
+    # above that noise floor makes the full value-hash deterministic
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na")), "a")
+        .join(norms.select(F.col("doc_id").alias("b"), F.col("nrm").alias("nb")), "b")
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )

@@ -139,6 +139,7 @@ _GRADE_FIRST = [
     "q_knn_batch",
     # ---- ~position 50: remaining never-graded names in priority order,
     # so a larger driver prefix grades more of them
+    "q_tfidf_cosine_pairs",
     "q_degree_distribution",
     "q_anomaly_zscore",
     "q_rolling_corr",

@@ -471,3 +471,22 @@ def test_connected_components_duplicate_and_reversed_edges(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(5, 5), (6, 5), (7, 5)}
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """A 100 TB pipeline routinely meets empty sources/partitions:
+    every pair/flag/search operator must return an empty result, not
+    crash, on zero-row input."""
+    from dataintegration_csvprovider_spark.operators import dedup, similarity
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert dedup.dedup_exact(docs, ["text"], "doc_id").count() == 0
+    assert dedup.minhash_near_dup_pairs(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    assert dedup.simhash_near_dup_pairs(docs).count() == 0
+    assert dedup.dedup_spans_across_corpus(docs).count() == 0
+    assert dedup.incremental_near_dup_flags(docs, docs).count() == 0
+    assert dedup.ngram_jaccard_cross_pairs(docs, docs).count() == 0
+    assert similarity.knn_bruteforce(emb, [1.0] * 64).count() == 0
+    assert similarity.embedding_near_dup_pairs(emb).count() == 0
