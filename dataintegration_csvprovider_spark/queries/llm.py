@@ -1944,3 +1944,35 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
     )
+
+
+@register(
+    "q_knn_filtered",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label, {_duck_cos('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e, q
+      WHERE e.label IN (2, 5)
+    )
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Metadata-filtered ANN: exact cosine top-10 against the "
+        "vec_id=0 query restricted to labels {2, 5} — the filter is a "
+        "plain Catalyst predicate applied BEFORE scoring, so it pushes "
+        "into the parquet scan (pre-filtering, not post-filtering a "
+        "larger top-k, which under-returns when matches are rare). "
+        "Composes with any of the engine's search paths; here the "
+        "brute path keeps the full result hash-checkable.",
+    tags=("similarity", "knn", "filter"),
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    filtered = emb.filter(F.col("label").isin(2, 5))
+    return knn_bruteforce(filtered, q, k=10).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", "cosine")

@@ -140,6 +140,7 @@ _GRADE_FIRST = [
     # ---- ~position 50: remaining never-graded names in priority order,
     # so a larger driver prefix grades more of them
     "q_tfidf_cosine_pairs",
+    "q_knn_filtered",
     "q_degree_distribution",
     "q_anomaly_zscore",
     "q_rolling_corr",
