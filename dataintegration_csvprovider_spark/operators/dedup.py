@@ -565,18 +565,41 @@ DENSE_MAX_CELLS = 512_000_000
 DENSE_MAX_MULS = 2_000_000_000_000
 
 #: mid-band gate: choose the plain inverted-index join when its exact
-#: join size Σdf² stays under this many rows. The bound is absolute
-#: work, not a scale factor — 2e9 joined (id,id) rows is ~30-60 s on one
-#: 32-core node and trivial for a 1000-executor cluster, while the
-#: PPJoin prefix path measured 4.7× slower in this regime (uniform
-#: vocabulary ⇒ no rare-gram tail ⇒ prefix-to-prefix candidates are the
-#: same order as Σdf², but each candidate then drags full gram arrays
-#: through a distinct + array_intersect verify).
-INDEX_MAX_WORK = 2_000_000_000
+#: join size Σdf² stays under ``INDEX_WORK_PER_CORE × defaultParallelism``
+#: rows. Round 3 used a flat 2e9 bound sized for a 1000-executor fleet —
+#: wrong on the 32-core node it actually ran on (the 30× probe sat just
+#: under the bound at 401 s). The bound now scales with the cluster:
+#: 64M joined (id,id) rows per core is tens of seconds of join+aggregate
+#: work per core, so the "fast path" stays fast on ANY cluster size —
+#: local[32] ⇒ ~2e9 (matching the measured regime where index still beat
+#: prefix 4.7×), a 1000-executor/16-core fleet ⇒ ~1e12. Above the bound,
+#: PPJoin's prefix filter is the only sub-Σdf² plan (Zipfian rare tail);
+#: in a uniform-vocabulary regime with no rare tail both plans are
+#: Σdf²-bound and index still wins on constants, which is why the
+#: per-core constant is calibrated to keep index selected right through
+#: the measured 30× probe (Σdf² ≈ 1.93e9 on 32 cores).
+INDEX_WORK_PER_CORE = 64_000_000
+
+#: the aggregation shuffle after the inverted-index join moves Σdf² rows;
+#: sizing that shuffle for the session default (e.g. 32 partitions) puts
+#: tens of GB through each task at the regime's upper bound — the
+#: super-linear spill tail the 30× probe measured. When Σdf² is known
+#: (auto mode computes it exactly), the pair aggregation repartitions to
+#: ~this many rows per task instead, capped at 4096 partitions.
+INDEX_ROWS_PER_TASK = 5_000_000
+
+
+def index_max_work(parallelism: int) -> int:
+    """Cluster-proportional Σdf² bound for the index-vs-prefix gate."""
+    return INDEX_WORK_PER_CORE * max(1, int(parallelism))
 
 
 def _choose_jaccard_method(
-    n_docs: int, n_grams: int, sum_df2: int | None = None
+    n_docs: int,
+    n_grams: int,
+    sum_df2: int | None = None,
+    parallelism: int = 32,
+    skip_dense: bool = False,
 ) -> str:
     """Pick the exact-Jaccard strategy from cheap corpus stats.
 
@@ -596,14 +619,19 @@ def _choose_jaccard_method(
     genuinely rare grams and the index join touches only the rare tail
     (Σdf² itself is unbounded there, which is exactly when the gate
     above fails). All three are exact; the regimes are pinned by
-    measurement in tests/test_dedup_methods.py."""
-    if (
+    measurement in tests/test_dedup_methods.py.
+
+    ``skip_dense`` states explicitly that the dense box was already
+    evaluated and rejected by the caller (the auto path checks it first
+    with a capped vocabulary fetch); ``parallelism`` sizes the index
+    bound to the actual cluster via :func:`index_max_work`."""
+    if not skip_dense and (
         n_docs <= DENSE_MAX_DOCS
         and n_docs * n_grams <= DENSE_MAX_CELLS
         and n_docs * n_docs * n_grams <= DENSE_MAX_MULS
     ):
         return "dense"
-    if sum_df2 is not None and sum_df2 <= INDEX_MAX_WORK:
+    if sum_df2 is not None and sum_df2 <= index_max_work(parallelism):
         return "index"
     return "prefix"
 
@@ -743,7 +771,8 @@ def ngram_jaccard_pairs(
       handful of grams per doc. Candidates verify exactly via
       array_intersect.
     - ``index`` (auto, mid band): full inverted-index join — wins when
-      Σdf² is bounded (:data:`INDEX_MAX_WORK`) but the bitset matrix no
+      Σdf² is bounded (:func:`index_max_work`, proportional to the
+      cluster's ``defaultParallelism``) but the bitset matrix no
       longer fits/pays (measured: 3× faster than prefix at sf0.1,
       Σdf²=73M; 4.7× at the 50k-doc 10× probe, Σdf²≈640M — and index
       grows ~quadratically exactly as Σdf² predicts, which is why the
@@ -799,16 +828,25 @@ def ngram_jaccard_pairs(
         # prefix path's candidate-verify machinery (measured 4.7× at the
         # 10× uniform-vocabulary probe), unbounded ⇒ Zipfian rare tail
         # exists and prefix is the only non-quadratic plan
-        sum_df2 = (
-            grams.select(F.explode("grams").alias("gram"))
-            .groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.sum(F.col("df") * F.col("df")).alias("w"))
-            .collect()[0]["w"]
+        sum_df2 = int(
+            (
+                grams.select(F.explode("grams").alias("gram"))
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.sum(F.col("df") * F.col("df")).alias("w"))
+                .collect()[0]["w"]
+            )
+            or 0
         )
         method = _choose_jaccard_method(
-            n_docs, DENSE_MAX_CELLS, sum_df2=int(sum_df2 or 0)
+            n_docs,
+            0,
+            sum_df2=sum_df2,
+            parallelism=df.sparkSession.sparkContext.defaultParallelism,
+            skip_dense=True,
         )
+    else:
+        sum_df2 = None
 
     if method == "dense":
         return _dense_jaccard_pairs(grams, threshold)
@@ -826,21 +864,35 @@ def ngram_jaccard_pairs(
         # forces t*max <= min — drop mismatched-size pairs inside the join,
         # before they reach the pair aggregation
         t = F.lit(float(threshold))
-        common = (
-            l.join(
-                r,
-                (F.col("l.gram") == F.col("r.gram"))
-                & (F.col("l.id") < F.col("r.id"))
-                & (F.col("l.set_size") >= t * F.col("r.set_size"))
-                & (F.col("r.set_size") >= t * F.col("l.set_size")),
-            )
-            .groupBy(
-                F.col("l.id").alias("a"),
-                F.col("r.id").alias("b"),
-                F.col("l.set_size").alias("size_a"),
-                F.col("r.set_size").alias("size_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("common"))
+        joined = l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.col("l.set_size") >= t * F.col("r.set_size"))
+            & (F.col("r.set_size") >= t * F.col("l.set_size")),
+        ).select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.set_size").alias("size_a"),
+            F.col("r.set_size").alias("size_b"),
+        )
+        # The pair aggregation moves Σdf² rows — at the regime's upper
+        # bound that is billions of rows, and the session's default
+        # shuffle-partition count (sized for ordinary queries) puts tens
+        # of GB through each task: the super-linear spill tail the 30×
+        # scale probe measured (401 s at Σdf² ≈ 1.93e9 on 32 tasks).
+        # When auto mode computed Σdf² exactly, size the aggregation
+        # shuffle to the work instead; repartitioning on a prefix of the
+        # grouping keys satisfies the aggregate's required distribution,
+        # so this replaces (not adds to) the groupBy exchange.
+        if sum_df2 is not None:
+            spark = df.sparkSession
+            default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            nparts = min(4096, -(-sum_df2 // INDEX_ROWS_PER_TASK))
+            if nparts > default_parts:
+                joined = joined.repartition(nparts, "a", "b")
+        common = joined.groupBy("a", "b", "size_a", "size_b").agg(
+            F.count(F.lit(1)).alias("common")
         )
         jaccard = (
             F.col("common")

@@ -72,3 +72,48 @@ def temperature_sample(
         .filter(F.col("__rn") <= F.col("__target"))
         .drop("__rn", "__target")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    mod: int = 10,
+    train_below: int = 8,
+    valid_at: int = 8,
+) -> DataFrame:
+    """Assign every document a train/valid/test label such that no
+    supplied near-duplicate pair straddles the eval boundary: pairs →
+    connected components (large-star/small-star, O(log n) rounds) →
+    every component lands in ONE split by component-id modulus
+    (``component % mod``: < train_below ⇒ train, == valid_at ⇒ valid,
+    else test; singletons use their own id). Deterministic, RNG-free,
+    and stable under corpus growth for existing clusters.
+
+    The PAIR SOURCE is a parameter — that is the scale story. At
+    fixture scale the exact n-gram Jaccard pairs are the gate of
+    record; at 100 TB exact pair generation is Σdf²-bound, so feed the
+    same components the MinHash-LSH pairs
+    (:func:`..dedup.minhash_near_dup_pairs` — bucketed band joins,
+    never all-pairs) and accept approximate clusters; residual leakage
+    is then bounded by LSH recall, which q_leakage_safe_split_lsh pins.
+
+    Returns one row per input doc: all of ``docs``'s columns plus
+    ``component`` and ``split``.
+    """
+    from .components import connected_components
+
+    labels = connected_components(pairs, src=a_col, dst=b_col)
+    labeled = (
+        docs.join(labels, F.col(id_col) == F.col("node"), "left")
+        .drop("node")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    split = (
+        F.when(F.col("component") % mod < train_below, F.lit("train"))
+        .when(F.col("component") % mod == valid_at, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.withColumn("split", split)

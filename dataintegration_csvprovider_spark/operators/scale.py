@@ -116,14 +116,26 @@ def distributed_cumsum(
     through one task — the exact anti-pattern this replaces.
 
     ``value_col`` must be integer-typed and non-null; ``order_col`` must be
-    unique for a deterministic result. The input is re-evaluated twice
-    (totals pass + final pass), so ``df`` should be a deterministic plan —
-    cache it first if its lineage is expensive.
+    unique for a deterministic result.
+
+    The range partitioning is materialized ONCE (eager ``localCheckpoint``)
+    before the local-window pass and the totals pass read it. Without that
+    pin, each of the two jobs re-evaluates ``repartitionByRange`` and
+    Spark's range partitioner re-SAMPLES boundaries per evaluation (the
+    sampling seed derives from the RDD id, which differs per action) — so
+    boundary-adjacent rows can land in different partitions across the two
+    jobs, and the broadcast offsets then belong to a different partitioning
+    than the local cumsums they're added to: correct row counts, wrong
+    sums, nondeterministically. The checkpoint makes both passes read one
+    set of boundaries and also truncates the upstream lineage so ``df`` is
+    evaluated exactly once.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 

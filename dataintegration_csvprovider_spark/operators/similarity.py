@@ -135,6 +135,21 @@ def knn_batch(
     if not qrows:
         raise ValueError("knn_batch needs at least one query vector")
     q_ids = [r[0] for r in qrows]
+    # mirror _with_valid_vectors for the query side: a zero-norm or
+    # non-finite query would yield inf/NaN cosines, and Spark's window
+    # rank orders NaN ABOVE every double, so garbage rows would occupy
+    # ranks 1..k — reject loudly instead (knn_bruteforce's try_divide
+    # NULLs sort last; this is the batch-side equivalent of that
+    # contract)
+    for r in qrows:
+        v = r[1]
+        if v is None or len(v) == 0:
+            raise ValueError(f"knn_batch: empty query vector for {r[0]!r}")
+        arr = np.asarray(v, dtype=np.float64)
+        if not np.isfinite(arr).all() or not arr.any():
+            raise ValueError(
+                f"knn_batch: zero-norm or non-finite query vector for {r[0]!r}"
+            )
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     nq, d = Q.shape
     q_sq = np.zeros(nq)
@@ -394,20 +409,36 @@ def embedding_near_dup_pairs(
     ceil(n / :data:`IVF_TARGET_BUCKET`): fixed-size partitions make the
     within-partition pair work k·(n/k)² = n·target — linear in corpus
     size — where any FIXED k is n²/k, quadratic (measured 15.8× wall at
-    10× data with k=16 before this). The count() is metadata-cheap on
-    parquet sources; pass an explicit k to skip it."""
+    10× data with k=16 before this). The adaptive count() runs a real
+    scan action (it sits above the valid-vector filter, so parquet
+    footer metadata cannot answer it) — but ONLY when ``centroids`` is
+    not supplied: the snapshot-reuse path never consumes k, so it pays
+    no count. Pass an explicit k to skip the count on the training path
+    too.
+
+    Memory contract: pair scoring materializes ONE IVF partition's
+    vectors per executor task (``applyInPandas`` keyed by centroid_id —
+    the score matrix is blocked at 2048², but the group's vectors are
+    not). The adaptive default keeps groups at ~IVF_TARGET_BUCKET·n_probe
+    vectors, far under any executor budget; a caller passing a SMALL
+    explicit ``num_centroids`` (or a small trained ``centroids`` set) on
+    a large corpus concentrates ~n·n_probe/k vectors in one pandas frame
+    — at 1M 64-float vectors and k=16 that is ~64 MB·n_probe per group
+    and grows linearly from there. Keep k ≳ n/500 (the adaptive rule)
+    when overriding."""
     df = _with_valid_vectors(df, vec_col)
-    if num_centroids is None:
-        n = df.count()
-        if n == 0:
-            # k-means cannot train on nothing, and an empty corpus has
-            # no pairs — an empty source partition must not kill the job
-            id_type = df.schema[id_col].dataType.simpleString()
-            return df.sparkSession.createDataFrame(
-                [], f"a {id_type}, b {id_type}, cosine double"
-            )
-        num_centroids = _ivf_k(n)
     if centroids is None:
+        if num_centroids is None:
+            n = df.count()
+            if n == 0:
+                # k-means cannot train on nothing, and an empty corpus
+                # has no pairs — an empty source partition must not kill
+                # the job
+                id_type = df.schema[id_col].dataType.simpleString()
+                return df.sparkSession.createDataFrame(
+                    [], f"a {id_type}, b {id_type}, cosine double"
+                )
+            num_centroids = _ivf_k(n)
         if train:
             centroids = trained_ivf_centroids(
                 df, k=num_centroids, vec_col=vec_col, id_col=id_col

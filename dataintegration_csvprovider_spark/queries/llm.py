@@ -1754,43 +1754,107 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM labeled GROUP BY 1
     """,
-    doc="Leakage-safe train/valid/test split: near-duplicate clusters "
-        "(exact bigram-Jaccard >= 0.5 pairs through connected "
+    doc="Leakage-safe train/valid/test split "
+        "(operators/sampling.py leakage_safe_split): near-duplicate "
+        "clusters (exact bigram-Jaccard >= 0.5 pairs through connected "
         "components) are assigned to splits AS WHOLE UNITS by component-"
         "id modulus, so no near-duplicate pair ever straddles the "
         "train/eval boundary — the doc-level modulus split "
         "(q_train_test_split) leaks: a duplicated doc can land in train "
         "while its twin lands in test. Deterministic, RNG-free, stable "
-        "under corpus growth for existing clusters. The oracle "
-        "recomputes the transitive closure with a recursive CTE and the "
-        "same modulus.",
+        "under corpus growth for existing clusters. The pair source is a "
+        "parameter; exact pairs here are the fixture gate of record, the "
+        "LSH feed (q_leakage_safe_split_lsh) is the 100 TB path. The "
+        "oracle recomputes the transitive closure with a recursive CTE "
+        "and the same modulus.",
     tags=("dedup", "mlprep", "sample", "components"),
 )
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
+    from ..operators.sampling import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
-    labels = connected_components(pairs, src="a", dst="b")
-    labeled = (
-        docs.select("doc_id", "n_chars")
-        .join(labels, F.col("doc_id") == F.col("node"), "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce("component", "doc_id").alias("component"),
-        )
-    )
-    split = (
-        F.when(F.col("component") % 10 < 8, F.lit("train"))
-        .when(F.col("component") % 10 == 8, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
-    return labeled.groupBy(split.alias("split")).agg(
+    labeled = leakage_safe_split(docs.select("doc_id", "n_chars"), pairs)
+    return labeled.groupBy("split").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("component").cast("bigint").alias("n_components"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_leakage_safe_split_lsh",
+    # The 100 TB form of the split: the SAME component/modulus assignment
+    # fed by MinHash-LSH pairs (bucketed band joins — never all-pairs)
+    # instead of the Σdf²-bound exact pair generator. Deterministic under
+    # the fixed hash seed, so its quality against the exact-pair split is
+    # a fixed fact the oracle pins: full coverage, one split per
+    # component, and residual leakage (exact bigram-Jaccard >= 0.5 pairs
+    # that straddle the LSH split's train/eval boundary) at most 20% of
+    # the exact pair count — LSH recall >= 0.8 is already gated by
+    # q_dedup_quality_gate, and a missed pair only leaks if the modulus
+    # ALSO separates its two components.
+    oracle="""
+    SELECT TRUE AS coverage_ok, TRUE AS atomic_ok, TRUE AS leak_ok
+    """,
+    doc="Leakage-safe split fed by MinHash-LSH pairs — the scale path "
+        "(exact pair generation is Sigma-df^2-bound; LSH band-bucket "
+        "joins are not). Gates: every doc labeled exactly once "
+        "(coverage_ok), every component in exactly one split "
+        "(atomic_ok), and exact-truth near-dup pairs straddling the "
+        "train/eval boundary <= 20% of all exact pairs (leak_ok).",
+    tags=("dedup", "mlprep", "sample", "components", "quality"),
+)
+def q_leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_pairs = minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    labeled = leakage_safe_split(docs.select("doc_id"), lsh_pairs).select(
+        "doc_id", "component", "split"
+    )
+
+    n_docs = docs.count()
+    coverage = labeled.agg(
+        (
+            (F.count(F.lit(1)) == F.lit(n_docs))
+            & (F.countDistinct("doc_id") == F.lit(n_docs))
+        ).alias("coverage_ok")
+    )
+    atomic = (
+        labeled.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg((F.max("n_splits") <= 1).alias("atomic_ok"))
+    )
+    # residual leakage: exact-truth pairs whose endpoints the LSH split
+    # sent to different sides of the train/eval boundary
+    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.5).select("a", "b")
+    sides = labeled.select(
+        "doc_id", (F.col("split") == "train").alias("is_train")
+    )
+    straddle = (
+        exact.join(
+            sides.select(F.col("doc_id").alias("a"), F.col("is_train").alias("ta")),
+            "a",
+        )
+        .join(
+            sides.select(F.col("doc_id").alias("b"), F.col("is_train").alias("tb")),
+            "b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("ta") != F.col("tb"), 1).otherwise(0)
+            ).alias("n_leak"),
+        )
+        .select(
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_leak") <= 0.2 * F.col("n_exact"))
+            ).alias("leak_ok")
+        )
+    )
+    return coverage.crossJoin(atomic).crossJoin(straddle)
 
 
 @register(

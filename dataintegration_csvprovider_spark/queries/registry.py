@@ -64,127 +64,89 @@ def register(
 
 
 #: Names surfaced first to the driver's correctness gate (which grades a
-#: bounded prefix of the registry per round). Rounds 1+2 graded 98 distinct
-#: names (relational, TPC-H core, CSV/JSONL, LLM headline, streaming core)
-#: — all green. This round-3 prefix rotates the window to families with no
-#: driver verdict yet: graph, cdc, layout, timeseries, product, profiling,
-#: sqlapi, mlprep, udtf, multimodal, quality gates, and a TPC-H sample.
-#: Remaining never-graded names follow in registration order for round 4.
+#: bounded prefix of the registry per round). Rounds 1-3 graded 148
+#: distinct names, 147 green; the one red row (q_sequence_packing, a
+#: cross-job range-boundary nondeterminism, fixed this round by an eager
+#: localCheckpoint pin in operators/scale.py) leads this round-4 window
+#: for re-grading. The rest of the window is the never-driver-graded tail
+#: — 68 names as of round 3 — ordered so the highest-information verdicts
+#: land inside a ~50-name prefix: the UDTF pair (the registry's only
+#: whitelisted row-Python surface), the round-3 additions that missed the
+#: r3 window (q_tfidf_cosine_pairs, q_knn_filtered), decontamination, the
+#: TPC-H tail, hll/bitmap sketches, and the stream restart/exactly-once
+#: suite. Names past ~position 50 are round-5 spillover if the driver
+#: window stays at 50. New round-4 operators are inserted right after the
+#: re-grade block so they always fall inside the window.
 _GRADE_FIRST = [
-    # ---- driver grades a bounded (~50-name) prefix: the window below
-    # holds every never-driver-graded family AND every operator that is
-    # new this round, so CORRECTNESS_r03 verdicts cover the highest-
-    # uncertainty surface first. Remaining never-graded names follow in
-    # priority order for a larger window / round 4.
-    # graph (never graded)
-    "q_pagerank",
-    "q_triangle_count",
-    "q_bfs_levels",
-    # cdc (never graded)
-    "q_upsert_changeset",
-    "q_scd2_history",
-    "q_incremental_agg",
-    # layout / scan (never graded; plan-marker heavy hitters)
-    "q_partition_prune_static",
-    "q_partition_prune_dynamic",
-    "q_compact_small_files",
-    "q_zorder_layout",
-    "q_scan_pruning",
-    # timeseries (never graded + new interp)
-    "q_gap_fill_locf",
-    "q_ewma",
-    "q_rolling_median",
-    "q_gap_fill_interp",
-    # product analytics (never graded)
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_last_touch_attribution",
-    # profiling / data quality (never graded)
-    "q_profile_table",
-    "q_constraint_audit",
-    "q_entity_resolution",
-    # sql api surface (never graded + new sql udf)
-    "q_python_datasource",
-    "q_parameterized_sql",
-    "q_sql_scripting",
-    "q_sql_udf",
-    # ml prep (never graded)
-    "q_corr_matrix",
-    "q_minmax_scale",
-    "q_train_test_split",
-    "q_kmeans",
-    # sampling (never graded + new temperature mix)
-    "q_stratified_sample_det",
-    "q_temperature_sample",
-    # T6 culture rendering (new this round)
-    "q_csv_culture_render",
-    # llm-pipeline gates, fixed-this-round, and new-this-round operators
-    "q_knn_recall_gate",
-    "q_dedup_quality_gate",
-    "q_dedup_components",
+    # the round-3 red row, fixed this round — must re-grade first
     "q_sequence_packing",
-    "q_multimodal_features",
-    "q_multimodal_decode_real",
-    "q_multimodal_audio_rms",
-    "q_multimodal_video_decode",
-    "q_repetition_stats",
-    "q_span_dedup",
-    "q_stream_late_drop",
-    "q_stream_state_metrics",
-    "q_pq_quality_gate",
-    "q_ivfpq_recall_gate",
-    "q_embedding_neardup_trained",
-    "q_dedup_incremental",
-    "q_leakage_safe_split",
-    "q_knn_batch",
-    # ---- ~position 50: remaining never-graded names in priority order,
-    # so a larger driver prefix grades more of them
+    # ---- new this round (inserted as they land)
+    # ---- never-driver-graded tail (68 names), priority order
+    # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
     "q_knn_filtered",
-    "q_degree_distribution",
-    "q_anomaly_zscore",
-    "q_rolling_corr",
-    "q_fuzzy_match",
-    "q_aqe_coalesce",
-    "q_parquet_codecs",
-    "q_parquet_schema_evolution",
-    "q_collation_group",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
+    # UDTF surface — the only whitelisted row-Python path, never graded
     "q_udtf_installments",
     "q_udtf_installment_amounts",
+    # decontamination (local-green, verdict-spot-checked)
+    "q_contamination",
+    # TPC-H tail (local-green since r2/r3)
     "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
     "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # sketches
+    "q_hll_sketch",
+    "q_hll_union",
+    "q_bitmap_distinct",
+    "q_approx_percentile",
+    # streaming restart / exactly-once suite
+    "q_stream_stateful",
+    "q_stream_upsert",
+    "q_stream_topk",
+    "q_stream_exactly_once",
+    "q_python_stream_source",
+    # similarity / dedup never-graded (incl. rows-only family)
     "q_knn_ivf",
     "q_knn_lsh",
     "q_dedup_minhash",
     "q_dedup_minhash_full",
     "q_dedup_simhash",
     "q_embedding_neardup_ivf",
-    "q_doc_fingerprint",
-    "q_hll_sketch",
-    "q_hll_union",
-    "q_bitmap_distinct",
-    "q_embedding_quantize",
-    "q_doc_chunking",
-    "q_contamination",
-    "q_arrow_score",
     "q_semantic_dedup",
+    "q_arrow_score",
+    "q_embedding_quantize",
+    # text / docs
+    "q_doc_fingerprint",
+    "q_doc_chunking",
     "q_tfidf_top_terms",
     "q_term_lift_pairs",
-    "q_stream_stateful",
-    "q_stream_upsert",
-    "q_stream_topk",
-    "q_stream_exactly_once",
-    "q_python_stream_source",
-    "q_approx_percentile",
-    "q_asof_forward_tolerance",
-    "q_variant_shred",
+    "q_fuzzy_match",
+    # plan-marker / storage
+    "q_aqe_coalesce",
+    "q_parquet_codecs",
+    "q_parquet_schema_evolution",
     "q_join_strategy_hints",
     "q_runtime_bloom_filter",
+    # ---- ~position 50: round-5 spillover if the driver window is 50
+    "q_collation_group",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_degree_distribution",
+    "q_anomaly_zscore",
+    "q_rolling_corr",
     "q_heavy_hitters",
     "q_interval_overlap_join",
     "q_drift_tvd",
@@ -196,17 +158,8 @@ _GRADE_FIRST = [
     "q_text_source_logs",
     "q_join_nullsafe",
     "q_skyline",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q22_idle_customers",
+    "q_asof_forward_tolerance",
+    "q_variant_shred",
 ]
 
 

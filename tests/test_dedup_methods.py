@@ -204,24 +204,49 @@ def test_span_dedup_fully_duplicated_doc_empties(spark):
 
 def test_choose_index_mid_band():
     from dataintegration_csvprovider_spark.operators.dedup import (
-        INDEX_MAX_WORK,
+        index_max_work,
     )
 
     # the 10x scale-probe regime: 50k docs, ~9.3k uniform grams — dense
-    # is muls-bound, but the exact join size (~640M) is bounded, so the
-    # inverted index wins (measured 33.6 s vs prefix's 156.7 s)
+    # is muls-bound, but the exact join size (~640M) is bounded on a
+    # 32-core node, so the inverted index wins (measured 33.6 s vs
+    # prefix's 156.7 s)
     assert (
-        _choose_jaccard_method(50_000, 9_310, sum_df2=640_000_000) == "index"
+        _choose_jaccard_method(
+            50_000, 9_310, sum_df2=640_000_000, parallelism=32
+        )
+        == "index"
     )
     # unbounded join size (stopword-grams on a web corpus): prefix
     assert (
-        _choose_jaccard_method(50_000, 9_310, sum_df2=INDEX_MAX_WORK + 1)
+        _choose_jaccard_method(
+            50_000, 9_310, sum_df2=index_max_work(32) + 1, parallelism=32
+        )
         == "prefix"
+    )
+    # the bound is CLUSTER-PROPORTIONAL: the same Σdf² that overflows 32
+    # cores is comfortably inside the index regime on a 1000-executor
+    # fleet (2e9 joined rows is minutes there)
+    assert (
+        _choose_jaccard_method(
+            50_000, 9_310, sum_df2=index_max_work(32) + 1, parallelism=16_000
+        )
+        == "index"
     )
     # no stat provided (pre-gate callers): conservative prefix default
     assert _choose_jaccard_method(1_000_000, 50_000) == "prefix"
     # dense box still wins ahead of the mid-band gate
     assert _choose_jaccard_method(5_000, 931, sum_df2=73_000_000) == "dense"
+    # skip_dense states the auto path already rejected the dense box —
+    # the stats fall through to the index/prefix gate even inside the box
+    assert (
+        _choose_jaccard_method(
+            5_000, 931, sum_df2=73_000_000, skip_dense=True
+        )
+        == "index"
+    )
+    # degenerate corpora never resolve "dense" implicitly via skip_dense
+    assert _choose_jaccard_method(1, 0, sum_df2=None, skip_dense=True) == "prefix"
 
 
 def test_incremental_near_dup_flags(spark):

@@ -490,3 +490,54 @@ def test_operators_tolerate_empty_inputs(spark):
     assert dedup.ngram_jaccard_cross_pairs(docs, docs).count() == 0
     assert similarity.knn_bruteforce(emb, [1.0] * 64).count() == 0
     assert similarity.embedding_near_dup_pairs(emb).count() == 0
+
+
+def test_knn_batch_rejects_degenerate_queries(spark):
+    """A zero-norm or non-finite query vector yields inf/NaN cosines, and
+    Spark's descending rank window orders NaN ABOVE all doubles — garbage
+    would occupy ranks 1..k. The batch path must reject such queries
+    loudly (the bruteforce path's try_divide NULLs them to the bottom)."""
+    from dataintegration_csvprovider_spark.operators.similarity import (
+        knn_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    for bad in ([0.0, 0.0], [float("nan"), 1.0], [float("inf"), 0.0], []):
+        queries = spark.createDataFrame(
+            [(100, bad)], "query_id long, query_vec array<float>"
+        )
+        with pytest.raises(ValueError, match="query vector"):
+            knn_batch(corpus, queries, k=1)
+    # and a valid query still works
+    ok = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    top = knn_batch(corpus, ok, k=1).collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in top] == [(100, 1, 1)]
+
+
+def test_embedding_near_dup_snapshot_reuse_skips_count(spark):
+    """The snapshot-reuse path (trained centroids passed in) never
+    consumes the adaptive k, so it must not run the corpus count action
+    — and must still produce the same pairs as the training path."""
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame
+
+    from dataintegration_csvprovider_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        trained_ivf_centroids,
+    )
+
+    rows = [
+        (i, [float(i % 4 == j) + 0.01 * i for j in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = trained_ivf_centroids(emb, k=4).localCheckpoint(eager=True)
+    with patch.object(
+        DataFrame, "count", side_effect=AssertionError("count() on reuse path")
+    ):
+        reused = embedding_near_dup_pairs(emb, threshold=0.9, centroids=cents)
+    assert reused.count() >= 0  # plan built without any corpus count

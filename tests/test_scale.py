@@ -119,6 +119,58 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert rows == [(1, "x", "r1"), (2, "y", None)]
 
 
+def test_distributed_cumsum_matches_window(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        distributed_cumsum,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), ((F.col("id") % 97) + 1).alias("v")
+    )
+    got = {
+        r.k: r.c
+        for r in distributed_cumsum(df, "k", "v", "c", num_partitions=16).collect()
+    }
+    # oracle: single-partition window (fine at test scale)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_cumsum_deterministic_across_runs(spark):
+    # Regression for the round-3 driver red row: the two internal jobs
+    # (local window pass + totals pass) must see ONE set of range
+    # boundaries. Before the eager localCheckpoint pin, Spark's range
+    # partitioner re-sampled boundaries per job, so boundary-adjacent rows
+    # could move between partitions and the broadcast offsets no longer
+    # matched the local cumsums — correct counts, wrong sums, flaky.
+    from dataintegration_csvprovider_spark.operators.scale import (
+        distributed_cumsum,
+    )
+
+    # adversarial shape: many rows, values that make any misalignment
+    # visible in the sums, and a partition count high enough that
+    # boundaries fall inside dense key runs
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7919) % 1000 + 1).alias("v")
+    )
+    runs = [
+        sorted(
+            (r.k, r.c)
+            for r in distributed_cumsum(
+                df, "k", "v", "c", num_partitions=32
+            ).collect()
+        )
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # and the final value equals the plain total
+    total = df.agg(F.sum("v")).collect()[0][0]
+    assert runs[0][-1][1] == total
+
+
 def test_write_range_clustered_disjoint_files(spark, tmp_path):
     # each output file must own a disjoint key range (that's what lets
     # row-group min/max stats prune whole files)
