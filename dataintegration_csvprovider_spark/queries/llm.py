@@ -1858,6 +1858,42 @@ def q_leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_split_lsh_summary",
+    # the PRODUCTION shape of the LSH-fed split (no exact-pair audit —
+    # that is q_leakage_safe_split_lsh's job): MinHash-LSH pairs →
+    # components → modulus split → per-split summary. Fully
+    # deterministic under the fixed hash seed, so the sf0.01 summary is
+    # a fixed fact the oracle states directly (the driver and
+    # check_oracle both grade at sf0.01; other scale factors produce
+    # different — equally deterministic — constants).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('test',  CAST(49  AS BIGINT), CAST(49  AS BIGINT), CAST(13630  AS BIGINT)),
+      ('train', CAST(398 AS BIGINT), CAST(378 AS BIGINT), CAST(120217 AS BIGINT)),
+      ('valid', CAST(53  AS BIGINT), CAST(49  AS BIGINT), CAST(15327  AS BIGINT))
+    ) AS t(split, n_docs, n_components, total_chars)
+    """,
+    doc="LSH-fed leakage-safe split, production shape: band-bucket LSH "
+        "pair generation (never all-pairs, never Sigma-df^2), "
+        "large-star/small-star components, component-modulus split — "
+        "the whole path an actual 100 TB corpus would run; the bench "
+        "headline for the split family.",
+    tags=("dedup", "mlprep", "sample", "components"),
+)
+def q_split_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_pairs = minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    labeled = leakage_safe_split(docs.select("doc_id", "n_chars"), lsh_pairs)
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("component").cast("bigint").alias("n_components"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
     "q_knn_batch",
     oracle=f"""
     WITH q AS (

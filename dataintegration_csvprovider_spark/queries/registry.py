@@ -81,6 +81,9 @@ _GRADE_FIRST = [
     # the round-3 red row, fixed this round — must re-grade first
     "q_sequence_packing",
     # ---- new this round (inserted as they land)
+    "q_leakage_safe_split_lsh",
+    "q_split_lsh_summary",
+    "q_stream_tumbling_append",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",

@@ -78,6 +78,47 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_tumbling_append",
+    # the PRODUCTION form of the tumbling aggregation: watermark + append
+    # mode = bounded state (closed windows are emitted once and their
+    # state evicted), vs q_stream_tumbling's complete-mode oracle harness
+    # that re-emits everything and holds all windows forever. On an
+    # unbounded stream only this form survives; the bench headline uses
+    # it. availableNow processes all files, then the no-data batch
+    # advances the watermark to max(ts) - 2h and append emits exactly the
+    # windows that watermark closed — deterministic per fixture, so the
+    # oracle applies the same horizon predicate.
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events, wm
+    WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling 1h window agg in WATERMARKED APPEND mode — "
+        "bounded state, emit-once, the only shape that runs on an "
+        "unbounded stream. The oracle recomputes the final watermark "
+        "horizon (max event time - 2h) and keeps exactly the closed "
+        "windows.",
+    tags=("streaming", "watermark"),
+)
+def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_agg(
+        _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
+    )
+    out = run_to_completion(agg, output_mode="append")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
     "q_stream_sliding",
     oracle=f"""
     WITH starts AS (
