@@ -388,3 +388,79 @@ def q_csv_culture_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "q_xml_jobspec_import",
+    oracle="""
+    SELECT n_nationkey AS nationkey, n_name AS nation_name, 'xml' AS origin
+    FROM nation WHERE CAST(n_regionkey AS INT) = 1
+    """,
+    doc="J3 migration fidelity (xml_settings.py): a reference-shaped "
+        "provider XML node (the SaveAsXml element form, "
+        "CSVProvider.cs:317-351/363-454 — CDATA delimiters, 'True' "
+        "booleans, 'Detect automatically' decimal sentinel, substring-"
+        "dispatch encoding) imports into a JobSpec; the job then runs "
+        "end-to-end: CSV scan with the imported dialect -> conditional "
+        "-> projection/rename/constant -> CSV sink with the imported "
+        "encoding -> scan-back. Values must hash-match plain SQL over "
+        "the original table.",
+    tags=("csv", "xml", "jobs"),
+)
+def q_xml_jobspec_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..jobs import run_job
+    from ..xml_settings import jobspec_from_xml
+
+    src_dir = tempfile.mkdtemp(prefix="xmljob_src_")
+    dst_dir = tempfile.mkdtemp(prefix="xmljob_dst_")
+    try:
+        nation = load_table(spark, sf_dir, "nation")
+        # land the source as a reference-dialect CSV file
+        CsvSink(folder=src_dir).write(nation, "nation")
+
+        xml = f"""
+        <CsvProvider>
+          <SourceFieldDelimiter><![CDATA[;]]></SourceFieldDelimiter>
+          <QuoteChar><![CDATA["]]></QuoteChar>
+          <SourceFirstRowContainsColumnNames>True</SourceFirstRowContainsColumnNames>
+          <DestinationFirstRowContainsColumnNames>True</DestinationFirstRowContainsColumnNames>
+          <SourcePath>{src_dir}</SourcePath>
+          <DestinationPath>{dst_dir}</DestinationPath>
+          <DestinationEncoding>Unicode (UTF-8)</DestinationEncoding>
+          <SourceDecimalSeparator>Detect automatically</SourceDecimalSeparator>
+          <DeleteSourceFiles>False</DeleteSourceFiles>
+          <IncludeTimestampInFileName>False</IncludeTimestampInFileName>
+          <IgnoreDefectiveRows>False</IgnoreDefectiveRows>
+        </CsvProvider>
+        """
+        job = jobspec_from_xml(xml)
+        job.mappings = [
+            Mapping(
+                source_table="nation",
+                destination_table="nation_out",
+                column_mappings=[
+                    ColumnMapping(source_column="n_nationkey",
+                                  destination_column="nationkey"),
+                    ColumnMapping(source_column="n_name",
+                                  destination_column="nation_name"),
+                    ColumnMapping(destination_column="origin", constant="xml"),
+                ],
+                conditionals=[Conditional("n_regionkey", "eq", "1")],
+            )
+        ]
+        result = run_job(spark, job)
+        if not result.success:
+            raise RuntimeError(f"xml-imported job failed: {result.errors}")
+        back = CsvSource(
+            folder=dst_dir, options=CsvSourceOptions()
+        ).read(spark, "nation_out").localCheckpoint(eager=True)
+        return back.select(
+            F.col("nationkey").cast("int").alias("nationkey"),
+            "nation_name",
+            "origin",
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
