@@ -314,6 +314,8 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -338,3 +340,285 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         with Image.open(io.BytesIO(payload)) as img:
             return np.asarray(img.convert("RGB"))
     raise ValueError(f"unrecognized image payload (format={fmt!r})")
+
+
+# --------------------------------------------------------------------------
+# ISO-BMFF (mp4) container — native demux, rawvideo samples
+# --------------------------------------------------------------------------
+#
+# A REAL mp4 container walk, no codec libraries: generic box parsing
+# (32/64-bit sizes, nested containers), movie/track headers, and the full
+# sample-table resolution a production demuxer performs — stsc chunk runs
+# × stco/co64 chunk offsets × stsz sample sizes → absolute per-sample
+# byte ranges. Frame PIXELS decode natively when the track's sample
+# entry is the engine's uncompressed 'rgb ' format (24-bit RGB, exactly
+# what encode_mp4_rawvideo writes); compressed codecs (avc1/hev1/mp4v)
+# demux identically but pixel decode is gated behind the PIL/av absence
+# like JPEG.
+
+#: container boxes whose payload is a sequence of child boxes
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), tag) + payload
+
+
+def _mp4_fullbox(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(tag, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+
+def iter_mp4_boxes(buf: bytes, start: int = 0, end: int | None = None):
+    """Yield ``(fourcc, payload_start, payload_end)`` for each box in
+    ``buf[start:end]`` — 64-bit largesize (size==1) and to-end (size==0)
+    handled per ISO/IEC 14496-12 §4.2."""
+    end = len(buf) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        size, tag = struct.unpack_from(">I4s", buf, pos)
+        header = 8
+        if size == 1:
+            largesize = struct.unpack_from(">Q", buf, pos + 8)[0]
+            header, size = 16, largesize
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"bad mp4 box size {size} at offset {pos}")
+        yield tag, pos + header, pos + size
+        pos += size
+
+
+def encode_mp4_rawvideo(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Uniform (h, w, 3) uint8 RGB frames → a minimal but spec-shaped
+    mp4: ftyp + moov (mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl with real
+    stsd/stts/stsc/stsz/stco tables) + mdat of raw RGB24 samples under a
+    private 'rgb ' visual sample entry."""
+    if not frames:
+        raise ValueError("encode_mp4_rawvideo needs at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, c = arrs[0].shape
+    if c != 3 or any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("all frames must be identical (h, w, 3) RGB")
+    n = len(arrs)
+    sample = w * h * 3
+    mdat_payload = b"".join(a.tobytes() for a in arrs)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    def build_moov(mdat_data_offset: int) -> bytes:
+        mvhd = _mp4_fullbox(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, 1000, n * 1000 // fps)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = _mp4_fullbox(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, 1, 0, n * 1000 // fps)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mp4_fullbox(
+            b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0)
+        )
+        hdlr = _mp4_fullbox(
+            b"hdlr", 0, 0,
+            struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"RawVideoHandler\x00",
+        )
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+            + struct.pack(">HH", 0, 0) + b"\x00" * 12  # predefined/reserved
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + struct.pack(">I", 0) + struct.pack(">H", 1)  # frame_count
+            + b"\x00" * 32  # compressorname
+            + struct.pack(">Hh", 24, -1)  # depth, predefined
+        )
+        stsd = _mp4_fullbox(
+            b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"rgb ", entry)
+        )
+        stts = _mp4_fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+        stsc = _mp4_fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _mp4_fullbox(b"stsz", 0, 0, struct.pack(">III", sample, n, 0))
+        stco = _mp4_fullbox(b"stco", 0, 0, struct.pack(">II", 1, mdat_data_offset))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _mp4_fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _mp4_fullbox(
+            b"dref", 0, 0, struct.pack(">I", 1) + _mp4_fullbox(b"url ", 0, 1, b"")
+        )
+        dinf = _mp4_box(b"dinf", dref)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    # stco needs the absolute mdat data offset, which depends on moov's
+    # size — but moov's size is offset-independent (stco entries are
+    # fixed-width), so build once with a placeholder to measure
+    moov_size = len(build_moov(0))
+    mdat_data_offset = len(ftyp) + moov_size + 8
+    moov = build_moov(mdat_data_offset)
+    return ftyp + moov + _mp4_box(b"mdat", mdat_payload)
+
+
+class Mp4Track:
+    """Resolved video track: identity + the fully-expanded sample map."""
+
+    __slots__ = (
+        "codec", "width", "height", "timescale", "duration",
+        "sample_sizes", "sample_offsets",
+    )
+
+    def __init__(self, codec, width, height, timescale, duration,
+                 sample_sizes, sample_offsets):
+        self.codec = codec
+        self.width = width
+        self.height = height
+        self.timescale = timescale
+        self.duration = duration
+        self.sample_sizes = sample_sizes
+        self.sample_offsets = sample_offsets
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.sample_sizes)
+
+
+def parse_mp4(payload: bytes) -> Mp4Track:
+    """Demux the first video track of an ISO-BMFF payload: walk the box
+    tree, read the sample tables, and resolve every sample to an
+    absolute (offset, size) — the stsc chunk-run × stco chunk-offset ×
+    stsz sample-size expansion every real demuxer performs."""
+    tops = {t: (s, e) for t, s, e in iter_mp4_boxes(payload)}
+    if b"moov" not in tops:
+        raise ValueError("no moov box — not an mp4 movie")
+    moov_s, moov_e = tops[b"moov"]
+    for tag, ts, te in iter_mp4_boxes(payload, moov_s, moov_e):
+        if tag != b"trak":
+            continue
+        track = _parse_trak(payload, ts, te)
+        if track is not None:
+            return track
+    raise ValueError("no video track with a complete sample table")
+
+
+def _parse_trak(payload: bytes, start: int, end: int) -> Mp4Track | None:
+    boxes: dict[bytes, tuple[int, int]] = {}
+
+    def walk(s: int, e: int) -> None:
+        for tag, ps, pe in iter_mp4_boxes(payload, s, e):
+            boxes[tag] = (ps, pe)
+            if tag in _MP4_CONTAINERS:
+                walk(ps, pe)
+
+    walk(start, end)
+    if b"hdlr" in boxes:
+        hs, _ = boxes[b"hdlr"]
+        if payload[hs + 8 : hs + 12] != b"vide":
+            return None
+    needed = (b"stsd", b"stsz", b"stsc")
+    if any(t not in boxes for t in needed):
+        return None
+    if b"stco" not in boxes and b"co64" not in boxes:
+        return None
+
+    # stsd: first sample entry carries the codec fourcc and dimensions
+    ss, _ = boxes[b"stsd"]
+    entry_pos = ss + 8  # fullbox header + entry_count
+    _, codec = struct.unpack_from(">I4s", payload, entry_pos)
+    width, height = struct.unpack_from(">HH", payload, entry_pos + 8 + 24)
+
+    timescale = duration = 0
+    if b"mdhd" in boxes:
+        ms, _ = boxes[b"mdhd"]
+        version = payload[ms]
+        if version == 1:
+            timescale, duration = struct.unpack_from(">IQ", payload, ms + 4 + 16)
+        else:
+            timescale, duration = struct.unpack_from(">II", payload, ms + 4 + 8)
+
+    # stsz: uniform sample_size or a per-sample table
+    zs, _ = boxes[b"stsz"]
+    uniform, count = struct.unpack_from(">II", payload, zs + 4)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", payload, zs + 12))
+
+    # chunk offsets: stco (32-bit) or co64
+    if b"stco" in boxes:
+        cs, _ = boxes[b"stco"]
+        n_chunks = struct.unpack_from(">I", payload, cs + 4)[0]
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", payload, cs + 8))
+    else:
+        cs, _ = boxes[b"co64"]
+        n_chunks = struct.unpack_from(">I", payload, cs + 4)[0]
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, cs + 8))
+
+    # stsc runs: (first_chunk, samples_per_chunk, _) — expand to a
+    # samples-per-chunk list over the real chunk count
+    ks, _ = boxes[b"stsc"]
+    n_runs = struct.unpack_from(">I", payload, ks + 4)[0]
+    runs = [
+        struct.unpack_from(">III", payload, ks + 8 + 12 * i) for i in range(n_runs)
+    ]
+    per_chunk: list[int] = []
+    for i, (first, spc, _) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offsets)
+        per_chunk.extend([spc] * (last - first + 1))
+
+    # the demux core: absolute offset of every sample
+    offsets: list[int] = []
+    si = 0
+    for ci, chunk_off in enumerate(chunk_offsets):
+        pos = chunk_off
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= len(sizes):
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    if si < len(sizes):
+        raise ValueError(
+            f"sample table inconsistent: {len(sizes)} samples, "
+            f"chunk map covers {si}"
+        )
+    return Mp4Track(
+        codec=codec.decode("ascii", "replace"),
+        width=width,
+        height=height,
+        timescale=timescale,
+        duration=duration,
+        sample_sizes=sizes,
+        sample_offsets=offsets,
+    )
+
+
+def decode_mp4_frame(payload: bytes, track: Mp4Track, index: int) -> np.ndarray:
+    """Decode sample ``index`` of a demuxed track to (h, w, 3) uint8 RGB.
+    Native for the engine's uncompressed 'rgb ' sample format; compressed
+    codecs demux fine but need an external decoder (gated, like JPEG)."""
+    if not 0 <= index < track.n_samples:
+        raise IndexError(f"frame {index} out of range 0..{track.n_samples - 1}")
+    off, size = track.sample_offsets[index], track.sample_sizes[index]
+    raw = payload[off : off + size]
+    if track.codec.strip() == "rgb":
+        expected = track.width * track.height * 3
+        if size != expected:
+            raise ValueError(f"rgb sample size {size} != w*h*3 {expected}")
+        return (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(track.height, track.width, 3)
+            .copy()
+        )
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"codec {track.codec!r} needs an external decoder "
+            "(pillow/av), absent in this container; the 'rgb ' sample "
+            "format decodes natively"
+        ) from exc
+    with Image.open(io.BytesIO(raw)) as img:  # e.g. mjpeg samples
+        return np.asarray(img.convert("RGB"))

@@ -309,3 +309,52 @@ def resize_metadata(df: DataFrame, max_side: int = 224) -> DataFrame:
             F.round(h * scale).cast("int").alias("height"),
         ),
     )
+
+
+def extract_mp4_frame_features(
+    df: DataFrame,
+    frame_indices: list[int] | None = None,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """REAL per-frame decode for mp4 payloads: the native ISO-BMFF demux
+    (media_codecs.parse_mp4 — box walk + stsc×stco×stsz sample-table
+    resolution) locates each sampled frame's byte range, the 'rgb '
+    sample format decodes natively, and each frame emits its
+    grid-luminance feature. Same output contract and partitioning notes
+    as :func:`extract_frame_features` (the concatenated-BMP container);
+    compressed-codec tracks (avc1/…) demux identically but raise the
+    gated decoder error at pixel time."""
+    from .media_codecs import decode_mp4_frame, parse_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out_id, out_idx, out_n, out_feat = [], [], [], []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    if payload is None:
+                        continue
+                    raw = bytes(payload)
+                    track = parse_mp4(raw)
+                    wanted = (
+                        range(track.n_samples)
+                        if frame_indices is None
+                        else [i for i in frame_indices if i < track.n_samples]
+                    )
+                    for i in wanted:
+                        out_id.append(doc_id)
+                        out_idx.append(i)
+                        out_n.append(track.n_samples)
+                        out_feat.append(
+                            image_grid_features(decode_mp4_frame(raw, track, i))
+                        )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_id, dtype="int64"),
+                        "frame_idx": pd.Series(out_idx, dtype="int32"),
+                        "n_frames": pd.Series(out_n, dtype="int32"),
+                        "feature": pd.Series(out_feat, dtype="object"),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=_FRAME_FEATURE_SCHEMA)
