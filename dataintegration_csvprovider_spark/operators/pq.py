@@ -44,6 +44,48 @@ def _with_nonnull_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.filter(F.col(vec_col).isNotNull())
 
 
+def _assign_codes_arrow(
+    rows: DataFrame, books: list[list[list[float]]]
+) -> DataFrame:
+    """Lloyd assignment for the exploded (j, subvec) rows as one Arrow
+    batch per partition: for each subspace j present in the batch, the
+    squared distance to that subspace's k centroids accumulates
+    DIMENSION-SEQUENTIALLY in float64 — the same operation order as the
+    ``aggregate``/``zip_with`` fold it replaces, so every distance (and
+    the first-minimum argmin code) is bit-identical while the plan no
+    longer embeds m·k centroid literals. Codebooks broadcast once per
+    iteration (m·k·sub doubles — tiny)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = rows.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [np.asarray(book, dtype=np.float64) for book in books]
+    )
+
+    def run(batches):
+        cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(code=pd.Series([], dtype="int32"))
+                continue
+            j_arr = pdf["j"].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["subvec"]])
+            codes = np.empty(len(pdf), dtype=np.int32)
+            for j in np.unique(j_arr):
+                mask = j_arr == j
+                Xj = X[mask]
+                C = cb[int(j)]  # (k, sub)
+                acc = np.zeros((Xj.shape[0], C.shape[0]))
+                for d in range(Xj.shape[1]):
+                    diff = Xj[:, d : d + 1] - C[None, :, d]
+                    acc = acc + diff * diff
+                codes[mask] = np.argmin(acc, axis=1)  # first-min tie-break
+            yield pdf.assign(code=pd.Series(codes, index=pdf.index))
+
+    return rows.mapInPandas(run, "j int, subvec array<double>, code int")
+
+
 def train_pq_codebooks(
     df: DataFrame,
     m: int = 8,
@@ -103,25 +145,16 @@ def train_pq_codebooks(
     ).persist()
 
     for _ in range(n_iter):
-        centers_lit = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-                for book in books
-            ]
-        )
-        my_centers = F.element_at(centers_lit, F.col("j") + 1)
-        dists = F.transform(
-            my_centers,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("subvec"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # first-minimum tie-break → lower code, same as clustering.kmeans
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # Arrow-batched assignment (was an m·k-literal expression tree
+        # whose PLAN grew with the codebook — the same k-growth issue
+        # clustering._assign_clusters_arrow fixed). Dimension-sequential
+        # float64 accumulation of (a-b)² and numpy's first-occurrence
+        # argmin are BIT-equal to the old aggregate-fold +
+        # array_position(min) expression (property-tested), so codes and
+        # every downstream gate hash are unchanged.
+        assigned = _assign_codes_arrow(rows, books)
         per_dim = (
-            rows.select("j", code.alias("code"), F.posexplode("subvec").alias("dim", "x"))
+            assigned.select("j", "code", F.posexplode("subvec").alias("dim", "x"))
             .groupBy("j", "code", "dim")
             .agg(
                 (

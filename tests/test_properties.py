@@ -436,3 +436,74 @@ def test_bucket_scorer_bit_equals_expression_property(spark_prop, vectors):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], (k, got[k].hex(), want[k].hex())
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0, max_value=8.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8, max_size=8,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_pq_arrow_assignment_bit_equals_expression(spark_prop, vectors):
+    """PQ Lloyd assignment: the Arrow batch path (dimension-sequential
+    float64 (a-b)^2 accumulation + numpy first-occurrence argmin) emits
+    BIT-IDENTICAL codes to the aggregate/zip_with expression fold with
+    array_position(array_min) tie-break it replaced — arbitrary float32
+    subvectors, m=2 subspaces, k=4 codes."""
+    import pyspark.sql.functions as F
+
+    from dataintegration_csvprovider_spark.operators.pq import (
+        _assign_codes_arrow,
+    )
+
+    spark = spark_prop
+    m, sub, k = 2, 4, 4
+    # codebooks derived from the input so ties actually occur
+    books = [
+        [
+            [float(vectors[(c + j) % len(vectors)][j * sub + d]) for d in range(sub)]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+    rows = spark.createDataFrame(
+        [
+            (j, [float(x) for x in v[j * sub : (j + 1) * sub]])
+            for v in vectors
+            for j in range(m)
+        ],
+        "j int, subvec array<double>",
+    )
+    got = [
+        (r.j, tuple(r.subvec), r.code)
+        for r in _assign_codes_arrow(rows, books).collect()
+    ]
+
+    centers_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+            for book in books
+        ]
+    )
+    my_centers = F.element_at(centers_lit, F.col("j") + 1)
+    dists = F.transform(
+        my_centers,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("subvec"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    want = [
+        (r.j, tuple(r.subvec), r.code)
+        for r in rows.select("j", "subvec", code.alias("code")).collect()
+    ]
+    assert sorted(got) == sorted(want)
