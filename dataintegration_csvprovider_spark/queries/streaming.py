@@ -141,6 +141,58 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_session_append",
+    # bounded-state session analytics: append + watermark emits each
+    # session exactly once when the watermark passes its end (last event
+    # + gap) and evicts its state — the only shape whose session store
+    # stays finite on an unbounded stream. The final availableNow
+    # watermark is max(ts) - 2h; the oracle applies the same horizon to
+    # the gaps-and-islands recomputation.
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM sessions, wm
+    GROUP BY user_id, sid, wm.w
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+    """,
+    doc="Streaming session windows (30 min gap) in WATERMARKED APPEND "
+        "mode: sessions emit once when closed by the watermark and their "
+        "state evicts — bounded memory on an unbounded stream; the "
+        "oracle recomputes gaps-and-islands sessions under the same "
+        "final-watermark horizon.",
+    tags=("streaming", "session", "watermark"),
+)
+def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_agg(
+        _events_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+    )
+    out = run_to_completion(agg, output_mode="append")
+    fmt = _TS_FMT_SPARK + ".SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", fmt).alias("session_start"),
+        F.date_format("session_window.end", fmt).alias("session_end"),
+        "n_events",
+        "total",
+    )
+
+
+@register(
     "q_stream_session",
     oracle=f"""
     WITH flagged AS (
