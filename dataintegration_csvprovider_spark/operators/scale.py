@@ -195,3 +195,39 @@ def write_range_clustered(
     )
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
     return path
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    n_shards: int,
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Assign rows to ``n_shards`` contiguous, weight-balanced shards —
+    the training-data shard-writer shape: every shard holds a contiguous
+    ``order_col`` range and ~total/n_shards of the weight (token count),
+    so downstream loaders stream shards of equal cost.
+
+    shard = floor(exclusive_prefix_weight · n_shards / total) capped at
+    n_shards-1 — pure integer arithmetic on the distributed prefix sum
+    (:func:`distributed_cumsum`, two-phase, no single-partition window),
+    so the assignment is deterministic, engine-portable, and adds ONE
+    range shuffle + a broadcast beyond the scan. ``weight_col`` must be
+    a non-null integer column; ``order_col`` unique."""
+    cum = distributed_cumsum(df, order_col, weight_col, "__cum")
+    total = cum.agg(F.max("__cum").alias("t"))
+    excl = F.col("__cum") - F.col(weight_col)
+    # exact integer floor division (DIV — no double rounding even past
+    # 2^53 total tokens); the oracle writes the same as (excl * n) // total
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("__num", (excl * n_shards).cast("bigint"))
+        .withColumn(
+            out_col,
+            F.least(
+                F.expr("__num DIV t"), F.lit(n_shards - 1).cast("bigint")
+            ),
+        )
+        .drop("__cum", "t", "__num")
+    )

@@ -1434,6 +1434,64 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_shard_balanced",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    ), t AS (SELECT SUM(n_tokens) AS total FROM toks),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             LEAST(((cum_tokens - n_tokens) * 8) // total, 7) AS shard_id
+      FROM cum, t
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sharded GROUP BY shard_id
+    """,
+    doc="Token-balanced shard assignment for training-data writing "
+        "(operators/scale.py token_balanced_shards): contiguous doc_id "
+        "ranges, each holding ~total/8 of the corpus tokens — the shard-"
+        "writer every epoch loader wants. Rides the two-phase distributed "
+        "prefix sum (no single-partition window); shard = "
+        "floor(exclusive_prefix · n / total) in exact integer arithmetic "
+        "(DIV — no double rounding at 100 TB token counts). The oracle "
+        "recomputes the same assignment from a window cumsum; contiguity "
+        "is visible as disjoint [first_doc, last_doc] ranges.",
+    tags=("text", "sharding", "scale"),
+)
+def q_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import token_balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "), lambda t: t != F.lit("")
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    sharded = token_balanced_shards(toks, "doc_id", "n_tokens", n_shards=8)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+@register(
     "q_span_dedup",
     oracle="""
     WITH t AS (

@@ -87,6 +87,7 @@ _GRADE_FIRST = [
     "q_xml_jobspec_import",
     "q_multimodal_mp4_decode",
     "q_stream_session_append",
+    "q_shard_balanced",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",

@@ -193,3 +193,30 @@ def test_write_range_clustered_disjoint_files(spark, tmp_path):
     assert len(ranges) == 8
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint, ordered ranges
+
+
+def test_token_balanced_shards_contiguous_and_balanced(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        token_balanced_shards,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), ((F.col("id") % 50) + 1).alias("w")
+    )
+    out = token_balanced_shards(df, "k", "w", n_shards=4).collect()
+    assert len(out) == 4000
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    # contiguity: shard key ranges are disjoint and ordered
+    ranges = sorted(
+        (min(r.k for r in rows), max(r.k for r in rows))
+        for rows in by_shard.values()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # balance: every shard within total/n +- max weight (the boundary doc)
+    total = sum(r.w for r in out)
+    for rows in by_shard.values():
+        assert abs(sum(r.w for r in rows) - total / 4) <= 50
