@@ -117,3 +117,36 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return labeled.withColumn("split", split)
+
+
+def epoch_shuffle_key(
+    id_col: str = "doc_id", epoch: int = 0
+):
+    """Deterministic per-epoch shuffle key: the Knuth multiplicative
+    hash of (id + epoch·salt) modulo 2^32 — a reproducible pseudorandom
+    permutation of the corpus per epoch, computable as pure column
+    arithmetic on ANY engine (no RNG state, no seed files). Training
+    loaders sort (or range-partition) by this key to get a different,
+    reproducible document order every epoch; two epochs' orders are
+    uncorrelated because the additive salt shifts every id before the
+    multiplicative mix."""
+    return ((F.col(id_col) + F.lit(epoch) * 1_000_003) * _KNUTH) % _MOD
+
+
+def epoch_shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    limit: int | None = None,
+) -> DataFrame:
+    """Rows in epoch-``epoch`` training order. With ``limit``, Spark
+    plans TakeOrderedAndProject — the top-k never materializes a global
+    sort, so peeking at the head of an epoch is cheap at any corpus
+    size; without it, the full sort is a range-partitioned exchange
+    (scale-safe, no single-partition funnel)."""
+    out = df.withColumn("__shuffle_key", epoch_shuffle_key(id_col, epoch)).orderBy(
+        "__shuffle_key", id_col
+    )
+    if limit is not None:
+        out = out.limit(limit)
+    return out.drop("__shuffle_key")

@@ -2254,3 +2254,58 @@ if _HAS_PIL:
             "doc_id",
             (F.abs(gray - F.col("doc_id") % 256) <= 3).alias("gray_ok"),
         )
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, e.epoch,
+             ((doc_id + e.epoch * 1000003) * 2654435761) % 4294967296
+               AS shuffle_key
+      FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS epoch) e
+    ), ranked AS (
+      SELECT epoch, doc_id, shuffle_key,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+                                ORDER BY shuffle_key, doc_id) AS position
+      FROM k
+    )
+    SELECT CAST(epoch AS INT) AS epoch, CAST(position AS INT) AS position,
+           doc_id
+    FROM ranked WHERE position <= 20
+    """,
+    doc="Deterministic per-epoch training shuffle "
+        "(operators/sampling.py epoch_shuffle_order): a Knuth-"
+        "multiplicative-hash permutation of the corpus, different and "
+        "reproducible per epoch, as pure column arithmetic — no RNG "
+        "state. The head of each epoch's order is a TakeOrderedAndProject "
+        "top-k (no global sort materializes); the oracle recomputes the "
+        "same arithmetic and ranks.",
+    tags=("sample", "mlprep", "shuffle"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import epoch_shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for epoch in (0, 1):
+        head = epoch_shuffle_order(docs, epoch=epoch, limit=20).withColumn(
+            "epoch", F.lit(epoch)
+        )
+        parts.append(head)
+    both = parts[0].unionByName(parts[1])
+    # position via a per-epoch window over the already-limited 20 rows —
+    # the shuffle key recomputes as pure arithmetic, bit-identical
+    keyed = both.withColumn(
+        "__k",
+        ((F.col("doc_id") + F.col("epoch") * 1_000_003) * 2654435761)
+        % 4294967296,
+    )
+    w = Window.partitionBy("epoch").orderBy("__k", "doc_id")
+    return keyed.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.row_number().over(w).cast("int").alias("position"),
+        "doc_id",
+    )

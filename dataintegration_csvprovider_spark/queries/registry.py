@@ -88,6 +88,7 @@ _GRADE_FIRST = [
     "q_multimodal_mp4_decode",
     "q_stream_session_append",
     "q_shard_balanced",
+    "q_epoch_shuffle",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
