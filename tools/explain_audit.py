@@ -54,6 +54,8 @@ NLJ_OK = {
     "q_ivfpq_recall_gate",  # single-row query-vector cross, same as q_knn_*
     "q_embedding_neardup_trained",  # 16-row trained-centroid broadcast cross
     "q_dedup_incremental",  # 1x1x1-row crossJoin of gate-count aggregates
+    "q_leakage_safe_split_lsh",  # 1x1x1-row crossJoin of gate aggregates
+    "q_shard_balanced",  # single-row Σtokens aggregate broadcast cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
