@@ -580,12 +580,10 @@ DENSE_MAX_MULS = 2_000_000_000_000
 #: the measured 30× probe (Σdf² ≈ 1.93e9 on 32 cores).
 INDEX_WORK_PER_CORE = 64_000_000
 
-#: the aggregation shuffle after the inverted-index join moves Σdf² rows;
-#: sizing that shuffle for the session default (e.g. 32 partitions) puts
-#: tens of GB through each task at the regime's upper bound — the
-#: super-linear spill tail the 30× probe measured. When Σdf² is known
-#: (auto mode computes it exactly), the pair aggregation repartitions to
-#: ~this many rows per task instead, capped at 4096 partitions.
+#: target rows per reduce task for the Σdf² pair aggregation — achieved
+#: via AQE's initialPartitionNum (session.py), NOT an explicit
+#: repartition (which would defeat map-side partial aggregation; see the
+#: measured-dead-end note in ngram_jaccard_pairs' index branch).
 INDEX_ROWS_PER_TASK = 5_000_000
 
 
@@ -877,20 +875,22 @@ def ngram_jaccard_pairs(
             F.col("r.set_size").alias("size_b"),
         )
         # The pair aggregation moves Σdf² rows — at the regime's upper
-        # bound that is billions of rows, and the session's default
-        # shuffle-partition count (sized for ordinary queries) puts tens
-        # of GB through each task: the super-linear spill tail the 30×
-        # scale probe measured (401 s at Σdf² ≈ 1.93e9 on 32 tasks).
-        # When auto mode computed Σdf² exactly, size the aggregation
-        # shuffle to the work instead; repartitioning on a prefix of the
-        # grouping keys satisfies the aggregate's required distribution,
-        # so this replaces (not adds to) the groupBy exchange.
-        if sum_df2 is not None:
-            spark = df.sparkSession
-            default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            nparts = min(4096, -(-sum_df2 // INDEX_ROWS_PER_TASK))
-            if nparts > default_parts:
-                joined = joined.repartition(nparts, "a", "b")
+        # bound that is billions of rows, so the REDUCE side must not be
+        # sized by the session's default partition count (the r3 30×
+        # probe measured a super-linear 401 s spill tail at Σdf² ≈
+        # 1.93e9 over 32 reduce tasks). Reducer sizing comes from AQE's
+        # high initialPartitionNum (session.py): the final aggregation
+        # starts wide and AQE coalesces small shuffles back.
+        #
+        # Measured dead end, kept as a warning: an explicit
+        # `joined.repartition(n, "a", "b")` before the groupBy DOES give
+        # n reduce tasks, but because the repartition satisfies the
+        # aggregate's required distribution Catalyst plans a single
+        # COMPLETE aggregation — the map-side partial combine disappears,
+        # the shuffle write grows to the full Σdf² row volume, and the
+        # 30× probe's map stage OOMs an 8g heap where the partial-agg
+        # plan survived. Partial aggregation is worth more than exact
+        # reducer counts here.
         common = joined.groupBy("a", "b", "size_a", "size_b").agg(
             F.count(F.lit(1)).alias("common")
         )

@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # shuffles START wide and AQE coalesces down (parallelismFirst
+        # keeps ≥ defaultParallelism partitions for mid-size data): big
+        # aggregations — e.g. the Σdf² pair-count whose 32-reducer spill
+        # tail the 30× dedup probe measured — get work-proportional
+        # reducers without explicit repartitions that would defeat
+        # map-side partial aggregation. Cheap for small queries: the
+        # extra buckets coalesce before reduce tasks launch.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(512, shuffle_partitions * 4)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -51,7 +62,10 @@ def get_spark(
         # this; the catalog converts the raw nanos to microsecond timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver + all executor threads in ONE JVM, so
+        # this is the whole engine's heap: 8g put the 30× dedup probe's
+        # shuffle stage into GCLocker/OOM territory on a 128 GiB box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
