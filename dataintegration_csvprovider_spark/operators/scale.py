@@ -94,7 +94,7 @@ def salted_join(
 
 def distributed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
@@ -115,8 +115,10 @@ def distributed_cumsum(
     ``Window.orderBy(order_col)`` with no partitionBy funnels every row
     through one task — the exact anti-pattern this replaces.
 
-    ``value_col`` must be integer-typed and non-null; ``order_col`` must be
-    unique for a deterministic result.
+    ``value_col`` must be integer-typed and non-null; ``order_col`` (a
+    single column or a list — e.g. ``["price", "id"]`` for a value order
+    with a unique tie-break) must be unique as a tuple for a
+    deterministic result.
 
     The range partitioning is materialized ONCE (eager ``localCheckpoint``)
     before the local-window pass and the totals pass read it. Without that
@@ -132,8 +134,9 @@ def distributed_cumsum(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     ranged = (
-        df.repartitionByRange(n, F.col(order_col))
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -141,7 +144,7 @@ def distributed_cumsum(
 
     w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))

@@ -177,3 +177,59 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_quantile_bin",
+    # exact-rank binning (NTILE), not the sketch: the assignment itself
+    # is the deliverable and must be engine-portable. NTILE(4) over
+    # (value, unique key) is deterministic; per-bin summary pins the
+    # boundaries and populations.
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             NTILE(4) OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+                            o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           COUNT(*) AS n,
+           MIN(price) AS lo,
+           MAX(price) AS hi,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM ranked GROUP BY bin
+    """,
+    doc="Quantile feature binning (quartiles over order totalprice): "
+        "exact NTILE-equivalent rank assignment — rank comes from the "
+        "two-phase distributed prefix sum over (price, unique key), and "
+        "bin = floor((rank-1)·k/n)+1, the closed form of NTILE(k) on "
+        "unique ranks — so there is NO single-partition window anywhere "
+        "(the oracle's NTILE is the semantic spec, not the plan). At "
+        "100 TB the cheap alternative is approx_percentile cutpoints + "
+        "broadcast (cf. q_approx_percentile's pinned error bound); this "
+        "is the exact reference form that variant is gated against.",
+    tags=("mlprep", "binning", "window"),
+)
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import distributed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    priced = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    ranked = distributed_cumsum(
+        priced, ["price", "o_orderkey"], "__one", "rank"
+    )
+    n_rows = orders.count()
+    # exact integer DIV — no double rounding at any row count
+    binned = ranked.withColumn(
+        "__num", ((F.col("rank") - 1) * 4).cast("bigint")
+    ).withColumn("bin", F.expr(f"__num DIV {int(n_rows)}") + 1)
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+        F.sum(F.col("price").cast("decimal(18,6)")).cast("double").alias("total"),
+    )

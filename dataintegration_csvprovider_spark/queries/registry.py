@@ -89,6 +89,8 @@ _GRADE_FIRST = [
     "q_stream_session_append",
     "q_shard_balanced",
     "q_epoch_shuffle",
+    "q_quantile_bin",
+    "q_stream_sliding_append",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",

@@ -193,6 +193,40 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding_append",
+    # bounded-state sliding windows: each event contributes to 2
+    # overlapping windows; append emits a window once when the final
+    # watermark (max ts - 2h) closes it and evicts its state
+    oracle=f"""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS s FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT strftime(s, '{_TS_FMT_DUCK}') AS win_start, COUNT(*) AS n
+    FROM starts, wm
+    WHERE s + INTERVAL 2 HOUR <= wm.w
+    GROUP BY s
+    """,
+    doc="Streaming sliding windows (2h size, 1h slide) in WATERMARKED "
+        "APPEND mode — bounded state, emit-once; the oracle keeps "
+        "exactly the windows the final watermark closed.",
+    tags=("streaming", "watermark"),
+)
+def q_stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_agg(
+        _events_stream(spark, sf_dir),
+        window="2 hours",
+        slide="1 hour",
+        watermark="2 hours",
+    )
+    out = run_to_completion(agg, output_mode="append")
+    return out.select(
+        F.date_format("window.start", _TS_FMT_SPARK).alias("win_start"), "n"
+    )
+
+
+@register(
     "q_stream_session",
     oracle=f"""
     WITH flagged AS (
