@@ -2309,3 +2309,41 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("position"),
         "doc_id",
     )
+
+
+@register(
+    "q_compression_quality",
+    # zlib level 6 output is deterministic for a given input (stable
+    # across runs/machines for the same zlib build), so the per-language
+    # census over the sf0.01 fixture is a fixed fact the oracle states
+    # directly; per-row ratios are IEEE doubles, summed through
+    # decimal(18,9) so the total is order-independent.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('de', CAST(70  AS BIGINT), CAST(9968  AS BIGINT), CAST(39.357334300  AS DOUBLE)),
+      ('en', CAST(218 AS BIGINT), CAST(32209 AS BIGINT), CAST(121.917539941 AS DOUBLE)),
+      ('es', CAST(73  AS BIGINT), CAST(10854 AS BIGINT), CAST(40.336886272  AS DOUBLE)),
+      ('fr', CAST(64  AS BIGINT), CAST(9994  AS BIGINT), CAST(34.548634446  AS DOUBLE)),
+      ('zh', CAST(75  AS BIGINT), CAST(11324 AS BIGINT), CAST(41.078884167  AS DOUBLE))
+    ) AS t(lang, n_docs, total_zlib, ratio_sum)
+    """,
+    doc="Compression-ratio quality signal "
+        "(operators/textstats.py compression_ratio): zlib(level 6) size "
+        "over raw UTF-8 bytes per doc — the Gopher-family cheap junk "
+        "filter (repetitive/templated text compresses far below natural "
+        "prose). Arrow-batched pandas_udf (compression is per-row C "
+        "work; bytes never leave the executor). Per-language census "
+        "pinned as constants at sf0.01.",
+    tags=("text", "quality", "compression"),
+)
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("zlib_len").cast("bigint").alias("total_zlib"),
+        F.sum(F.col("compression_ratio").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("ratio_sum"),
+    )
