@@ -150,3 +150,43 @@ def epoch_shuffle_order(
     if limit is not None:
         out = out.limit(limit)
     return out.drop("__shuffle_key")
+
+
+def stride_mix_key(
+    rank_col: str = "source_rank", weight_col: str = "mix_weight"
+):
+    """Stride-scheduling mix key: doc at 1-based rank r within its
+    source, with source mix weight w, sorts at (r - 0.5) / w — the
+    classic deterministic proportional interleave (stride scheduling):
+    over any prefix of the global order, each source appears ~in
+    proportion to its weight, with no RNG and no coordination. Column
+    arithmetic only; IEEE-exact and engine-portable."""
+    return (F.col(rank_col) - F.lit(0.5)) / F.col(weight_col)
+
+
+def stride_mix_order(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    limit: int | None = None,
+) -> DataFrame:
+    """Rows in deterministic weighted-interleave order across sources —
+    the pretraining data-mix schedule: rank docs within each source
+    (window partitioned by source — the one shuffle, never global),
+    apply :func:`stride_mix_key`, and order by (key, source, id). With
+    ``limit``, the head plans as TakeOrderedAndProject."""
+    w = W.partitionBy(source_col).orderBy(id_col)
+    items = [x for kv in weights.items() for x in kv]
+    wmap = F.create_map(*[F.lit(x) for x in items])
+    ranked = (
+        df.withColumn("source_rank", F.row_number().over(w).cast("double"))
+        .withColumn("mix_weight", wmap[F.col(source_col)])
+        .filter(F.col("mix_weight").isNotNull())
+    )
+    out = ranked.withColumn("mix_key", stride_mix_key()).orderBy(
+        "mix_key", source_col, id_col
+    )
+    if limit is not None:
+        out = out.limit(limit)
+    return out.drop("source_rank", "mix_weight")

@@ -2347,3 +2347,59 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ratio_sum"),
     )
+
+
+@register(
+    "q_stride_mix",
+    # three sources with 4:2:1 weights: over the first 35 interleave
+    # positions src0 appears ~4x as often as src2. The stride key
+    # (rank - 0.5)/w is IEEE-exact double arithmetic in both engines.
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS source_rank
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ), keyed AS (
+      SELECT doc_id, source,
+             (CAST(source_rank AS DOUBLE) - 0.5) /
+               CASE source WHEN 'src0' THEN 4.0
+                           WHEN 'src1' THEN 2.0 ELSE 1.0 END AS mix_key
+      FROM ranked
+    ), ordered AS (
+      SELECT doc_id, source, mix_key,
+             ROW_NUMBER() OVER (ORDER BY mix_key, source, doc_id)
+               AS position
+      FROM keyed
+    )
+    SELECT CAST(position AS INT) AS position, source, doc_id
+    FROM ordered WHERE position <= 35
+    """,
+    doc="Stride-scheduled corpus mixing "
+        "(operators/sampling.py stride_mix_order): deterministic "
+        "proportional interleave of sources by mix weight — each prefix "
+        "of the global training order holds sources ~in weight "
+        "proportion, no RNG, no coordination; the per-source rank window "
+        "is the only shuffle and the head plans as "
+        "TakeOrderedAndProject.",
+    tags=("sample", "mlprep", "mix"),
+)
+def q_stride_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import stride_mix_order
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    ).select("doc_id", "source")
+    head = stride_mix_order(
+        docs, "source", "doc_id",
+        weights={"src0": 4.0, "src1": 2.0, "src2": 1.0},
+        limit=35,
+    )
+    w = Window.orderBy("mix_key", "source", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("int").alias("position"),
+        "source",
+        "doc_id",
+    )

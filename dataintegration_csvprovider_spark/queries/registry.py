@@ -92,6 +92,7 @@ _GRADE_FIRST = [
     "q_quantile_bin",
     "q_stream_sliding_append",
     "q_compression_quality",
+    "q_stride_mix",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
