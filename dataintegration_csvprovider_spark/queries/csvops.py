@@ -464,3 +464,137 @@ def q_xml_jobspec_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(dst_dir, ignore_errors=True)
+
+
+@register(
+    "q_csv_defective_audit",
+    # E1 end-to-end, driver-gradable: a hand-built CSV with two
+    # defective rows (wrong column count). DROPMALFORMED yields the 4
+    # good rows; the PERMISSIVE audit scan captures exactly the 2 raw
+    # defective records — the engine analog of the reference's bad-data
+    # callback logging field + raw record (CSVSourceReader.cs:64-68).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('kept',    CAST(4 AS BIGINT), CAST(6 AS BIGINT)),
+      ('dropped', CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(bucket, n_rows, value_total)
+    """,
+    doc="E1 skip-defective-rows with audit trail "
+        "(sources/csv_source.py read / read_with_audit): DROPMALFORMED "
+        "keeps the parseable rows; the PERMISSIVE companion scan counts "
+        "the raw defective records so nothing is silently lost — counts "
+        "pinned as constants.",
+    tags=("csv", "errors"),
+)
+def q_csv_defective_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="defective_")
+    try:
+        with open(os.path.join(d, "items.csv"), "w", encoding="utf-8") as fh:
+            fh.write(
+                "id;value\n"
+                "1;1\n"
+                "2;2\n"
+                "broken-row-without-delimiter\n"
+                "3;3\n"
+                "4;4;extra;fields;beyond;schema\n"
+                "5;NULL\n"
+            )
+        # the NULL-sentinel row is GOOD (decodes to SQL NULL); the
+        # extra-fields row is defective like the short row — 4 good rows
+        # carry values 1+2+3+NULL = 6
+        src = CsvSource(
+            folder=d,
+            options=CsvSourceOptions(ignore_defective_rows=True),
+        )
+        good = src.read(spark, "items").localCheckpoint(eager=True)
+        audit = (
+            src.read_with_audit(spark, "items")
+            .filter(F.col("_corrupt_record").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    kept = good.agg(
+        F.lit("kept").alias("bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("bigint")).cast("bigint").alias("value_total"),
+    )
+    dropped = audit.agg(
+        F.lit("dropped").alias("bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("bigint").alias("value_total"),
+    )
+    return kept.unionByName(dropped)
+
+
+@register(
+    "q_job_error_report",
+    # E5 end-to-end: a two-mapping job where one mapping references a
+    # missing source table. The job must NOT throw — the failing mapping
+    # contributes a structured error, the good mapping still writes its
+    # output (the reference catches per-job, logs, returns false but
+    # closes writers: CSVProvider.cs:580-599). Constants oracle.
+    oracle="""
+    SELECT CAST(FALSE AS BOOLEAN) AS job_success,
+           CAST(1 AS BIGINT) AS n_outputs,
+           CAST(1 AS BIGINT) AS n_errors,
+           CAST(5 AS BIGINT) AS good_rows_written
+    """,
+    doc="E5 job-level error capture (jobs.py run_job): one bad mapping "
+        "(missing source table) fails structurally — captured in "
+        "JobResult.errors, success=False — while the good mapping's "
+        "output is still written and scan-backable. No exception "
+        "escapes; nothing half-written.",
+    tags=("csv", "errors", "jobs"),
+)
+def q_job_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..jobs import JobSpec, run_job
+    from ..sinks.csv_sink import CsvSink
+
+    src_dir = tempfile.mkdtemp(prefix="joberr_src_")
+    dst_dir = tempfile.mkdtemp(prefix="joberr_dst_")
+    try:
+        region = load_table(spark, sf_dir, "region")
+        CsvSink(folder=src_dir).write(region, "region")
+        job = JobSpec(
+            source=CsvSource(folder=src_dir),
+            destination=CsvSink(folder=dst_dir),
+            mappings=[
+                Mapping(
+                    source_table="region",
+                    destination_table="region_out",
+                    column_mappings=[
+                        ColumnMapping(source_column="r_regionkey"),
+                        ColumnMapping(source_column="r_name"),
+                    ],
+                ),
+                Mapping(
+                    source_table="no_such_table",
+                    destination_table="nope",
+                    column_mappings=[ColumnMapping(source_column="x")],
+                ),
+            ],
+        )
+        result = run_job(spark, job)
+        back = CsvSource(folder=dst_dir).read(spark, "region_out")
+        n_written = back.count()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(result.success),
+                len(result.outputs),
+                len(result.errors),
+                int(n_written),
+            )
+        ],
+        "job_success boolean, n_outputs bigint, n_errors bigint, "
+        "good_rows_written bigint",
+    )

@@ -93,6 +93,8 @@ _GRADE_FIRST = [
     "q_stream_sliding_append",
     "q_compression_quality",
     "q_stride_mix",
+    "q_csv_defective_audit",
+    "q_job_error_report",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
