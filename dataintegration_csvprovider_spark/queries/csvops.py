@@ -598,3 +598,67 @@ def q_job_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "job_success boolean, n_outputs bigint, n_errors bigint, "
         "good_rows_written bigint",
     )
+
+
+@register(
+    "q_csv_fidelity_gates",
+    # Three reference behaviors, end-to-end in one constants-oracle
+    # query: S2 a selected file OVERRIDES the folder
+    # (CSVProvider.cs:478-485); E3 duplicated non-empty header names
+    # reject with the names listed (CSVSourceReader.cs:245-273); S6
+    # post-job source deletion removes every source file, per-file
+    # errors non-fatal (CSVProvider.cs:355-361,658-671).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('file_overrides_folder', TRUE),
+      ('dup_header_rejected',   TRUE),
+      ('sources_deleted',       TRUE)
+    ) AS t(gate, ok)
+    """,
+    doc="Reference-fidelity gates for S2/E3/S6 in one query: selected "
+        "file wins over the folder; duplicate headers raise naming the "
+        "offenders; delete_source_files removes every source file and "
+        "reports the list.",
+    tags=("csv", "errors", "jobs"),
+)
+def q_csv_fidelity_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="fidelity_")
+    try:
+        # folder table 'items' has 2 rows; the SELECTED file has 3 —
+        # reading table 'items' through a file-selected source must see 3
+        with open(os.path.join(d, "items.csv"), "w", encoding="utf-8") as fh:
+            fh.write("id;v\n1;a\n2;b\n")
+        override = os.path.join(d, "override.csv")
+        with open(override, "w", encoding="utf-8") as fh:
+            fh.write("id;v\n1;x\n2;y\n3;z\n")
+        src_file = CsvSource(folder=d, file=override)
+        n = src_file.read(spark, "items").count()
+        file_overrides = bool(n == 3)
+
+        # E3: duplicate non-empty header names reject, listing offenders
+        with open(os.path.join(d, "dup.csv"), "w", encoding="utf-8") as fh:
+            fh.write("id;name;name;id\n1;a;b;2\n")
+        try:
+            CsvSource(folder=d).read(spark, "dup")
+            dup_rejected = False
+        except ValueError as exc:
+            dup_rejected = "name" in str(exc) and "id" in str(exc)
+
+        # S6: deletion removes every file and reports the list
+        src_del = CsvSource(folder=d)
+        deleted = src_del.delete_source_files()
+        remaining = [p for p in os.listdir(d) if p.endswith(".csv")]
+        sources_deleted = bool(len(deleted) == 3 and not remaining)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("file_overrides_folder", file_overrides),
+            ("dup_header_rejected", dup_rejected),
+            ("sources_deleted", sources_deleted),
+        ],
+        "gate string, ok boolean",
+    )
