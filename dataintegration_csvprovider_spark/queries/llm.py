@@ -2403,3 +2403,54 @@ def q_stride_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
     )
+
+
+@register(
+    "q_token_rarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+    ), df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CAST(1.0 / df.df AS DECIMAL(18,12)))
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_rarity
+    FROM toks t JOIN df ON t.tok = df.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Token-rarity quality signal: per-doc mean of 1/df over all "
+        "token occurrences (df = documents containing the token). High "
+        "mean rarity flags misspelling-dense/garbled text, low flags "
+        "boilerplate — the dependency-free cousin of a unigram-LM "
+        "surprisal filter. One explode + df aggregation + re-join on "
+        "token (Zipf head broadcasts well under AQE); per-token 1/df is "
+        "IEEE-exact, summed through decimal(18,12) so the mean is "
+        "order-independent.",
+    tags=("text", "quality"),
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    joined = toks.join(df_tbl, "tok")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (
+            F.sum((F.lit(1.0) / F.col("df")).cast("decimal(18,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_rarity"),
+    )

@@ -96,6 +96,7 @@ _GRADE_FIRST = [
     "q_csv_defective_audit",
     "q_job_error_report",
     "q_csv_fidelity_gates",
+    "q_token_rarity",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
