@@ -81,6 +81,13 @@ HEADLINE = (
     # generation). NOT the q_leakage_safe_split_lsh GATE: its cost is
     # the exact-pair leakage audit, same reasoning as q_dedup_incremental
     "q_split_lsh_summary",
+    # round-4 training-data-pipeline families: distributed prefix-sum
+    # sharding, zlib quality signal, bounded-state session analytics,
+    # exact distributed quantile binning
+    "q_shard_balanced",
+    "q_compression_quality",
+    "q_stream_session_append",
+    "q_quantile_bin",
 )
 
 

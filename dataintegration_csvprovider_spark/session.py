@@ -41,17 +41,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # shuffles START wide and AQE coalesces down (parallelismFirst
-        # keeps ≥ defaultParallelism partitions for mid-size data): big
-        # aggregations — e.g. the Σdf² pair-count whose 32-reducer spill
-        # tail the 30× dedup probe measured — get work-proportional
-        # reducers without explicit repartitions that would defeat
-        # map-side partial aggregation. Cheap for small queries: the
-        # extra buckets coalesce before reduce tasks launch.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(512, shuffle_partitions * 4)),
-        )
+        # NO initialPartitionNum override — measured and rejected twice
+        # on local[32]: a 512 initial cost ~0.3 s on the sf0.1 exact-
+        # Jaccard (A/B 2.6-3.1 s vs 2.4-2.7 s) and ~15% on 10× pagerank
+        # (A/B warm 8.0 s vs 6.9 s — one wide-then-coalesce round per
+        # iteration), while the Σdf² 30× pair aggregation it was meant
+        # to help proved throughput-bound, not reducer-bound (412 s at
+        # 74 reducers ≈ 401 s at 32). On a real cluster, size
+        # shuffle_partitions for the job instead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
