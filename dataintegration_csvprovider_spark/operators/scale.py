@@ -234,3 +234,44 @@ def token_balanced_shards(
         )
         .drop("__cum", "t", "__num")
     )
+
+
+def skew_stats(
+    df: DataFrame, key_col: str, top_n: int = 5
+) -> DataFrame:
+    """Join/aggregation-key skew diagnosis — the measurement that decides
+    between a plain shuffle, AQE skew handling, and explicit
+    :func:`salted_join`: one aggregation computes per-key group sizes,
+    then a single summary row reports total rows, distinct keys,
+    max/median group size, the max/median skew factor, and the share of
+    all rows held by the ``top_n`` heaviest keys. Cost: one keyed
+    shuffle + a tiny ordered aggregation — run it on a sample at 100 TB.
+
+    Reading it: skew_factor ≈ 1 ⇒ uniform keys, shuffle freely;
+    top share ≫ top_n/n_keys ⇒ a handful of hot keys — salt those or
+    rely on AQE's skew split; n_keys tiny ⇒ broadcast the other side
+    instead."""
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        sizes.orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(top_n)
+        .agg(F.sum("n").alias("top_rows"))
+    )
+    summary = sizes.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_group"),
+        F.median("n").cast("double").alias("median_group"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(top))
+        .withColumn(
+            "skew_factor",
+            (F.col("max_group") / F.col("median_group")).cast("double"),
+        )
+        .withColumn(
+            "top_share",
+            (F.col("top_rows") / F.col("total_rows")).cast("double"),
+        )
+        .drop("top_rows")
+    )

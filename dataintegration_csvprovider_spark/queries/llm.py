@@ -2454,3 +2454,35 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).cast("double").alias("mean_rarity"),
     )
+
+
+@register(
+    "q_skew_stats",
+    oracle="""
+    WITH sizes AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), top AS (
+      SELECT SUM(n) AS top_rows
+      FROM (SELECT n FROM sizes ORDER BY n DESC, user_id LIMIT 5)
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_group,
+           CAST(MEDIAN(n) AS DOUBLE) AS median_group,
+           CAST(MAX(n) / MEDIAN(n) AS DOUBLE) AS skew_factor,
+           CAST(MAX(top.top_rows) / SUM(n) AS DOUBLE) AS top_share
+    FROM sizes, top
+    """,
+    doc="Key-skew diagnosis (operators/scale.py skew_stats) over "
+        "events.user_id: max/median group-size factor and top-5-key row "
+        "share — the measurement that picks plain shuffle vs AQE skew "
+        "split vs explicit salting (q_salted_join) vs broadcast. One "
+        "keyed shuffle + a top-k aggregation.",
+    tags=("scale", "skew", "agg"),
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import skew_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return skew_stats(events, "user_id", top_n=5)
