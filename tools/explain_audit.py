@@ -56,6 +56,7 @@ NLJ_OK = {
     "q_dedup_incremental",  # 1x1x1-row crossJoin of gate-count aggregates
     "q_leakage_safe_split_lsh",  # 1x1x1-row crossJoin of gate aggregates
     "q_shard_balanced",  # single-row Σtokens aggregate broadcast cross
+    "q_skew_stats",  # single-row top-k aggregate broadcast cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
