@@ -233,3 +233,60 @@ def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("price").alias("hi"),
         F.sum(F.col("price").cast("decimal(18,6)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "q_robust_scale",
+    # median/MAD scaling is the outlier-immune cousin of z-scoring
+    # (q_minmax_scale / q_winsorize siblings). Exact medians (DuckDB
+    # MEDIAN == Spark median for these odd/even group sizes resolve to
+    # exact order statistics or midpoints of representable doubles), so
+    # per-row scaled values are IEEE-identical.
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             MEDIAN(CAST(l_extendedprice AS DOUBLE)) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag,
+             MEDIAN(ABS(CAST(l.l_extendedprice AS DOUBLE) - s.med)) AS mad
+      FROM lineitem l JOIN stats s USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           (CAST(l.l_extendedprice AS DOUBLE) - s.med) / NULLIF(d.mad, 0)
+             AS robust_z
+    FROM lineitem l
+    JOIN stats s USING (l_returnflag)
+    JOIN dev d USING (l_returnflag)
+    WHERE l.l_orderkey % 20 = 0
+    """,
+    doc="Robust per-group feature scaling: (x - median) / MAD — immune "
+        "to the outliers that poison mean/std z-scores. Two exact-"
+        "median aggregation passes + broadcast joins of the tiny stats "
+        "tables; emitted for the 1-in-20 orderkey slice with a unique "
+        "(orderkey, linenumber) key.",
+    tags=("mlprep", "scaling"),
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    stats = li.groupBy("l_returnflag").agg(F.median(x).alias("med"))
+    dev = (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.median(F.abs(x - F.col("med"))).alias("mad"))
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .join(F.broadcast(stats), "l_returnflag")
+        .join(F.broadcast(dev), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            ((x - F.col("med")) / F.nullif(F.col("mad"), F.lit(0.0))).alias(
+                "robust_z"
+            ),
+        )
+    )
