@@ -36,8 +36,8 @@ def asof_join(
     column except key/timestamp) from the matched right row, NULL when no
     right row qualifies (left-outer semantics).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     keys = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
         right_payload = [
@@ -82,20 +82,35 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
 
+    w_back = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     if direction == "backward":
-        w = (
-            W.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        carried = F.last("__right_row", ignorenulls=True).over(w)
+        carried = F.last("__right_row", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        carried = F.last("__right_row", ignorenulls=True).over(w_fwd)
     else:
-        w = (
-            W.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        # nearest: carry BOTH candidates (two windows over the same
+        # keyed sort — one shuffle, two in-partition sorts) and pick the
+        # smaller |Δt|; equal distances prefer the backward match
+        # (pandas merge_asof convention)
+        back = F.last("__right_row", ignorenulls=True).over(w_back)
+        fwd = F.last("__right_row", ignorenulls=True).over(w_fwd)
+        d_back = F.col("__ts").cast("double") - back["__rts"].cast("double")
+        d_fwd = fwd["__rts"].cast("double") - F.col("__ts").cast("double")
+        carried = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_fwd < d_back, fwd)
+            .otherwise(back)
         )
-        carried = F.last("__right_row", ignorenulls=True).over(w)
 
     matched = (
         # a NULL left timestamp matches nothing (left-outer semantics) —
@@ -107,16 +122,25 @@ def asof_join(
         .filter(F.col("__is_left") == 1)
     )
     if tolerance is not None:
-        bound = (
-            F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-            if direction == "backward"
-            else F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
-        )
-        in_range = (
-            (F.col("__match.__rts") >= bound)
-            if direction == "backward"
-            else (F.col("__match.__rts") <= bound)
-        )
+        if direction == "nearest":
+            in_range = (
+                F.col("__match.__rts")
+                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+            ) & (
+                F.col("__match.__rts")
+                <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+            )
+        else:
+            bound = (
+                F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+                if direction == "backward"
+                else F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+            )
+            in_range = (
+                (F.col("__match.__rts") >= bound)
+                if direction == "backward"
+                else (F.col("__match.__rts") <= bound)
+            )
         matched = matched.withColumn(
             "__match", F.when(in_range, F.col("__match"))
         )

@@ -396,3 +396,53 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           a.ts AS click_ts, a.value AS click_value
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT c.ts, c.value FROM clicks c
+      WHERE c.user_id = e.user_id
+      ORDER BY ABS(date_diff('microsecond', e.ts, c.ts)),
+               CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END
+      LIMIT 1) a ON true
+    WHERE e.event_id < 2000
+    """,
+    doc="NEAREST as-of join (operators/asof.py, direction='nearest'): "
+        "each event matched to the user's closest click in absolute "
+        "time, equal distances preferring the backward match (the "
+        "pandas merge_asof convention). Plan: both directional carries "
+        "come from two windows over ONE keyed shuffle; the right side "
+        "is deduped per (key, ts) so the choice is deterministic. "
+        "Oracle: independent correlated LATERAL ordered by |Δt| with "
+        "the same tie-break.",
+    tags=("join", "asof"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") < 2000).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["value"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )

@@ -138,3 +138,46 @@ def test_asof_null_keys_never_match(spark):
         }
         assert out[1] == 10
         assert out[2] is None  # null-key left row: no match, not rid 11
+
+
+def test_asof_nearest_prefers_backward_on_ties(spark):
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string"
+    ).select("id", "k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 09:00:00", "back"),
+            ("k", "2024-01-01 11:00:00", "fwd"),
+        ],
+        "k string, ts string, v string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["v"], direction="nearest",
+    ).collect()
+    assert out[0]["v"] == "back"  # equidistant -> backward wins
+
+    # strictly closer forward row wins
+    right2 = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 08:00:00", "back"),
+            ("k", "2024-01-01 10:30:00", "fwd"),
+        ],
+        "k string, ts string, v string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out2 = asof_join(
+        left, right2, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["v"], direction="nearest",
+    ).collect()
+    assert out2[0]["v"] == "fwd"
+
+    # tolerance applies in BOTH directions for nearest
+    out3 = asof_join(
+        left, right2, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["v"], direction="nearest", tolerance="10 MINUTES",
+    ).collect()
+    assert out3[0]["v"] is None
