@@ -1131,3 +1131,41 @@ def containment_pairs(
         .select("t_id", "e_id", "containment")
     )
     return _eager_release(verified, gt, ge)
+
+
+def keep_best_per_component(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Near-dup curation with a QUALITY policy: given (a, b) near-dup
+    pairs from any generator (exact Jaccard, MinHash-LSH, embedding
+    cosine), cluster them into components and keep exactly ONE row per
+    component — the HIGHEST-``score_col`` member, ties to the lowest id
+    (deterministic). Singletons (docs in no pair) always survive.
+
+    This is the "keep the best copy" upgrade over min-id representative
+    selection: feeding a quality signal (text_quality composite,
+    compression_ratio, token rarity, a model score) retains the
+    longest/cleanest duplicate instead of an arbitrary one. Cost beyond
+    the pair generator: the components contraction (O(log n) rounds) +
+    one keyed window — no collects, no cross products."""
+    from .components import connected_components
+
+    labels = connected_components(pairs, src=a_col, dst=b_col)
+    labeled = (
+        df.join(labels, F.col(id_col) == F.col("node"), "left")
+        .drop("node")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

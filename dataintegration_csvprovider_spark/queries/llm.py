@@ -2486,3 +2486,67 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return skew_stats(events, "user_id", top_n=5)
+
+
+@register(
+    "q_curation_keep_best",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, n_chars, component,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+           CAST(SUM(n_chars) FILTER (WHERE rn = 1) AS BIGINT)
+             AS kept_chars,
+           CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM ranked
+    """,
+    doc="Quality-policy near-dup curation "
+        "(operators/dedup.py keep_best_per_component): exact bigram-"
+        "Jaccard pairs cluster into components and each component keeps "
+        "its LONGEST member (n_chars as the quality score, ties to the "
+        "lower id) — 'keep the best copy', not an arbitrary "
+        "representative. kept_id_sum pins the exact surviving id SET, "
+        "not just counts; the oracle recomputes the transitive closure "
+        "and the same argmax.",
+    tags=("dedup", "quality", "components"),
+)
+def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import keep_best_per_component
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    kept = keep_best_per_component(
+        docs.select("doc_id", "n_chars"), pairs, score_col="n_chars"
+    )
+    n_docs = docs.count()
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.lit(n_docs) - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
