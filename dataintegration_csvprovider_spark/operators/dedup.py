@@ -1169,3 +1169,87 @@ def keep_best_per_component(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_near_dup_flags(
+    stream_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    num_bands: int = 16,
+) -> DataFrame:
+    """The STREAMING form of :func:`incremental_near_dup_flags`: a
+    continuous stream of incoming documents is flagged against a static
+    corpus signature snapshot. Returns a STREAMING DataFrame of
+    (id, corpus_id, est_jaccard) rows — one per (new doc, corpus
+    near-dup) hit.
+
+    The whole pipeline is STATELESS in streaming terms: signature
+    hashing and band explosion are pure expressions, and the candidate
+    join is a stream-STATIC inner join (no watermark, no state store —
+    the corpus index is just a joined table, broadcast or shuffled by
+    AQE). Append mode, bounded memory, restart-safe by construction —
+    the per-doc aggregation (max estimate, dup count) belongs
+    downstream in the caller's batch/foreachBatch layer, exactly like a
+    production dedup gate in an ingestion topology. Duplicate
+    (id, corpus_id) hits across bands ARE emitted (dedup would need
+    state); downstream grouping absorbs them.
+
+    ``corpus_sigs`` is the persisted :func:`minhash_signatures` snapshot
+    — trained once per corpus version, shared by every stream."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(
+        _with_content(stream_docs, text_col, min_words=shingle_size),
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_size,
+    )
+    # band-bucket explode CARRYING the signature (the batch helper drops
+    # it; re-joining it here would be a stream-stream join)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, rows_per_band
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            ).alias("bucket"),
+        ),
+    )
+    stream_bb = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("signature").alias("sig_b"),
+        F.explode(bands).alias("bb"),
+    ).select("id", "sig_b", "bb.band", "bb.bucket")
+    idx = _band_buckets(corpus_sigs, id_col, num_bands, rows_per_band).join(
+        corpus_sigs.select(
+            F.col(id_col).alias("id"), F.col("signature").alias("sig_c")
+        ),
+        "id",
+    ).select(F.col("id").alias("corpus_id"), "sig_c", "band", "bucket")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    ).cast("double")
+    return (
+        stream_bb.join(idx, ["band", "bucket"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id", "corpus_id", "est_jaccard")
+    )

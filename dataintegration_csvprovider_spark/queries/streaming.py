@@ -836,3 +836,67 @@ def q_stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(max(state_totals) if state_totals else 0, observed == n_input)],
         "state_rows bigint, observed_match boolean",
     )
+
+
+@register(
+    "q_stream_dedup_corpus",
+    # deterministic under the fixed minhash seed: at sf0.01, 8 of the
+    # batch-source docs are flagged against the corpus snapshot, each
+    # with exactly one corpus near-dup; estimates are multiples of 1/64
+    # so their decimal-accumulated sum (7.734375) is exact.
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_flagged,
+           CAST(8 AS BIGINT) AS total_dups,
+           CAST(7.734375 AS DOUBLE) AS est_sum
+    """,
+    doc="STREAMING corpus dedup gate (operators/dedup.py "
+        "stream_near_dup_flags): a stream of incoming docs is minhashed "
+        "and flagged against a static corpus signature snapshot via a "
+        "stream-STATIC band-bucket join — fully STATELESS (no watermark, "
+        "no state store, append mode, restart-safe), the production "
+        "ingestion-dedup topology; per-doc aggregation happens batch-"
+        "side after the run, as a foreachBatch consumer would.",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        _with_content,
+        minhash_signatures,
+        stream_near_dup_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    incoming = docs.filter(F.col("source").isin(batch_srcs))
+    corpus = docs.filter(~F.col("source").isin(batch_srcs))
+    corpus_sigs = minhash_signatures(
+        _with_content(corpus, "text", min_words=3)
+    ).persist()
+    d = tempfile.mkdtemp(prefix="sdedup_")
+    try:
+        incoming.write.mode("overwrite").parquet(d)
+        stream = stream_from_parquet(spark, d, incoming.schema)
+        flags = stream_near_dup_flags(stream, corpus_sigs, threshold=0.5)
+        out = run_to_completion(flags, output_mode="append").localCheckpoint(
+            eager=True
+        )
+    finally:
+        corpus_sigs.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        out.groupBy("id")
+        .agg(
+            F.max("est_jaccard").alias("max_est"),
+            F.countDistinct("corpus_id").alias("n_dups"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+            F.sum("n_dups").cast("bigint").alias("total_dups"),
+            F.sum(F.col("max_est").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("est_sum"),
+        )
+    )
