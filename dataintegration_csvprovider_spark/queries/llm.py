@@ -2550,3 +2550,39 @@ def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
         F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
     )
+
+
+@register(
+    "q_bpe_tokenize",
+    # fully deterministic: merges resolve ties lexicographically and the
+    # greedy apply is rank-ordered, so the per-language subword census
+    # at sf0.01 is a fixed fact (the synthetic vocabulary saturates at
+    # 106 learnable merges)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('de', CAST(70  AS BIGINT), CAST(3549  AS BIGINT)),
+      ('en', CAST(218 AS BIGINT), CAST(11757 AS BIGINT)),
+      ('es', CAST(73  AS BIGINT), CAST(3958  AS BIGINT)),
+      ('fr', CAST(64  AS BIGINT), CAST(3758  AS BIGINT)),
+      ('zh', CAST(75  AS BIGINT), CAST(4143  AS BIGINT))
+    ) AS t(lang, n_docs, total_bpe)
+    """,
+    doc="Trained BPE tokenization (operators/tokenizer.py): word "
+        "frequencies extracted distributedly (one groupBy, top-50k "
+        "head), Sennrich-style merges trained driver-side on the "
+        "bounded frequency table (deterministic tie-breaks), encoding "
+        "applied executor-side via an Arrow-batched pandas_udf with a "
+        "broadcast merge list and per-batch word cache. Real subword "
+        "counts for packing budgets and token quotas — not the "
+        "whitespace proxy.",
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import bpe_token_counts, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=200)
+    return bpe_token_counts(docs, merges).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+    )

@@ -102,6 +102,7 @@ _GRADE_FIRST = [
     "q_asof_nearest",
     "q_curation_keep_best",
     "q_stream_dedup_corpus",
+    "q_bpe_tokenize",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",

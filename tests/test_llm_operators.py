@@ -541,3 +541,35 @@ def test_embedding_near_dup_snapshot_reuse_skips_count(spark):
     ):
         reused = embedding_near_dup_pairs(emb, threshold=0.9, centroids=cents)
     assert reused.count() >= 0  # plan built without any corpus count
+
+
+def test_bpe_train_and_encode_textbook_example(spark):
+    """Hand-checkable BPE: on a corpus of 'low' x5 and 'lowest' x2, the
+    first merges build up 'low' (l+o, lo+w) and the encoder reuses the
+    learned subwords inside 'lowest'."""
+    from dataintegration_csvprovider_spark.operators.tokenizer import (
+        _encode_word,
+        bpe_token_counts,
+        train_bpe_merges,
+    )
+
+    rows = [(i, "low low low low low lowest lowest") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe_merges(df, n_merges=3)
+    assert merges[0] == ("l", "o")  # most frequent pair (7 words)
+    assert merges[1] == ("lo", "w")
+    ranks = {p: i for i, p in enumerate(merges)}
+    # 'low' -> ['low', '</w>'] or ['low</w>'] depending on merge 3
+    enc_low = _encode_word("low", ranks)
+    assert enc_low[0] == "low" or enc_low == ["low</w>"]
+    # 'lowest' starts with the learned 'low' subword
+    enc_lowest = _encode_word("lowest", ranks)
+    assert enc_lowest[0] in ("low", "low</w>") or enc_lowest[0].startswith("low")
+
+    counts = {
+        r.doc_id: r.n_bpe for r in bpe_token_counts(df, merges).collect()
+    }
+    assert counts[0] == counts[1] > 0
+    # NULL text -> NULL count, not a crash
+    df2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert bpe_token_counts(df2, merges).collect()[0]["n_bpe"] is None
