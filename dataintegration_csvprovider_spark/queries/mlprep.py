@@ -290,3 +290,54 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_quantile_bin_approx",
+    # the 100 TB path q_quantile_bin's doc promises: approx_percentile
+    # cutpoints (one sketch aggregation, no global rank) + broadcast
+    # binning. With relative rank error eps=0.01, each bin's population
+    # must sit within n*(1/4 +- 2*eps) of the exact quartile —
+    # deterministic per fixture, so the oracle pins the gate.
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT TRUE AS bins_complete, TRUE AS populations_ok,
+           CAST(MAX(total) AS BIGINT) AS n_rows
+    FROM n
+    """,
+    doc="Sketch-based quantile binning, gated: approx_percentile "
+        "(GK sketch, eps=0.01) produces the three quartile cutpoints in "
+        "ONE aggregation — no global sort/rank anywhere — and rows bin "
+        "by broadcast comparison. Gate: all 4 bins present and every "
+        "population within n*(1/4 +- 2 eps) of the exact quartile. The "
+        "exact companion (q_quantile_bin, distributed prefix-sum NTILE) "
+        "is the reference this is measured against.",
+    tags=("mlprep", "binning", "sketch"),
+)
+def q_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    priced = orders.select(F.col("o_totalprice").cast("double").alias("price"))
+    eps = 0.01
+    cuts = priced.agg(
+        F.percentile_approx(
+            "price", [0.25, 0.5, 0.75], F.lit(int(1 / eps))
+        ).alias("c")
+    ).collect()[0]["c"]
+    c1, c2, c3 = [float(x) for x in cuts]
+    bin_col = (
+        F.when(F.col("price") <= c1, 1)
+        .when(F.col("price") <= c2, 2)
+        .when(F.col("price") <= c3, 3)
+        .otherwise(4)
+    )
+    pops = priced.withColumn("bin", bin_col).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_rows = orders.count()
+    lo = n_rows * (0.25 - 2 * eps)
+    hi = n_rows * (0.25 + 2 * eps)
+    return pops.agg(
+        (F.countDistinct("bin") == 4).alias("bins_complete"),
+        ((F.min("n") >= lo) & (F.max("n") <= hi)).alias("populations_ok"),
+        F.lit(n_rows).cast("bigint").alias("n_rows"),
+    )

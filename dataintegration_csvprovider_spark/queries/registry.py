@@ -103,6 +103,7 @@ _GRADE_FIRST = [
     "q_curation_keep_best",
     "q_stream_dedup_corpus",
     "q_bpe_tokenize",
+    "q_quantile_bin_approx",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
