@@ -5,9 +5,12 @@ form written by ``ISource/IDestination.SaveAsXml`` and read back by the
 ``CsvProvider(XmlNode)`` constructor (CSVProvider.cs:317-351,363-454),
 and the ``Serialize()`` parameter-node form (CSVProvider.cs:497-517).
 The engine's native round-trip is JSON (jobs.JobSpec, the documented J3
-design swap) — this module is the ONE-WAY bridge: parse either XML shape
-into the engine's dataclasses so a user migrating real Dynamicweb job
-files gets their settings without hand-translation.
+design swap) — this module is the migration bridge: parse either XML
+shape into the engine's dataclasses (so a user migrating real
+Dynamicweb job files gets their settings without hand-translation), and
+export a JobSpec back to the SaveAsXml element form
+(:func:`jobspec_to_xml` — import∘export is the identity on every
+setting the reference constructor reads, pinned by test).
 
 Faithful quirks reproduced from the reference reader:
 
@@ -266,3 +269,52 @@ def jobspec_from_xml(
             options=dst_opts,
         ),
     )
+
+
+def _esc_cdata(value: str) -> str:
+    """CDATA-wrap, splitting any ']]>' terminator (cannot appear raw)."""
+    return "<![CDATA[" + value.replace("]]>", "]]]]><![CDATA[>") + "]]>"
+
+
+def jobspec_to_xml(job: JobSpec) -> str:
+    """JobSpec → the reference's SaveAsXml element form — the export
+    side of the migration bridge, emitting exactly the elements the
+    ``CsvProvider(XmlNode)`` constructor reads (CSVProvider.cs:363-454)
+    with the reference writer's shapes (CSVProvider.cs:317-351): CDATA
+    delimiters/quote, ``True``/``False`` booleans, the UI decimal
+    sentinels, and the encoding option labels. ``parse_provider_xml``
+    of this output reproduces the settings (round-trip pinned by
+    test)."""
+    src, dst = job.source.options, job.destination.options
+    decimal = {
+        "system": NONE_DECIMAL_SEPARATOR,
+        "auto": DETECT_AUTOMATICALLY_SEPARATOR,
+    }.get(src.decimal_separator, src.decimal_separator)
+    enc = {
+        "windows-1252": "Windows-1252 (default legacy components of "
+        "Microsoft Windows. English and most of Europe)",
+        "windows-1251": "Windows-1251 (covering cyrillic, Eastern Europe)",
+        "UTF-16": "Unicode (UTF16)",
+    }.get(dst.encoding, "Unicode (UTF-8)")
+
+    def b(v: bool) -> str:
+        return "True" if v else "False"
+
+    parts = [
+        "<CsvProvider>",
+        f"  <SourceFieldDelimiter>{_esc_cdata(src.delimiter)}</SourceFieldDelimiter>",
+        f"  <DestinationFieldDelimiter>{_esc_cdata(dst.delimiter)}</DestinationFieldDelimiter>",
+        f"  <QuoteChar>{_esc_cdata(src.quote)}</QuoteChar>",
+        f"  <SourceFirstRowContainsColumnNames>{b(src.first_row_contains_column_names)}</SourceFirstRowContainsColumnNames>",
+        f"  <DestinationFirstRowContainsColumnNames>{b(dst.first_row_contains_column_names)}</DestinationFirstRowContainsColumnNames>",
+        f"  <SourcePath>{job.source.folder or ''}</SourcePath>",
+        f"  <SourceFile>{job.source.file or ''}</SourceFile>",
+        f"  <DestinationPath>{job.destination.folder}</DestinationPath>",
+        f"  <DestinationEncoding>{enc}</DestinationEncoding>",
+        f"  <SourceDecimalSeparator>{decimal}</SourceDecimalSeparator>",
+        f"  <DeleteSourceFiles>{b(src.delete_source_files_after_job)}</DeleteSourceFiles>",
+        f"  <IncludeTimestampInFileName>{b(dst.include_timestamp_in_filename)}</IncludeTimestampInFileName>",
+        f"  <IgnoreDefectiveRows>{b(src.ignore_defective_rows)}</IgnoreDefectiveRows>",
+        "</CsvProvider>",
+    ]
+    return "\n".join(parts)

@@ -154,3 +154,76 @@ def test_jobspec_from_xml_autodetects_form_and_maps_options():
     </Parameters>"""
     job2 = jobspec_from_xml(params, source_folder="/tmp/x", destination_folder="/tmp/y")
     assert job2.source.options.delimiter == "|"
+
+
+def test_jobspec_xml_roundtrip():
+    """export -> parse reproduces every setting the reference
+    constructor reads, including quirky values (tab delimiter,
+    single-quote char, cp1251, explicit ',' separator)."""
+    from dataintegration_csvprovider_spark.jobs import JobSpec
+    from dataintegration_csvprovider_spark.sinks.csv_sink import (
+        CsvSink,
+        CsvSinkOptions,
+    )
+    from dataintegration_csvprovider_spark.sources.csv_source import (
+        CsvSource,
+        CsvSourceOptions,
+    )
+    from dataintegration_csvprovider_spark.xml_settings import (
+        jobspec_from_xml,
+        jobspec_to_xml,
+    )
+
+    job = JobSpec(
+        source=CsvSource(
+            folder="/data/in",
+            file="x.csv",
+            options=CsvSourceOptions(
+                delimiter="\t",
+                quote="'",
+                first_row_contains_column_names=False,
+                decimal_separator=",",
+                ignore_defective_rows=True,
+                delete_source_files_after_job=True,
+            ),
+        ),
+        destination=CsvSink(
+            folder="/data/out",
+            options=CsvSinkOptions(
+                delimiter="|",
+                quote="'",
+                first_row_contains_column_names=True,
+                encoding="windows-1251",
+                include_timestamp_in_filename=True,
+            ),
+        ),
+    )
+    back = jobspec_from_xml(jobspec_to_xml(job))
+    assert back.source.folder == "/data/in"
+    assert back.source.file == "x.csv"
+    assert back.destination.folder == "/data/out"
+    s, d = back.source.options, back.destination.options
+    assert s.delimiter == "\t" and d.delimiter == "|"
+    assert s.quote == "'"
+    assert s.first_row_contains_column_names is False
+    assert d.first_row_contains_column_names is True
+    assert s.decimal_separator == ","
+    assert s.ignore_defective_rows is True
+    assert s.delete_source_files_after_job is True
+    assert d.encoding == "windows-1251"
+    assert d.include_timestamp_in_filename is True
+
+    # 'system'/'auto' sentinels survive the trip too
+    job.source.options.decimal_separator = "auto"
+    assert jobspec_from_xml(jobspec_to_xml(job)).source.options.decimal_separator == "auto"
+    job.source.options.decimal_separator = "system"
+    assert jobspec_from_xml(jobspec_to_xml(job)).source.options.decimal_separator == "system"
+
+
+def test_cdata_terminator_escape():
+    from dataintegration_csvprovider_spark.xml_settings import _esc_cdata
+    import xml.etree.ElementTree as ET
+
+    tricky = "a]]>b"
+    xml = f"<X>{_esc_cdata(tricky)}</X>"
+    assert ET.fromstring(xml).text == tricky
