@@ -88,6 +88,14 @@ HEADLINE = (
     "q_compression_quality",
     "q_stream_session_append",
     "q_quantile_bin",
+    # trained-BPE token accounting, rarity quality signal, and the
+    # stateless stream-static corpus dedup topology. NOT
+    # q_curation_keep_best: like the other exact-pair gates its cost is
+    # the Σdf²-bound exact pair generation, already benched via
+    # q_dedup_ngram_jaccard / q_leakage_safe_split
+    "q_bpe_tokenize",
+    "q_token_rarity",
+    "q_stream_dedup_corpus",
 )
 
 
