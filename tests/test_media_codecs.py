@@ -419,3 +419,85 @@ def test_jpeg_gate_without_pillow():
     fake_jpeg = b"\xff\xd8" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image_bytes(fake_jpeg)
+
+
+def test_mp4_co64_and_mdhd_v1_paths():
+    """64-bit chunk offsets (co64) and version-1 mdhd parse identically
+    to their 32-bit/version-0 forms — hand-rewrite the encoder output."""
+    import struct
+
+    import numpy as np
+
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        decode_mp4_frame,
+        encode_mp4_rawvideo,
+        parse_mp4,
+    )
+
+    frames = [np.full((4, 4, 3), 7 * i, np.uint8) for i in range(3)]
+    payload = bytes(encode_mp4_rawvideo(frames, fps=3))
+
+    # --- co64: replace the stco box with a co64 carrying the same offset
+    stco_at = payload.index(b"stco") - 4
+    old_stco = payload[stco_at : stco_at + 8 + 4 + 4 + 4]
+    offset = struct.unpack_from(">I", old_stco, 16)[0]
+    new_co64 = (
+        struct.pack(">I4s", 8 + 4 + 4 + 8, b"co64")
+        + b"\x00" * 4
+        + struct.pack(">I", 1)
+        + struct.pack(">Q", offset)
+    )
+    delta = len(new_co64) - len(old_stco)
+    body = payload.replace(old_stco, new_co64)
+    out = bytearray(body)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = out.index(tag) - 4
+        struct.pack_into(">I", out, at, struct.unpack_from(">I", out, at)[0] + delta)
+    # mdat moved by delta — repoint the chunk offset
+    co64_at = bytes(out).index(b"co64") - 4
+    struct.pack_into(">Q", out, co64_at + 16, offset + delta)
+    track = parse_mp4(bytes(out))
+    assert track.n_samples == 3
+    for i, f in enumerate(frames):
+        assert (decode_mp4_frame(bytes(out), track, i) == f).all()
+
+    # --- mdhd v1: same timescale/duration via 64-bit fields
+    mdhd_at = payload.index(b"mdhd") - 4
+    old_mdhd = payload[mdhd_at : mdhd_at + 8 + 4 + 4 + 4 + 4 + 4 + 2 + 2]
+    new_mdhd = (
+        struct.pack(">I4s", 8 + 4 + 8 + 8 + 4 + 8 + 2 + 2, b"mdhd")
+        + struct.pack(">B", 1) + b"\x00" * 3
+        + struct.pack(">QQIQ", 0, 0, 3, 3)  # creation, mod, timescale, duration
+        + struct.pack(">HH", 0x55C4, 0)
+    )
+    delta2 = len(new_mdhd) - len(old_mdhd)
+    out2 = bytearray(payload.replace(old_mdhd, new_mdhd))
+    for tag in (b"moov", b"trak", b"mdia"):
+        at = out2.index(tag) - 4
+        struct.pack_into(">I", out2, at, struct.unpack_from(">I", out2, at)[0] + delta2)
+    stco_at2 = bytes(out2).index(b"stco") - 4
+    off2 = struct.unpack_from(">I", out2, stco_at2 + 16)[0]
+    struct.pack_into(">I", out2, stco_at2 + 16, off2 + delta2)
+    track2 = parse_mp4(bytes(out2))
+    assert (track2.timescale, track2.duration) == (3, 3)
+    assert (decode_mp4_frame(bytes(out2), track2, 2) == frames[2]).all()
+
+
+def test_mp4_inconsistent_sample_table_rejected():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        encode_mp4_rawvideo,
+        parse_mp4,
+    )
+
+    payload = bytearray(encode_mp4_rawvideo([np.zeros((4, 4, 3), np.uint8)] * 4, fps=2))
+    # claim 2 samples per chunk in stsc while stsz still says 4 samples
+    # over ONE chunk -> chunk map covers only 2 of 4 samples
+    stsc_at = bytes(payload).index(b"stsc") - 4
+    struct.pack_into(">I", payload, stsc_at + 8 + 4 + 4 + 4, 2)
+    with pytest.raises(ValueError, match="inconsistent"):
+        parse_mp4(bytes(payload))

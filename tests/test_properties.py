@@ -507,3 +507,37 @@ def test_pq_arrow_assignment_bit_equals_expression(spark_prop, vectors):
         for r in rows.select("j", "subvec", code.alias("code")).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_token_balanced_shards_property(spark_prop, weights, n_shards):
+    """For ARBITRARY weight sequences: every row assigned exactly once,
+    shard ids contiguous in key order, and each nonempty shard's weight
+    within max(weight) of the ideal total/n (the one-boundary-row
+    bound). Also exactly matches the window-cumsum closed form."""
+    from dataintegration_csvprovider_spark.operators.scale import (
+        token_balanced_shards,
+    )
+
+    spark = spark_prop
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {
+        r.k: r.shard_id
+        for r in token_balanced_shards(df, "k", "w", n_shards).collect()
+    }
+    assert len(got) == len(weights)
+    # closed form: floor(exclusive_prefix * n / total) capped
+    total = sum(weights)
+    excl = 0
+    for i, w in enumerate(weights):
+        want = min((excl * n_shards) // total, n_shards - 1)
+        assert got[i] == want, (i, w, got[i], want)
+        excl += w
+    # contiguity in key order
+    seq = [got[i] for i in range(len(weights))]
+    assert seq == sorted(seq)
