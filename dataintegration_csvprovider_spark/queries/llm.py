@@ -2586,3 +2586,101 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_bpe").cast("bigint").alias("total_bpe"),
     )
+
+
+@register(
+    "q_artifact_reuse",
+    # all three trained artifacts survive a parquet round trip and the
+    # reloaded snapshots drive their operators to results identical to
+    # the in-memory path — the "train once per corpus version" contract
+    oracle="""
+    SELECT TRUE AS centroids_roundtrip, TRUE AS pairs_identical,
+           TRUE AS codebooks_roundtrip, TRUE AS merges_roundtrip,
+           TRUE AS bpe_counts_identical
+    """,
+    doc="Trained-artifact persistence (operators/artifacts.py): IVF "
+        "centroids, PQ codebooks and BPE merges each round-trip through "
+        "plain parquet (explicit ordering columns — no pickles, any "
+        "engine can read the snapshots), and the RELOADED artifacts "
+        "reproduce the in-memory operators' results exactly (near-dup "
+        "pair set, codebook values, per-doc token counts).",
+    tags=("similarity", "pq", "tokenizer", "artifacts"),
+)
+def q_artifact_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.artifacts import (
+        load_bpe_merges,
+        load_centroids,
+        load_pq_codebooks,
+        save_bpe_merges,
+        save_centroids,
+        save_pq_codebooks,
+    )
+    from ..operators.pq import train_pq_codebooks
+    from ..operators.similarity import trained_ivf_centroids
+    from ..operators.tokenizer import bpe_token_counts, train_bpe_merges
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    d = tempfile.mkdtemp(prefix="artifacts_")
+    try:
+        # IVF centroids: save/load + identical pair set through the
+        # snapshot path
+        cents = trained_ivf_centroids(emb, k=16).localCheckpoint(eager=True)
+        back_c = load_centroids(spark, save_centroids(cents, f"{d}/cent"))
+        same_cents = (
+            cents.orderBy("centroid_id").collect()
+            == back_c.orderBy("centroid_id").collect()
+        )
+        fresh_pairs = {
+            (r.a, r.b)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.95, centroids=cents
+            ).collect()
+        }
+        reload_pairs = {
+            (r.a, r.b)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.95, centroids=back_c
+            ).collect()
+        }
+        pairs_same = fresh_pairs == reload_pairs
+
+        # PQ codebooks: nested-list round trip
+        books = train_pq_codebooks(emb, m=8, k=16, n_iter=1)
+        back_b = load_pq_codebooks(
+            spark, save_pq_codebooks(books, spark, f"{d}/pq")
+        )
+        books_same = books == back_b
+
+        # BPE merges: order-preserving round trip + identical counts
+        merges = train_bpe_merges(docs, n_merges=50)
+        back_m = load_bpe_merges(
+            spark, save_bpe_merges(merges, spark, f"{d}/bpe")
+        )
+        merges_same = merges == back_m
+        fresh_counts = {
+            r.doc_id: r.n_bpe for r in bpe_token_counts(docs, merges).collect()
+        }
+        reload_counts = {
+            r.doc_id: r.n_bpe for r in bpe_token_counts(docs, back_m).collect()
+        }
+        counts_same = fresh_counts == reload_counts
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(same_cents),
+                bool(pairs_same),
+                bool(books_same),
+                bool(merges_same),
+                bool(counts_same),
+            )
+        ],
+        "centroids_roundtrip boolean, pairs_identical boolean, "
+        "codebooks_roundtrip boolean, merges_roundtrip boolean, "
+        "bpe_counts_identical boolean",
+    )
