@@ -161,7 +161,7 @@ def grouped_linear_fit(
         f"{group_col} string, n bigint, slope double, intercept double"
     )
 
-    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def fit(pdf):  # no hints: applyInPandas infers from schema arg
         pdf = pdf.sort_values(order_col)
         n = len(pdf)
         sx = sy = sxx = sxy = 0.0

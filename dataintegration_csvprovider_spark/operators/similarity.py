@@ -508,7 +508,7 @@ def _bucket_pair_scores(
             }
         )
 
-    def score(key, pdf: "pd.DataFrame"):
+    def score(key, pdf):  # no hints: applyInPandas infers from schema arg
         m = len(pdf)
         if m < 2:
             return _empty()

@@ -6,6 +6,7 @@ and rides an Arrow-batched pandas_udf.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -213,18 +214,13 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     from pyspark.sql.functions import pandas_udf
 
-    def _zlen(texts: "pd.Series") -> "pd.Series":
+    @pandas_udf("bigint")
+    def zlen(texts: pd.Series) -> pd.Series:
         return texts.map(
             lambda t: len(zlib.compress(t.encode("utf-8"), 6))
             if t is not None
             else None
         )
-
-    # explicit Series->Series eval type: string type hints can't resolve
-    # under `from __future__ import annotations` with a local pd import
-    from pyspark.sql.functions import PandasUDFType
-
-    zlen = pandas_udf(_zlen, "bigint", PandasUDFType.SCALAR)
 
     t = F.col(text_col)
     raw_len = F.length(F.to_binary(t, F.lit("utf-8"))).cast("bigint")

@@ -26,6 +26,7 @@ word "low", as in the original paper.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -129,14 +130,15 @@ def bpe_token_counts(
     """Add the trained-BPE token count per row — Arrow-batched, merge
     list broadcast, per-batch word cache (Zipf: each distinct word
     encodes once per batch)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)}
     )
 
-    def _count(texts: "pd.Series") -> "pd.Series":  # noqa: F821
+    @pandas_udf("bigint")
+    def counter(texts: pd.Series) -> pd.Series:
         ranks = bc.value
         cache: dict[str, int] = {}
 
@@ -154,5 +156,4 @@ def bpe_token_counts(
 
         return texts.map(count_one)
 
-    counter = pandas_udf(_count, "bigint", PandasUDFType.SCALAR)
     return df.withColumn(out_col, counter(F.col(text_col)))
