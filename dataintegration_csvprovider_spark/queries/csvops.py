@@ -662,3 +662,42 @@ def q_csv_fidelity_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "gate string, ok boolean",
     )
+
+
+@register(
+    "q_csv_script_columns",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           UPPER(o_orderpriority) AS priority_upper,
+           CAST(CAST(o_totalprice AS DOUBLE) * 1.25 AS DOUBLE) AS gross,
+           'scripted' AS origin
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+    """,
+    doc="T4 scripted columns end-to-end (plans/mapping_compiler.py "
+        "ColumnMapping.script — the engine analog of the reference's "
+        "GetScriptValue/ScriptType hooks, CSVDestinationWriter.cs:95-115): "
+        "a mapping whose output columns are Spark SQL expressions over "
+        "source columns (string fn, typed arithmetic) plus a constant, "
+        "behind a conditional, through a real CSV round trip.",
+    tags=("csv", "mapping", "script"),
+)
+def q_csv_script_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    back = _roundtrip(spark, orders, "orders_script")
+    mapping = Mapping(
+        source_table="orders_script",
+        column_mappings=[
+            ColumnMapping(source_column="o_orderkey",
+                          destination_column="orderkey", dest_type="bigint"),
+            ColumnMapping(destination_column="priority_upper",
+                          script="upper(o_orderpriority)"),
+            ColumnMapping(destination_column="gross",
+                          script="cast(cast(o_totalprice as double) * 1.25 as double)"),
+            ColumnMapping(destination_column="origin", constant="scripted"),
+        ],
+        conditionals=[Conditional("o_orderstatus", "eq", "F")],
+    )
+    return compile_mapping(back, mapping)

@@ -105,6 +105,7 @@ _GRADE_FIRST = [
     "q_bpe_tokenize",
     "q_quantile_bin_approx",
     "q_artifact_reuse",
+    "q_csv_script_columns",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
