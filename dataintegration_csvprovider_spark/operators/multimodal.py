@@ -358,3 +358,66 @@ def extract_mp4_frame_features(
                 )
 
     return df.mapInPandas(run, schema=_FRAME_FEATURE_SCHEMA)
+
+
+def resize_nearest(pixels, target_h: int, target_w: int):
+    """REAL nearest-neighbor resize of an (h, w, c) uint8 array — pure
+    numpy index arithmetic (the same sample grid PIL's NEAREST uses:
+    src_index = floor(dst_index * src / dst)), deterministic on every
+    platform. The pixel half of what resize_metadata plans."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    h, w = a.shape[:2]
+    rows = (np.arange(target_h) * h) // target_h
+    cols = (np.arange(target_w) * w) // target_w
+    return a[rows][:, cols]
+
+
+_RESIZE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_resized_features(
+    df: DataFrame,
+    target_h: int,
+    target_w: int,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Decode → REAL nearest-neighbor resize → grid features, all inside
+    the Arrow batch worker (payloads never leave the executor). Same
+    partitioning contract as extract_features."""
+    from .media_codecs import decode_image_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out_id, out_feat = [], []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    if payload is None:
+                        continue
+                    img = decode_image_bytes(bytes(payload))
+                    small = resize_nearest(img, target_h, target_w)
+                    out_id.append(doc_id)
+                    out_feat.append(image_grid_features(small))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_id, dtype="int64"),
+                        "out_h": pd.Series(
+                            [target_h] * len(out_id), dtype="int32"
+                        ),
+                        "out_w": pd.Series(
+                            [target_w] * len(out_id), dtype="int32"
+                        ),
+                        "feature": pd.Series(out_feat, dtype="object"),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=_RESIZE_FEATURE_SCHEMA)

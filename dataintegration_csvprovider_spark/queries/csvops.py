@@ -701,3 +701,56 @@ def q_csv_script_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         conditionals=[Conditional("o_orderstatus", "eq", "F")],
     )
     return compile_mapping(back, mapping)
+
+
+@register(
+    "q_csv_encoding_roundtrip",
+    # K1's encoding surface (GetEncoding map, CSVProvider.cs:603-616):
+    # accented/cyrillic text written in each supported encoding and
+    # scanned back must be byte-faithful. Constants oracle — the strings
+    # themselves are the assertion.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('UTF-8',        'café naïve jalapeño', TRUE),
+      ('windows-1252', 'café naïve jalapeño', TRUE),
+      ('windows-1251', CHR(1055) || CHR(1088) || CHR(1080) || CHR(1074) ||
+                       CHR(1077) || CHR(1090), TRUE),
+      ('UTF-16',       'café Привет', TRUE)
+    ) AS t(encoding, sample_text, roundtrip_ok)
+    """,
+    doc="K1/S1 encoding fidelity: non-ASCII text (western accents, "
+        "cyrillic) round-trips byte-faithfully through every encoding "
+        "the reference's GetEncoding map supports — UTF-8, cp1252, "
+        "cp1251, UTF-16 (the non-ASCII-compatible charset rides the "
+        "whole-file multiLine reader; see CsvSourceOptions).",
+    tags=("csv", "encoding"),
+)
+def q_csv_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    samples = {
+        "UTF-8": "café naïve jalapeño",
+        "windows-1252": "café naïve jalapeño",
+        "windows-1251": "Привет",
+        "UTF-16": "café Привет",
+    }
+    rows = []
+    for enc, text in samples.items():
+        d = tempfile.mkdtemp(prefix="encrt_")
+        try:
+            src_df = spark.createDataFrame([(1, text)], "id string, txt string")
+            from ..sinks.csv_sink import CsvSinkOptions
+
+            CsvSink(
+                folder=d, options=CsvSinkOptions(encoding=enc)
+            ).write(src_df, "t")
+            back = CsvSource(
+                folder=d, options=CsvSourceOptions(encoding=enc)
+            ).read(spark, "t").collect()
+            got = back[0]["txt"] if back else None
+            rows.append((enc, text, got == text))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "encoding string, sample_text string, roundtrip_ok boolean"
+    )

@@ -2684,3 +2684,55 @@ def q_artifact_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codebooks_roundtrip boolean, merges_roundtrip boolean, "
         "bpe_counts_identical boolean",
     )
+
+
+@register(
+    "q_multimodal_resize_real",
+    # a 16x16 two-tone image per doc (left half gray doc_id%256, right
+    # half (doc_id*11)%256) resized to 4x4 by REAL nearest-neighbor
+    # sampling — the halves survive the resize, so the 4x4 grid features
+    # (one pixel per cell) recover both grays exactly from doc_id math
+    oracle="""
+    SELECT doc_id, CAST(4 AS INT) AS out_h, CAST(4 AS INT) AS out_w,
+           CAST(doc_id % 256 AS INT) AS left_gray,
+           CAST((doc_id * 11) % 256 AS INT) AS right_gray
+    FROM documents WHERE doc_id < 150
+    """,
+    doc="REAL pixel resize inside the Arrow batch path "
+        "(operators/multimodal.py resize_nearest + "
+        "extract_resized_features): decode genuine PNG/BMP payloads, "
+        "nearest-neighbor downsample 16x16 -> 4x4 with the standard "
+        "floor(dst*src/dst) sample grid, grid features recover both "
+        "tone levels from doc_id arithmetic — the pixel half of what "
+        "q_multimodal_resize plans from metadata.",
+    tags=("multimodal", "resize", "decode"),
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import extract_resized_features
+
+    @pandas_udf("binary")
+    def make_media(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import encode_bmp, encode_png
+
+        def build(doc_id: int) -> bytes:
+            img = np.zeros((16, 16, 3), np.uint8)
+            img[:, :8] = doc_id % 256
+            img[:, 8:] = (doc_id * 11) % 256
+            return encode_bmp(img) if doc_id % 2 == 0 else encode_png(img)
+
+        return ids.map(build)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = docs.select("doc_id", make_media(F.col("doc_id")).alias("payload"))
+    feats = extract_resized_features(media, target_h=4, target_w=4)
+    return feats.select(
+        "doc_id",
+        "out_h",
+        "out_w",
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("left_gray"),
+        F.round(F.element_at("feature", 4) * 255).cast("int").alias("right_gray"),
+    )
