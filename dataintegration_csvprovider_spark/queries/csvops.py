@@ -754,3 +754,60 @@ def q_csv_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "encoding string, sample_text string, roundtrip_ok boolean"
     )
+
+
+@register(
+    "q_csv_timestamp_filename",
+    # K1's timestamped single-file output (CSVDestinationWriter.cs:24-27
+    # '"yyyyMMdd-HHmmss" + FFFFFFF'): the filename itself is
+    # time-dependent, so the gate pins its SHAPE (.NET FFFFFFF omits
+    # trailing zeros and the whole fraction when zero) and that the
+    # file's CONTENT still scans back losslessly.
+    oracle="""
+    SELECT TRUE AS filename_shape_ok, TRUE AS single_file_ok,
+           CAST(5 AS BIGINT) AS rows_back
+    """,
+    doc="K1 timestamped filenames, graded: one commit-renamed file per "
+        "table named '{table}{yyyyMMdd-HHmmss}{FFFFFFF}.csv' with the "
+        ".NET trailing-zero-omitting fraction, and the content scans "
+        "back row-complete. The filename shape is the migration-visible "
+        "contract downstream pickups glob on.",
+    tags=("csv", "sink", "filename"),
+)
+def q_csv_timestamp_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+
+    from ..sinks.csv_sink import CsvSinkOptions
+
+    d = tempfile.mkdtemp(prefix="tsname_")
+    try:
+        region = load_table(spark, sf_dir, "region")
+        CsvSink(
+            folder=d, options=CsvSinkOptions(include_timestamp_in_filename=True)
+        ).write(region, "region")
+        files = sorted(os.listdir(d))
+        csvs = [f for f in files if f.endswith(".csv")]
+        single = len(csvs) == 1
+        # yyyyMMdd-HHmmss followed by 0-7 fraction digits with no
+        # trailing zero (FFFFFFF), '.csv'
+        shape = bool(
+            csvs
+            and re.fullmatch(
+                r"region\d{8}-\d{6}([1-9]|\d{0,6}[1-9])?\.csv", csvs[0]
+            )
+        )
+        n_back = (
+            spark.read.options(sep=";", header=True)
+            .csv(os.path.join(d, csvs[0]))
+            .count()
+            if csvs
+            else -1
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(shape), bool(single), int(n_back))],
+        "filename_shape_ok boolean, single_file_ok boolean, rows_back bigint",
+    )

@@ -2736,3 +2736,53 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1) * 255).cast("int").alias("left_gray"),
         F.round(F.element_at("feature", 4) * 255).cast("int").alias("right_gray"),
     )
+
+
+@register(
+    "q_embedding_profile",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(*) FILTER (
+             WHERE embedding IS NOT NULL AND
+                   list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+           ) AS BIGINT) AS n_zero,
+           CAST(MIN(len(embedding)) AS INT) AS min_dim,
+           CAST(MAX(len(embedding)) AS INT) AS max_dim,
+           CAST(CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                AS DECIMAL(18,9))) AS DOUBLE) AS DOUBLE) AS norm_sum
+    FROM embeddings GROUP BY label
+    """,
+    doc="Vector-column data-quality profile (the embeddings analog of "
+        "q_profile_table): per-label vector counts, NULL/zero-norm "
+        "pathologies (the rows the similarity operators' guards drop), "
+        "dimension consistency, and the decimal-accumulated L2-norm "
+        "census — one scan, all aggregates. The pre-flight every "
+        "embedding pipeline should run before building an index.",
+    tags=("embedding", "profiling", "quality"),
+)
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.sum(
+            F.when(F.col("embedding").isNotNull() & (sq == 0.0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min(F.size("embedding")).cast("int").alias("min_dim"),
+        F.max(F.size("embedding")).cast("int").alias("max_dim"),
+        F.sum(F.sqrt(sq).cast("decimal(18,9)")).cast("double").alias("norm_sum"),
+    )

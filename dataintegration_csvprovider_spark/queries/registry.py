@@ -108,6 +108,8 @@ _GRADE_FIRST = [
     "q_csv_script_columns",
     "q_multimodal_resize_real",
     "q_csv_encoding_roundtrip",
+    "q_embedding_profile",
+    "q_csv_timestamp_filename",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
     "q_tfidf_cosine_pairs",
