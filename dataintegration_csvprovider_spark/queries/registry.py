@@ -80,6 +80,14 @@ def register(
 _GRADE_FIRST = [
     # the round-3 red row, fixed this round — must re-grade first
     "q_sequence_packing",
+    # the round-3 verdict's by-name asks, guaranteed inside ANY window:
+    # the UDTF pair (only whitelisted row-Python surface), the two
+    # round-3 additions that missed the r3 window, decontamination
+    "q_udtf_installments",
+    "q_udtf_installment_amounts",
+    "q_tfidf_cosine_pairs",
+    "q_knn_filtered",
+    "q_contamination",
     # ---- new this round (inserted as they land)
     "q_leakage_safe_split_lsh",
     "q_split_lsh_summary",
@@ -112,13 +120,8 @@ _GRADE_FIRST = [
     "q_csv_timestamp_filename",
     # ---- never-driver-graded tail (68 names), priority order
     # round-3 additions that sat just past the r3 window
-    "q_tfidf_cosine_pairs",
-    "q_knn_filtered",
     # UDTF surface — the only whitelisted row-Python path, never graded
-    "q_udtf_installments",
-    "q_udtf_installment_amounts",
     # decontamination (local-green, verdict-spot-checked)
-    "q_contamination",
     # TPC-H tail (local-green since r2/r3)
     "q2_min_cost_supplier",
     "q4_order_priority",
