@@ -1393,7 +1393,8 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((cum_tokens - 1) // 512 AS BIGINT) AS bin
       FROM cum
     )
-    SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            SUM(n_tokens) <= 512 + MAX(n_tokens) AS within_budget
     FROM binned GROUP BY bin
     """,
@@ -1454,7 +1455,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(shard_id AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS shard_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM sharded GROUP BY shard_id

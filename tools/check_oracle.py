@@ -54,6 +54,20 @@ def canon(v) -> str:
     return str(v)
 
 
+def hugeint_columns(con, sql: str) -> list[str]:
+    """Names of output columns whose DECLARED DuckDB type is int128.
+
+    DuckDB widens integer SUM() to HUGEINT; the driver's fetch renders
+    int128 differently from Spark's bigint, so such a column can never
+    hash-match even when every value is equal.
+    """
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        r[0] for r in rows
+        if "HUGEINT" in str(r[1]).upper()
+    ]
+
+
 def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
@@ -104,6 +118,17 @@ def main() -> int:
             continue
 
         try:
+            bad = hugeint_columns(con, oracles[name])
+            if bad:
+                # Value-level canon() renders Python ints identically
+                # regardless of DuckDB's internal width, so an int128
+                # output column passes HERE but hash-fails in the
+                # driver's fetch path (Arrow renders HUGEINT differently
+                # from Spark's bigint). Reject on declared type.
+                print(f"FAIL  {name}: oracle emits HUGEINT column(s) "
+                      f"{bad} — CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1
+                continue
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
