@@ -72,8 +72,13 @@ HEADLINE = (
     "q_multimodal_video_decode",
     # NOT q_dedup_incremental: that query is a quality GATE — its cost
     # is the exact trigram-Jaccard verification harness, not the
-    # incremental operator (which is one band-bucket equi-join)
-    "q_leakage_safe_split",
+    # incremental operator (which is one band-bucket equi-join).
+    # NOT q_leakage_safe_split (round-5 change, r4 verdict item 5): its
+    # benched entry is fed by exact bigram-Jaccard pair generation — a
+    # Σdf²-bound correctness fixture, not the production path. The split
+    # cost is represented by q_split_lsh_summary below (banded LSH pairs
+    # → components → modulus split); the exact feed stays in the registry
+    # as a correctness-only gate.
     "q_gap_fill_interp",
     "q_knn_batch",
     # round-4: the LSH-fed split, production shape (the 100 TB path —

@@ -399,9 +399,29 @@ def encode_mp4_rawvideo(frames: list[np.ndarray], fps: int = 25) -> bytes:
     h, w, c = arrs[0].shape
     if c != 3 or any(a.shape != (h, w, 3) for a in arrs):
         raise ValueError("all frames must be identical (h, w, 3) RGB")
-    n = len(arrs)
-    sample = w * h * 3
-    mdat_payload = b"".join(a.tobytes() for a in arrs)
+    return encode_mp4_samples(
+        [a.tobytes() for a in arrs], b"rgb ", w, h, fps=fps
+    )
+
+
+def encode_mp4_samples(
+    samples: list[bytes], codec: bytes, w: int, h: int, fps: int = 25
+) -> bytes:
+    """Pre-encoded video samples → a spec-shaped single-chunk mp4 under
+    the given visual sample-entry fourcc (e.g. ``b"mjpa"`` for
+    Motion-JPEG samples, ``b"rgb "`` for raw RGB24). Equal-size samples
+    write a uniform stsz (byte-identical to the historical raw path);
+    variable sizes write the per-sample stsz table — the shape every
+    compressed-codec mp4 in the wild uses, and the shape
+    :func:`parse_mp4`'s stsc×stco×stsz expansion resolves."""
+    if not samples:
+        raise ValueError("encode_mp4_samples needs at least one sample")
+    if len(codec) != 4:
+        raise ValueError("codec must be a 4-byte fourcc")
+    n = len(samples)
+    sizes = [len(s) for s in samples]
+    uniform = sizes[0] if all(s == sizes[0] for s in sizes) else 0
+    mdat_payload = b"".join(samples)
 
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
@@ -436,11 +456,19 @@ def encode_mp4_rawvideo(frames: list[np.ndarray], fps: int = 25) -> bytes:
             + struct.pack(">Hh", 24, -1)  # depth, predefined
         )
         stsd = _mp4_fullbox(
-            b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"rgb ", entry)
+            b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(codec, entry)
         )
         stts = _mp4_fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
         stsc = _mp4_fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
-        stsz = _mp4_fullbox(b"stsz", 0, 0, struct.pack(">III", sample, n, 0))
+        if uniform:
+            stsz = _mp4_fullbox(
+                b"stsz", 0, 0, struct.pack(">III", uniform, n, 0)
+            )
+        else:
+            stsz = _mp4_fullbox(
+                b"stsz", 0, 0,
+                struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+            )
         stco = _mp4_fullbox(b"stco", 0, 0, struct.pack(">II", 1, mdat_data_offset))
         stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
         vmhd = _mp4_fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))

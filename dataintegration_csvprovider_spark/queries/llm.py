@@ -2256,6 +2256,75 @@ if _HAS_PIL:
             (F.abs(gray - F.col("doc_id") % 256) <= 3).alias("gray_ok"),
         )
 
+    @register(
+        "q_multimodal_mjpeg_mp4",
+        # Motion-JPEG inside a REAL mp4: variable-size JPEG samples in
+        # mdat under an 'mjpa' sample entry, per-sample stsz table. The
+        # engine's native demux (parse_mp4) resolves the sample map; the
+        # pixel decode routes through decode_mp4_frame's gated PIL
+        # branch — this query registers only when pillow exists, so the
+        # grading window never sees an entry its container can't run.
+        # JPEG is lossy; constant-gray frames survive DCT quantization
+        # within a few levels, so the gate is a tolerance check.
+        oracle="""
+        SELECT d.doc_id, f.frame_idx, TRUE AS gray_ok
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+        CROSS JOIN (SELECT UNNEST([0, 2]) AS frame_idx) f
+        """,
+        doc="Pillow-gated Motion-JPEG-in-mp4 decode: the SAME native "
+            "ISO-BMFF demux as q_multimodal_mp4_decode (box walk, "
+            "stsc×stco×stsz resolution, here with a variable-size stsz "
+            "table), with pixel decode through the compressed-codec "
+            "branch of operators/media_codecs.py decode_mp4_frame. "
+            "Frames {0,2} of 4 per doc; grid gray within ±3 of the "
+            "doc_id-arithmetic target. Absent pillow, not registered.",
+        tags=("multimodal", "video", "mp4", "mjpeg", "optional"),
+    )
+    def q_multimodal_mjpeg_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import io as _io
+
+        from pyspark.sql.functions import pandas_udf
+
+        from ..operators.multimodal import extract_mp4_frame_features
+
+        @pandas_udf("binary")
+        def make_mjpeg_mp4(ids: pd.Series) -> pd.Series:
+            import numpy as np
+            from PIL import Image
+
+            from ..operators.media_codecs import encode_mp4_samples
+
+            def jpeg_sample(gray: int) -> bytes:
+                buf = _io.BytesIO()
+                Image.fromarray(
+                    np.full((8, 8, 3), gray, np.uint8)
+                ).save(buf, format="JPEG", quality=95)
+                return buf.getvalue()
+
+            def build(doc_id: int) -> bytes:
+                samples = [
+                    jpeg_sample((doc_id * 13 + f * 29) % 256)
+                    for f in range(4)
+                ]
+                return encode_mp4_samples(samples, b"mjpa", 8, 8, fps=2)
+
+            return ids.map(build)
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 50
+        )
+        media = docs.select(
+            "doc_id", make_mjpeg_mp4(F.col("doc_id")).alias("payload")
+        )
+        feats = extract_mp4_frame_features(media, frame_indices=[0, 2])
+        gray = F.round(F.element_at("feature", 1) * 255).cast("int")
+        target = (F.col("doc_id") * 13 + F.col("frame_idx") * 29) % 256
+        return feats.select(
+            "doc_id",
+            "frame_idx",
+            (F.abs(gray - target) <= 3).alias("gray_ok"),
+        )
+
 
 @register(
     "q_epoch_shuffle",

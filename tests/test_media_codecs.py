@@ -501,3 +501,88 @@ def test_mp4_inconsistent_sample_table_rejected():
     struct.pack_into(">I", payload, stsc_at + 8 + 4 + 4 + 4, 2)
     with pytest.raises(ValueError, match="inconsistent"):
         parse_mp4(bytes(payload))
+
+
+def test_mp4_variable_stsz_samples():
+    """encode_mp4_samples with variable-size samples writes a per-sample
+    stsz table that parse_mp4 resolves exactly — pillow NOT required
+    (demux is native; only pixel decode is gated)."""
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        encode_mp4_samples,
+        parse_mp4,
+        sniff_format,
+    )
+
+    samples = [b"a" * 11, b"bb" * 20, b"c" * 7, b"d" * 300]
+    payload = encode_mp4_samples(samples, b"mjpa", 8, 8, fps=2)
+    assert sniff_format(payload) == "mp4"
+    track = parse_mp4(payload)
+    assert track.codec == "mjpa"
+    assert track.sample_sizes == [len(s) for s in samples]
+    # every resolved (offset, size) range must hold exactly that sample
+    for s, off, size in zip(samples, track.sample_offsets, track.sample_sizes):
+        assert payload[off : off + size] == s
+
+
+def test_mp4_samples_uniform_matches_rawvideo():
+    """Equal-size samples keep the uniform-stsz layout, byte-identical
+    to the historical encode_mp4_rawvideo output."""
+    import numpy as np
+
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        encode_mp4_rawvideo,
+        encode_mp4_samples,
+    )
+
+    frames = [np.full((4, 4, 3), 9 * i, np.uint8) for i in range(3)]
+    via_raw = encode_mp4_rawvideo(frames, fps=5)
+    via_samples = encode_mp4_samples(
+        [f.tobytes() for f in frames], b"rgb ", 4, 4, fps=5
+    )
+    assert via_raw == via_samples
+
+
+def test_mjpeg_in_mp4_decode_or_gated():
+    """Motion-JPEG samples in a real mp4: decodes via the PIL branch
+    when pillow exists; raises the documented gate otherwise."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.media_codecs import (
+        decode_mp4_frame,
+        encode_mp4_samples,
+        parse_mp4,
+    )
+
+    try:
+        from PIL import Image
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        grays = [40, 120, 200]
+        samples = []
+        for g in grays:
+            buf = io.BytesIO()
+            Image.fromarray(np.full((8, 8, 3), g, np.uint8)).save(
+                buf, format="JPEG", quality=95
+            )
+            samples.append(buf.getvalue())
+    else:
+        samples = [b"\xff\xd8" + bytes(10 + i) for i in range(3)]
+
+    payload = encode_mp4_samples(samples, b"mjpa", 8, 8, fps=1)
+    track = parse_mp4(payload)
+    assert track.n_samples == 3
+    if has_pil:
+        for i, g in enumerate(grays):
+            frame = decode_mp4_frame(payload, track, i)
+            assert frame.shape == (8, 8, 3)
+            assert abs(int(frame.mean()) - g) <= 3
+    else:
+        with pytest.raises(NotImplementedError, match="external decoder"):
+            decode_mp4_frame(payload, track, 0)
