@@ -44,6 +44,9 @@ HEADLINE = (
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
+    # round-5: ExactSubstr (suffix-array family semantics) via the
+    # duplicated-window cover — one gram-keyed shuffle, no suffix array
+    "q_exact_substring_dedup",
     "q_knn_bruteforce",
     "q_embedding_centroid",
     "q_salted_join",

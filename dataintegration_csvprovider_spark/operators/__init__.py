@@ -6,6 +6,8 @@ from .dedup import (  # noqa: F401
     dedup_exact,
     dedup_near_minhash,
     dedup_spans_across_corpus,
+    exact_substring_decontaminate,
+    exact_substring_dedup,
     incremental_near_dup_flags,
     lsh_candidate_pairs,
     ngram_jaccard_cross_pairs,
@@ -22,7 +24,7 @@ from .pq import (  # noqa: F401
     pq_knn,
     train_pq_codebooks,
 )
-from .sampling import temperature_sample  # noqa: F401
+from .sampling import apportion_mixture, temperature_sample  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_similarity_expr,
     embedding_near_dup_pairs,

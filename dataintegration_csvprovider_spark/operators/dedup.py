@@ -1253,3 +1253,271 @@ def stream_near_dup_flags(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id", "corpus_id", "est_jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (the suffix-array family, ExactSubstr semantics)
+# --------------------------------------------------------------------------
+
+
+def _essd_base_and_windows(df, text_col, id_col, L):
+    """Tokenize and explode every length-L token window with its start
+    position: returns (base, grams) where base = (__id, __toks,
+    n_tokens) and grams = (__id, pos, gram). Docs shorter than L emit no
+    windows (they reappear via the final left join).
+
+    The window array is built row-side before posexplode, so per-row
+    memory is O(doc_tokens * L): bounded-length documents (every real
+    pretraining corpus caps doc size) are the operating assumption —
+    pre-chunk pathological giants (see q_doc_chunking) before calling."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).withColumn("n_tokens", F.size("__toks").cast("bigint"))
+    windows = F.when(
+        F.col("n_tokens") >= L,
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n_tokens") - L).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("__id", F.posexplode(windows).alias("pos", "gram"))
+    return base, grams
+
+
+def _essd_assemble(base, marked, L, id_col):
+    """Merge marked window starts (__id, pos) into maximal spans per doc
+    (gaps-and-islands over a doc-partitioned window — overlapping marks
+    fuse; touching-but-disjoint marks stay separate spans) and rebuild
+    the surviving text. Output: (id, n_tokens, n_spans, n_dup_tokens,
+    clean_text)."""
+    from pyspark.sql import Window as W
+
+    w_prev = (
+        W.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = marked.withColumn(
+        "__is_new",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + L - 1).over(w_prev), F.lit(-1))
+        ).cast("int"),
+    )
+    islanded = flagged.withColumn("__island", F.sum("__is_new").over(w_cum))
+    spans = islanded.groupBy("__id", "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("n_dup_tokens"),
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__iv"),
+    )
+    iv = F.coalesce(
+        F.col("__iv"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    # token j (0-based) survives iff no merged interval covers it
+    clean = F.concat_ws(
+        " ",
+        F.filter(
+            "__toks",
+            lambda tok, j: ~F.exists(
+                iv,
+                lambda s: (j >= s["span_start"]) & (j <= s["span_end"]),
+            ),
+        ),
+    )
+    return base.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0).cast("bigint")).alias(
+            "n_dup_tokens"
+        ),
+        clean.alias("clean_text"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Corpus-wide EXACT duplicated-substring removal — the semantics of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr: every token position covered by some substring
+    of length >= ``min_tokens`` tokens that occurs at least ``min_count``
+    times in the corpus (any doc, including the same one) is removed,
+    and the survivors are reassembled in order.
+
+    The reference implementation builds one giant suffix array over the
+    concatenated corpus — inherently single-machine (their repo shards
+    it by hand). The distributed formulation here uses the
+    duplicated-window cover identity instead: a position lies inside a
+    duplicated substring of length >= L **iff** it is covered by some
+    duplicated L-token window, so marking every window of length exactly
+    L whose text occurs >= min_count times and merging the per-doc
+    overlapping marks yields exactly the same removed set — no suffix
+    array, no concatenated corpus, no driver-side pass.
+
+    Scale shape (all JVM-side column expressions, zero UDFs):
+
+    1. window explode: (doc, pos, gram) — linear in corpus tokens;
+    2. ONE gram-keyed shuffle with map-side partial aggregation finds
+       windows with count >= min_count (a hyper-duplicated boilerplate
+       gram costs one group, and AQE's skew handling covers the join
+       back, which is the same gram key);
+    3. per-doc interval merge is a doc-partitioned window (gaps-and-
+       islands; never a global sort), then one doc-keyed join restores
+       the full rows.
+
+    ``hash_grams=True`` replaces the gram text with ``xxhash64`` before
+    the shuffle — at 100 TB the shuffle payload drops ~L×, at the cost
+    of a ~2^-64-per-pair false-merge chance (fine for curation; keep
+    False where bit-exactness is contractual, e.g. the oracle gate).
+
+    Output: (id, n_tokens, n_spans, n_dup_tokens, clean_text), one row
+    per input doc; clean_text is the single-space rejoin of surviving
+    tokens ('' when the whole doc is duplicated).
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("min_tokens must be >= 1")
+    base, grams = _essd_base_and_windows(df, text_col, id_col, L)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram").select("__id", "pos")
+    return _essd_assemble(base, marked, L, id_col)
+
+
+def exact_substring_decontaminate(
+    df: DataFrame,
+    against: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Cross-corpus ExactSubstr decontamination: remove from ``df``
+    (training corpus) every token position covered by a substring of
+    length >= ``min_tokens`` that occurs ANYWHERE in ``against`` (the
+    eval/benchmark corpus) — the substring-level eval-leakage scrub
+    (Lee et al. 2021 §4.2 run train-against-test exactly this way;
+    coarser set-overlap variants are what GPT-3-style reports call
+    decontamination). Same duplicated-window cover identity as
+    :func:`exact_substring_dedup`, with the marked set defined by
+    membership in the eval window set instead of a corpus-wide count.
+
+    Scale shape: the eval side reduces to DISTINCT eval grams — usually
+    orders of magnitude smaller than the training corpus, and the
+    gram-keyed semi-join against it is the only train-side shuffle
+    before the per-doc island merge. ``hash_grams`` as in
+    :func:`exact_substring_dedup`.
+
+    Output: (id, n_tokens, n_spans, n_contaminated_tokens,
+    contamination, clean_text) over ``df``; ``contamination`` is the
+    removed-token fraction (0.0 for docs with fewer than L tokens —
+    windows can't exist there).
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("min_tokens must be >= 1")
+    base, grams = _essd_base_and_windows(df, text_col, id_col, L)
+    _, eval_grams = _essd_base_and_windows(against, text_col, id_col, L)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+        eval_grams = eval_grams.withColumn("gram", F.xxhash64("gram"))
+    eval_set = eval_grams.select("gram").distinct()
+    marked = grams.join(eval_set, "gram", "left_semi").select("__id", "pos")
+    out = _essd_assemble(base, marked, L, id_col)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        F.col("n_dup_tokens").alias("n_contaminated_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_dup_tokens").cast("double") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+        "clean_text",
+    )
+
+
+def exact_substring_eval_index(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The reusable eval-side artifact for substring decontamination: the
+    DISTINCT length-L token windows of the eval corpus, one ``gram``
+    column (xxhash64'd when ``hash_grams``). Build once per eval-suite
+    version — persist or snapshot to parquet (operators/artifacts.py
+    pattern) — and share across every batch and streaming scrub; eval
+    suites are tiny next to a training corpus, so this is broadcast-
+    sized in practice."""
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("min_tokens must be >= 1")
+    _, grams = _essd_base_and_windows(eval_df, text_col, id_col, L)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    return grams.select("gram").distinct()
+
+
+def stream_contamination_flags(
+    stream_docs: DataFrame,
+    eval_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The STREAMING form of :func:`exact_substring_decontaminate`: a
+    continuous stream of incoming training documents is scanned for
+    length->=L windows that occur in a static eval-corpus index
+    (:func:`exact_substring_eval_index` snapshot), emitting one
+    (id, pos) row per contaminated window start.
+
+    STATELESS throughout: tokenize/window explode are pure expressions
+    and the membership probe is a stream-STATIC left-semi join — no
+    watermark, no state store, append mode, restart-safe; the same
+    ingestion-gate topology as :func:`stream_near_dup_flags`. The
+    per-doc island merge (adjacent-window fusion, span stats, clean-text
+    rebuild) is window-function work that streaming cannot express
+    statelessly — it belongs in the caller's foreachBatch/batch layer,
+    where each micro-batch carries whole documents so the merge is exact
+    (see q_stream_decontaminate for the full topology)."""
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError("min_tokens must be >= 1")
+    _, grams = _essd_base_and_windows(stream_docs, text_col, id_col, L)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    return grams.join(eval_index, "gram", "left_semi").select(
+        F.col("__id").alias("id"), "pos"
+    )

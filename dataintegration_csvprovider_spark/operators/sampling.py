@@ -190,3 +190,103 @@ def stride_mix_order(
     if limit is not None:
         out = out.limit(limit)
     return out.drop("source_rank", "mix_weight")
+
+
+def apportion_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic largest-remainder (Hamilton) apportionment of a
+    document budget across mixture groups — the static form of domain
+    reweighting every pretraining mix needs (hand-tuned weights, or the
+    output of a DoReMi-style optimization): given target ``weights`` per
+    group and a ``total`` document budget, compute integer per-group
+    quotas that sum EXACTLY to the budget, then select that many
+    documents per group by a deterministic order.
+
+    Quota arithmetic: weights normalize to proportions; each group gets
+    ``floor(p_g * total)`` seats, and the leftover seats (< #groups) go
+    to the largest fractional remainders (ties broken by group name) —
+    the classic largest-remainder method, chosen over divisor methods
+    because it is one window expression, not an iterative search. A
+    quota larger than the group's population is capped (the shortfall is
+    reported, not silently redistributed — redistribution is a policy
+    choice the caller should make explicitly by re-weighting).
+
+    Selection order within a group is ``order_col`` DESC (e.g. a quality
+    score) with ``id_col`` ASC as the tie-break, or plain ``id_col`` ASC
+    when no order column is given — deterministic either way, so the
+    selected SET (not just its size) is oracle-checkable.
+
+    Scale shape: one group-keyed count (tiny result), the weights join
+    is a broadcast of a handful of rows, quota assignment is a window
+    over #groups rows on the driver-side-sized aggregate (never the
+    corpus), and the final selection is one group-partitioned
+    row_number window — the same single shuffle any stratified operator
+    pays. Dominant groups are cut at the shuffle reader by the rank
+    filter.
+
+    Returns the selected rows of ``df`` plus (quota, n_available) —
+    sum(quota) == min(total, Σ capped) by construction.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{group_col} string, __w double",
+    )
+    wsum = sum(float(v) for v in weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_available")
+    )
+    # inner join: groups absent from the weight map get no quota, and
+    # weighted groups absent from the data contribute nothing
+    g = counts.join(F.broadcast(wdf), group_col)
+    quota_raw = F.col("__w") / F.lit(wsum) * F.lit(float(total))
+    g = g.withColumn("__base", F.floor(quota_raw).cast("bigint")).withColumn(
+        "__rem", quota_raw - F.floor(quota_raw)
+    )
+    # leftover seats across the (tiny) group table; windows over an
+    # unpartitioned frame are fine here — #groups rows, not the corpus
+    w_all = W.partitionBy(F.lit(1))
+    w_rank = W.partitionBy(F.lit(1)).orderBy(
+        F.col("__rem").desc(), F.col(group_col)
+    )
+    g = (
+        g.withColumn(
+            "__leftover", F.lit(total) - F.sum("__base").over(w_all)
+        )
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("__base")
+                + (F.col("__rn") <= F.col("__leftover")).cast("bigint"),
+                F.col("n_available"),
+            ),
+        )
+        .select(group_col, "n_available", "quota")
+    )
+
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col
+        else [F.col(id_col).asc()]
+    )
+    w_sel = W.partitionBy(group_col).orderBy(*order)
+    return (
+        df.join(F.broadcast(g), group_col)
+        .withColumn("__pick", F.row_number().over(w_sel))
+        .filter(F.col("__pick") <= F.col("quota"))
+        .drop("__pick")
+    )

@@ -402,6 +402,75 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register(
+    "q_mixture_apportion",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_available
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('de', 0.125), ('zh', 0.125),
+                            ('fr', 0.125), ('es', 0.125)) AS t(lang, wt)
+    ), g AS (
+      SELECT c.lang, c.n_available,
+             CAST(wt AS DOUBLE) / 1.0 * 300.0 AS quota_raw
+      FROM counts c JOIN w USING (lang)
+    ), seats AS (
+      SELECT lang, n_available,
+             CAST(FLOOR(quota_raw) AS BIGINT) AS base,
+             quota_raw - FLOOR(quota_raw) AS rem
+      FROM g
+    ), ranked AS (
+      SELECT lang, n_available, base, rem,
+             CAST(300 - SUM(base) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+      FROM seats
+    ), quotas AS (
+      SELECT lang, n_available,
+             LEAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END,
+                   n_available) AS quota
+      FROM ranked
+    ), picked AS (
+      SELECT d.doc_id, d.lang, d.n_chars, q.quota, q.n_available,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM documents d JOIN quotas q USING (lang)
+    )
+    SELECT doc_id, lang, n_chars, quota, n_available
+    FROM picked WHERE rn <= quota
+    """,
+    doc="Largest-remainder (Hamilton) mixture apportionment "
+        "(operators/sampling.py apportion_mixture): a 300-doc budget "
+        "split across languages at weights en=.5 / de=es=fr=zh=.125 — "
+        "integer quotas that sum exactly to the budget (floor seats + "
+        "leftover to the largest fractional remainders, ties by group "
+        "name), then the quota-top docs per group by (n_chars DESC, "
+        "doc_id) — the static domain-reweighting step of every "
+        "pretraining mix (hand-set weights or a DoReMi-style output). "
+        "The SELECTED SET is deterministic, so the oracle re-derives "
+        "the full selection, not just the sizes. One group-keyed count "
+        "+ a broadcast quota join + one group-partitioned window — the "
+        "same single shuffle any stratified operator pays.",
+    tags=("sampling", "mixture", "curation"),
+)
+def q_mixture_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import apportion_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = apportion_mixture(
+        docs,
+        weights={"en": 0.5, "de": 0.125, "zh": 0.125, "fr": 0.125,
+                 "es": 0.125},
+        total=300,
+        group_col="lang",
+        id_col="doc_id",
+        order_col="n_chars",
+    )
+    return out.select("doc_id", "lang", "n_chars", "quota", "n_available")
+
+
 def _duck_lang_score(words_expr: str, stops: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{s}'" for s in stops)
     return f"len(list_filter({words_expr}, w -> list_contains([{lst}], w)))"
@@ -1532,6 +1601,157 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup_spans_across_corpus(docs, span_words=10)
+
+
+@register(
+    "q_exact_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+               AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + 9], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, GREATEST(len(toks) - 9, 0))) AS t(i)
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), islanded AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island,
+             MIN(pos) AS span_start, MAX(pos + 9) AS span_end
+      FROM islanded GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT)
+               AS n_dup_tokens,
+             list({'s': span_start, 'e': span_end}
+                  ORDER BY span_start) AS iv
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           COALESCE(p.n_dup_tokens, CAST(0 AS BIGINT)) AS n_dup_tokens,
+           COALESCE(array_to_string(
+             list_filter(t.toks,
+               (tok, j) -> len(list_filter(COALESCE(p.iv, []),
+                                s -> j - 1 >= s.s AND j - 1 <= s.e)) = 0),
+             ' '), '') AS clean_text
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="EXACT duplicated-substring removal at min_tokens=10 "
+        "(operators/dedup.py exact_substring_dedup) — the ExactSubstr "
+        "policy of Lee et al. 2021, whose reference implementation is a "
+        "single-machine suffix array over the concatenated corpus. The "
+        "distributed reformulation rides the duplicated-window cover "
+        "identity (a position is inside a >=L-token duplicate iff a "
+        "duplicated L-window covers it): one gram-keyed shuffle with "
+        "map-side partial agg finds windows occurring >=2 times, a "
+        "doc-partitioned gaps-and-islands window merges the marks, one "
+        "doc-keyed join rebuilds clean text — zero UDFs, no suffix "
+        "array, no concatenated corpus. The oracle recomputes the whole "
+        "pipeline in SQL, clean text included.",
+    tags=("text", "dedup", "substring", "curation"),
+)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_dedup(docs, min_tokens=10)
+
+
+@register(
+    "q_exact_substring_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             array_to_string(toks[i : i + 9], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, GREATEST(len(toks) - 9, 0))) AS t(i)
+    ), ev AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN ev USING (gram)
+      WHERE g.source <> 'src0'
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), islanded AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island,
+             MIN(pos) AS span_start, MAX(pos + 9) AS span_end
+      FROM islanded GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_cont,
+             list({'s': span_start, 'e': span_end}
+                  ORDER BY span_start) AS iv
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           COALESCE(p.n_cont, CAST(0 AS BIGINT))
+             AS n_contaminated_tokens,
+           CASE WHEN len(t.toks) > 0
+                THEN CAST(COALESCE(p.n_cont, 0) AS DOUBLE) / len(t.toks)
+                ELSE 0.0 END AS contamination,
+           COALESCE(array_to_string(
+             list_filter(t.toks,
+               (tok, j) -> len(list_filter(COALESCE(p.iv, []),
+                                s -> j - 1 >= s.s AND j - 1 <= s.e)) = 0),
+             ' '), '') AS clean_text
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    WHERE t.source <> 'src0'
+    """,
+    doc="Cross-corpus ExactSubstr decontamination at min_tokens=10 "
+        "(operators/dedup.py exact_substring_decontaminate): every "
+        "training-corpus position (source != 'src0') covered by a "
+        "10-token window that occurs anywhere in the eval corpus "
+        "(source = 'src0') is removed — the substring-level "
+        "eval-leakage scrub of Lee et al. 2021 §4.2, complementing "
+        "q_contamination's document-level set-containment gate. The "
+        "eval side collapses to DISTINCT eval windows (tiny next to "
+        "train), the train side pays one gram-keyed LEFT SEMI join, and "
+        "the island merge is doc-partitioned — no suffix array, no "
+        "concatenated corpus. Per-row contamination ratio in double "
+        "(IEEE-identical across engines).",
+    tags=("text", "dedup", "contamination", "substring"),
+)
+def q_exact_substring_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import exact_substring_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    return exact_substring_decontaminate(train, ev, min_tokens=10)
 
 
 @register(

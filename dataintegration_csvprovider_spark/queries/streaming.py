@@ -900,3 +900,113 @@ def q_stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_sum"),
         )
     )
+
+
+@register(
+    "q_stream_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             array_to_string(toks[i : i + 9], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, GREATEST(len(toks) - 9, 0))) AS t(i)
+    ), ev AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN ev USING (gram)
+      WHERE g.source <> 'src0'
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), islanded AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island,
+             MIN(pos) AS span_start, MAX(pos + 9) AS span_end
+      FROM islanded GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT)
+             AS n_contaminated_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    doc="STREAMING substring decontamination gate (operators/dedup.py "
+        "stream_contamination_flags): incoming training docs stream "
+        "through a stream-STATIC left-semi join against the static "
+        "eval-window index (exact_substring_eval_index snapshot, the "
+        "once-per-eval-version artifact) — fully STATELESS (no "
+        "watermark, no state store, append mode, restart-safe). The "
+        "island merge runs batch-side on the emitted (id, pos) hits, "
+        "as a foreachBatch consumer would; the oracle re-derives the "
+        "same spans from scratch in SQL. Streaming twin of "
+        "q_exact_substring_decontaminate.",
+    tags=("streaming", "dedup", "contamination", "substring"),
+)
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import (
+        exact_substring_eval_index,
+        stream_contamination_flags,
+    )
+
+    L = 10
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    ev_index = exact_substring_eval_index(ev, min_tokens=L).persist()
+    d = tempfile.mkdtemp(prefix="sdecon_")
+    try:
+        incoming.select("doc_id", "text").write.mode("overwrite").parquet(d)
+        stream = stream_from_parquet(
+            spark, d, incoming.select("doc_id", "text").schema
+        )
+        flags = stream_contamination_flags(stream, ev_index, min_tokens=L)
+        out = run_to_completion(flags, output_mode="append").localCheckpoint(
+            eager=True
+        )
+    finally:
+        ev_index.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+
+    w_prev = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = out.withColumn(
+        "__is_new",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + L - 1).over(w_prev), F.lit(-1))
+        ).cast("int"),
+    )
+    spans = (
+        flagged.withColumn("__island", F.sum("__is_new").over(w_cum))
+        .groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L - 1).alias("span_end"),
+        )
+    )
+    return spans.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("n_contaminated_tokens"),
+    )

@@ -324,3 +324,137 @@ def test_ngram_jaccard_cross_pairs(spark):
         ).collect()
     }
     assert (1, 10) in union_pairs
+
+
+# -- exact substring dedup (ExactSubstr / suffix-array family) -------------
+
+
+def _essd_rows(spark, docs, **kw):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_dedup(df, **kw).collect()
+    }
+
+
+def test_exact_substring_cross_doc_removal(spark):
+    # the 5-token phrase appears in both docs: ALL copies are removed
+    # (ExactSubstr removes every occurrence, originals included)
+    phrase = "a b c d e"
+    docs = [
+        (1, f"x1 x2 {phrase} y1 y2"),
+        (2, f"z1 {phrase} z2 z3 z4"),
+    ]
+    out = _essd_rows(spark, docs, min_tokens=5)
+    assert out[1]["n_spans"] == 1 and out[1]["n_dup_tokens"] == 5
+    assert out[2]["n_spans"] == 1 and out[2]["n_dup_tokens"] == 5
+    assert out[1]["clean_text"] == "x1 x2 y1 y2"
+    assert out[2]["clean_text"] == "z1 z2 z3 z4"
+
+
+def test_exact_substring_long_duplicate_merges_windows(spark):
+    # a 7-token duplicate with L=5 marks windows at pos 0,1,2 of the
+    # span — the island merge must fuse them into ONE 7-token span
+    phrase = "p q r s t u v"
+    docs = [(1, f"{phrase} tail1 tail2"), (2, f"head {phrase}")]
+    out = _essd_rows(spark, docs, min_tokens=5)
+    assert out[1]["n_spans"] == 1 and out[1]["n_dup_tokens"] == 7
+    assert out[1]["clean_text"] == "tail1 tail2"
+    assert out[2]["clean_text"] == "head"
+
+
+def test_exact_substring_within_doc_duplicate(spark):
+    # duplication WITHIN one doc counts (count>=2 over occurrences)
+    docs = [(1, "m n o p m n o p xx")]
+    out = _essd_rows(spark, docs, min_tokens=4)
+    # the two marked windows [0,3] and [4,7] touch but don't overlap, so
+    # they stay two spans (the island merge fuses OVERLAPS only — the
+    # removed token set is identical either way, and the oracle agrees)
+    assert out[1]["n_spans"] == 2
+    assert out[1]["n_dup_tokens"] == 8
+    assert out[1]["clean_text"] == "xx"
+
+
+def test_exact_substring_whole_doc_removed_and_short_docs(spark):
+    docs = [
+        (1, "dup dup2 dup3 dup4 dup5"),
+        (2, "dup dup2 dup3 dup4 dup5"),
+        (3, "short doc"),  # shorter than L: no windows, untouched
+    ]
+    out = _essd_rows(spark, docs, min_tokens=5)
+    assert out[1]["clean_text"] == "" and out[1]["n_dup_tokens"] == 5
+    assert out[2]["clean_text"] == ""
+    assert out[3]["n_spans"] == 0
+    assert out[3]["clean_text"] == "short doc"
+
+
+def test_exact_substring_disjoint_spans(spark):
+    # two separated duplicated regions stay two spans
+    docs = [
+        (1, "a1 a2 a3 a4 mid1 mid2 mid3 b1 b2 b3 b4"),
+        (2, "a1 a2 a3 a4 q1 q2 q3 q4 b1 b2 b3 b4"),
+    ]
+    out = _essd_rows(spark, docs, min_tokens=4)
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_tokens"] == 8
+    assert out[1]["clean_text"] == "mid1 mid2 mid3"
+
+
+def test_exact_substring_hash_grams_equivalent(spark):
+    # the scale path (xxhash64 gram keys) must agree with exact text
+    # keys on a real sample
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_dedup(docs, min_tokens=8).collect()
+    }
+    hashed = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_dedup(
+            docs, min_tokens=8, hash_grams=True
+        ).collect()
+    }
+    assert exact == hashed
+
+
+def test_exact_substring_decontaminate(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        exact_substring_decontaminate,
+    )
+
+    leak = "e1 e2 e3 e4 e5"
+    train = spark.createDataFrame(
+        [
+            (1, f"t1 t2 {leak} t3"),   # contains the eval phrase
+            (2, "clean doc with no overlap at all"),
+            (3, "tiny"),               # shorter than L
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, f"header {leak} footer")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_decontaminate(
+            train, ev, min_tokens=5
+        ).collect()
+    }
+    assert out[1]["n_contaminated_tokens"] == 5
+    assert out[1]["clean_text"] == "t1 t2 t3"
+    assert abs(out[1]["contamination"] - 5 / 8) < 1e-12
+    assert out[2]["n_contaminated_tokens"] == 0
+    assert out[2]["clean_text"] == "clean doc with no overlap at all"
+    assert out[3]["n_spans"] == 0 and out[3]["contamination"] == 0.0
+    # eval docs themselves are NOT in the output (train-side scrub)
+    assert set(out) == {1, 2, 3}

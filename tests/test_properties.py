@@ -541,3 +541,47 @@ def test_token_balanced_shards_property(spark_prop, weights, n_shards):
     # contiguity in key order
     seq = [got[i] for i in range(len(weights))]
     assert seq == sorted(seq)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="xy ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_exact_substring_dedup_matches_model(spark_prop, texts, L):
+    """The distributed duplicated-window cover must equal a direct
+    Python model: mark every pos whose L-window text occurs >= 2 times
+    corpus-wide, remove covered tokens, rejoin."""
+    from collections import Counter
+
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    counts = Counter()
+    for ws in toks.values():
+        for p in range(len(ws) - L + 1):
+            counts[tuple(ws[p : p + L])] += 1
+    expected = {}
+    for i, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - L + 1):
+            if counts[tuple(ws[p : p + L])] >= 2:
+                covered.update(range(p, p + L))
+        clean = " ".join(w for j, w in enumerate(ws) if j not in covered)
+        expected[i] = (len(ws), len(covered), clean)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["clean_text"])
+        for r in exact_substring_dedup(docs, min_tokens=L).collect()
+    }
+    assert got == expected

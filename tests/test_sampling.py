@@ -54,3 +54,73 @@ def test_quota_capped_at_group_size(spark):
     got = {r["source"]: r["n"] for r in
            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got["tiny"] == 6  # capped at the group's size
+
+
+# -- largest-remainder mixture apportionment -------------------------------
+
+
+def test_apportion_quota_sums_to_budget(spark):
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        apportion_mixture,
+    )
+
+    rows = [(i, "a" if i % 3 else "b", i) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    out = apportion_mixture(
+        df, {"a": 2.0, "b": 1.0}, total=31, group_col="grp",
+        id_col="doc_id", order_col="score",
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    # 31 * 2/3 = 20.667 -> base 20 rem .667; 31 * 1/3 = 10.333 -> base 10
+    # rem .333; leftover 1 goes to 'a'
+    assert len(by_grp["a"]) == 21 and len(by_grp["b"]) == 10
+    assert len(out) == 31
+    # selection is top-by-score desc within each group
+    assert min(r["score"] for r in by_grp["a"]) > 25
+
+
+def test_apportion_caps_at_population(spark):
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        apportion_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "big"), (4, "big"), (5, "big"),
+         (6, "big")],
+        "doc_id long, grp string",
+    )
+    out = apportion_mixture(
+        df, {"tiny": 0.9, "big": 0.1}, total=6, group_col="grp",
+        id_col="doc_id",
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], 0)
+        got[r["grp"]] += 1
+    # tiny's quota (5.4 -> 5+leftover) caps at its population of 2; the
+    # shortfall is NOT redistributed (explicit policy), big keeps 1
+    assert got == {"tiny": 2, "big": 1}
+    caps = {r["grp"]: (r["quota"], r["n_available"]) for r in out}
+    assert caps["tiny"] == (2, 2)
+
+
+def test_apportion_unweighted_group_excluded_and_validation(spark):
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        apportion_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, grp string"
+    )
+    out = apportion_mixture(
+        df, {"a": 1.0, "b": 1.0}, total=2, group_col="grp", id_col="doc_id"
+    ).collect()
+    assert {r["grp"] for r in out} == {"a", "b"}
+    with pytest.raises(ValueError):
+        apportion_mixture(df, {}, total=2, group_col="grp")
+    with pytest.raises(ValueError):
+        apportion_mixture(df, {"a": -1.0, "b": -1.0}, total=2, group_col="grp")

@@ -292,3 +292,32 @@ def test_progress_state_metrics_dedup(spark, tmp_path):
         if "numRowsTotal" in op
     ]
     assert state_totals and max(state_totals) == n_keys
+
+
+def test_stream_contamination_flags_stateless(spark, tmp_path):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        exact_substring_eval_index,
+        stream_contamination_flags,
+    )
+    from dataintegration_csvprovider_spark.streaming.events import (
+        run_to_completion,
+        stream_from_parquet,
+    )
+
+    leak = "l1 l2 l3 l4 l5"
+    train = spark.createDataFrame(
+        [(1, f"a b {leak} c"), (2, "no overlap here at all truly")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, f"intro {leak} outro")], "doc_id long, text string"
+    )
+    idx = exact_substring_eval_index(ev, min_tokens=5)
+    d = str(tmp_path / "train")
+    train.write.parquet(d)
+    stream = stream_from_parquet(spark, d, train.schema)
+    flags = stream_contamination_flags(stream, idx, min_tokens=5)
+    assert flags.isStreaming
+    out = run_to_completion(flags, output_mode="append").collect()
+    # exactly one marked window: doc 1 pos 2 (the 5-token leak)
+    assert [(r.id, r.pos) for r in out] == [(1, 2)]
