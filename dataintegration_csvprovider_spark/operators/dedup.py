@@ -1393,6 +1393,13 @@ def exact_substring_dedup(
     of a ~2^-64-per-pair false-merge chance (fine for curation; keep
     False where bit-exactness is contractual, e.g. the oracle gate).
 
+    Measured (sf0.1 docs, local[32], min-of-2, noop write, worst case
+    where EVERY window is duplicated via k shifted corpus copies):
+    1.87 s at 1x (5k docs) -> 2.62 s at 3x -> 4.95 s at 10x (50k docs)
+    — sublinear observed growth (fixed stage overhead amortizing over a
+    linear workload), no super-linear term even with 100% of positions
+    marked; hash_grams shaves ~15% already at this tiny gram size.
+
     Output: (id, n_tokens, n_spans, n_dup_tokens, clean_text), one row
     per input doc; clean_text is the single-space rejoin of surviving
     tokens ('' when the whole doc is duplicated).

@@ -229,3 +229,101 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("zlib_len") / F.greatest(raw_len, F.lit(1))).cast("double"),
     )
     return out
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    dependency-free core of CCNet-style LM filtering (Wenzek et al.
+    2020 score web text with a wiki-trained KenLM and keep the fluent
+    tail; here the LM is a smoothed bigram model trained ON
+    ``train_df``, default the scored corpus itself).
+
+    Per document: the mean transition probability over its word
+    bigrams, p(w2|w1) = (c(w1,w2) + alpha) / (c(w1,*) + alpha*V) —
+    add-alpha smoothing over the train vocabulary V, so cross-corpus
+    scoring of unseen bigrams is well-defined (an unseen first word
+    scores 1/V). The MEAN probability is used instead of log-perplexity
+    deliberately: every term is a ratio of integers plus an exact
+    binary constant, IEEE-identical across engines, and the sum runs
+    through decimal(18,12) so the result is order-independent — the
+    registry's no-ln convention (ln differs by ULPs across libms and
+    would break oracle hashes). Ranking behavior matches perplexity
+    closely enough for a keep/drop gate: garbled text has uniformly
+    tiny transition probabilities, boilerplate uniformly large ones.
+
+    Scale shape: bigram counting is one keyed shuffle with map-side
+    combine over the train corpus; scoring joins the scored corpus's
+    bigrams against the count tables on (w1, w2) then w1 — keyed
+    equi-joins on a Zipf-headed key (AQE skew handling applies); the
+    vocabulary size is a broadcast 1-row aggregate. No driver-side
+    model, no UDFs.
+
+    Returns (id, n_bigrams, mean_p); docs with < 2 words score NULL
+    mean_p over 0 bigrams (no transitions exist).
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed LMs divide by zero)")
+
+    def doc_bigrams(d: DataFrame, keep_id: bool):
+        toks = F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        )
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        cols = [F.col(id_col).alias("__id")] if keep_id else []
+        return d.select(*cols, F.explode(pairs).alias("bg")).select(
+            *(["__id"] if keep_id else []),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+
+    sb = doc_bigrams(df, keep_id=True)
+    # self-training derives the train bigrams from the SAME subtree as
+    # the scored side (projection of sb) so the tokenize/explode work is
+    # shared and Spark's exchange reuse can kick in, instead of scanning
+    # and exploding the corpus twice
+    tb = (
+        doc_bigrams(train_df, keep_id=False)
+        if train_df is not None
+        else sb.select("w1", "w2")
+    )
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = tb.select("w2").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("V")
+    )
+    scored = (
+        sb.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "p",
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("V")),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.col("p").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_p"),
+    )
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+        F.col("mean_p"),
+    )

@@ -2747,6 +2747,58 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lm_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS V FROM bg
+    ), scored AS (
+      SELECT b.doc_id,
+             (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.V) AS p
+      FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE) AS mean_p
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+           pd.mean_p
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc pd USING (doc_id)
+    """,
+    doc="Bigram-LM fluency score (operators/textstats.py "
+        "bigram_lm_score), self-trained on the corpus: per-doc mean "
+        "add-0.5-smoothed transition probability p(w2|w1) — the "
+        "dependency-free core of CCNet-style LM filtering (Wenzek et "
+        "al. 2020), using mean probability instead of log-perplexity "
+        "so every term is rational and the decimal-accumulated mean is "
+        "order-independent (the registry's no-ln convention). One "
+        "keyed count shuffle to train, two keyed joins to score, "
+        "broadcast vocab size; no driver-side model, no UDFs.",
+    tags=("text", "quality", "lm"),
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_score(docs, alpha=0.5)
+
+
+@register(
     "q_skew_stats",
     oracle="""
     WITH sizes AS (

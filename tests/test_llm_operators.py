@@ -573,3 +573,69 @@ def test_bpe_train_and_encode_textbook_example(spark):
     # NULL text -> NULL count, not a crash
     df2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
     assert bpe_token_counts(df2, merges).collect()[0]["n_bpe"] is None
+
+
+def test_bigram_lm_score_self_trained(spark):
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),         # bigrams: (the,cat) (cat,sat)
+            (2, "the cat ran"),         # bigrams: (the,cat) (cat,ran)
+            (3, "one"),                 # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bigram_lm_score(docs, alpha=0.5).collect()
+    }
+    # train counts: c2(the,cat)=2, c2(cat,sat)=1, c2(cat,ran)=1;
+    # c1(the)=2, c1(cat)=2; V = |{cat, sat, ran}| = 3
+    p_the_cat = (2 + 0.5) / (2 + 0.5 * 3)
+    p_cat_sat = (1 + 0.5) / (2 + 0.5 * 3)
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["mean_p"] - (p_the_cat + p_cat_sat) / 2) < 1e-9
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_p"] is None
+
+
+def test_bigram_lm_score_cross_corpus_smoothing(spark):
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bigram_lm_score(score, train_df=train, alpha=0.5).collect()
+    }
+    # train: c2(a,b)=2 c2(b,a)=2 c2(a,c)=1; c1(a)=3 c1(b)=2; V=|{b,a,c}|=3
+    assert abs(out[10]["mean_p"] - (2 + 0.5) / (3 + 1.5)) < 1e-12
+    # fully unseen first word: p = alpha / (alpha * V) = 1/V
+    assert abs(out[11]["mean_p"] - 1 / 3) < 1e-12
+    with pytest.raises(ValueError):
+        bigram_lm_score(score, alpha=0.0)
+
+
+def test_bigram_lm_score_ranks_fluent_above_garbled(spark):
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    # corpus dominated by one repeated fluent sentence + one garbled doc
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(10)] + [
+        (99, "dog quick the over fox brown lazy jumps")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_p"] for r in bigram_lm_score(docs).collect()}
+    assert out[0] > out[99] * 3

@@ -57,6 +57,7 @@ NLJ_OK = {
     "q_leakage_safe_split_lsh",  # 1x1x1-row crossJoin of gate aggregates
     "q_shard_balanced",  # single-row Σtokens aggregate broadcast cross
     "q_skew_stats",  # single-row top-k aggregate broadcast cross
+    "q_lm_quality_score",  # single-row vocab-size aggregate broadcast cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
