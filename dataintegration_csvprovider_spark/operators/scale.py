@@ -280,3 +280,64 @@ def skew_stats(
         )
         .drop("top_rows")
     )
+
+
+def concat_chunk_segments(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    block: int,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Concat-and-chunk packing — the GPT-pretraining default layout:
+    conceptually concatenate all documents in ``order_col`` order into
+    one token stream and cut it into fixed ``block``-token training
+    blocks, documents SPLITTING across block boundaries (unlike the
+    greedy whole-document packing of q_sequence_packing, which never
+    splits but leaves slack). Every block except the last is exactly
+    full by construction.
+
+    No concatenation ever materializes: the distributed prefix sum
+    (:func:`distributed_cumsum` — two-phase, no single-partition window)
+    gives each doc its global token interval [start, end), each doc
+    explodes into the blocks it intersects (``ceil(n/block) + 1`` at
+    most — a sequence over block ids, not tokens), and pure integer
+    interval intersection yields per-(block, doc) segments. One range
+    shuffle + one bounded explode beyond the scan; a 100 TB corpus at
+    block=4096 emits ~#docs + #blocks segment rows, never a token-level
+    explosion.
+
+    Output: one row per (block_id, doc) segment — ``block_id``,
+    ``order_col`` (+ any ``id_cols`` carried through), ``seg_start``
+    (0-based offset INSIDE the doc), ``seg_len``. Zero-weight rows emit
+    no segments. Downstream writers group by block_id and slice doc
+    payloads with (seg_start, seg_len).
+    """
+    if block < 1:
+        raise ValueError("block must be >= 1")
+    cum = distributed_cumsum(df, order_col, weight_col, "__cum_end")
+    start = F.col("__cum_end") - F.col(weight_col)
+    seg = (
+        cum.filter(F.col(weight_col) > 0)
+        .withColumn("__start", start)
+        .withColumn("__first_b", F.floor(F.col("__start") / block))
+        .withColumn("__last_b", F.floor((F.col("__cum_end") - 1) / block))
+        .select(
+            order_col,
+            *id_cols,
+            "__start",
+            "__cum_end",
+            F.explode(
+                F.sequence(F.col("__first_b"), F.col("__last_b"))
+            ).alias("block_id"),
+        )
+    )
+    seg_start_g = F.greatest(F.col("__start"), F.col("block_id") * block)
+    seg_end_g = F.least(F.col("__cum_end"), (F.col("block_id") + 1) * block)
+    return seg.select(
+        F.col("block_id").cast("bigint").alias("block_id"),
+        order_col,
+        *id_cols,
+        (seg_start_g - F.col("__start")).cast("bigint").alias("seg_start"),
+        (seg_end_g - seg_start_g).cast("bigint").alias("seg_len"),
+    )

@@ -2747,6 +2747,61 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_concat_chunk_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM toks
+    ), seg AS (
+      SELECT doc_id, cum_end - n_tokens AS st, cum_end,
+             UNNEST(generate_series(
+               CAST((cum_end - n_tokens) // 512 AS BIGINT),
+               CAST((cum_end - 1) // 512 AS BIGINT))) AS block_id
+      FROM cum WHERE n_tokens > 0
+    )
+    SELECT CAST(block_id AS BIGINT) AS block_id, doc_id,
+           CAST(GREATEST(st, block_id * 512) - st AS BIGINT) AS seg_start,
+           CAST(LEAST(cum_end, (block_id + 1) * 512)
+                - GREATEST(st, block_id * 512) AS BIGINT) AS seg_len
+    FROM seg
+    """,
+    doc="Concat-and-chunk packing (operators/scale.py "
+        "concat_chunk_segments): the GPT-pretraining default — the "
+        "corpus conceptually concatenates in doc_id order and cuts into "
+        "exactly-512-token blocks, documents splitting across block "
+        "boundaries (the complement of q_sequence_packing's greedy "
+        "whole-doc bins, which never split but leave slack). No "
+        "concatenation materializes: the two-phase distributed prefix "
+        "sum gives each doc its global token interval, each doc "
+        "explodes only into the blocks it intersects, and integer "
+        "interval intersection yields the per-(block, doc) segment "
+        "table — one range shuffle, ~#docs + #blocks output rows, "
+        "never a token-level explode.",
+    tags=("text", "packing", "window"),
+)
+def q_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import concat_chunk_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "), lambda t: t != F.lit("")
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return concat_chunk_segments(toks, "doc_id", "n_tokens", block=512)
+
+
+@register(
     "q_lm_quality_score",
     oracle="""
     WITH toks AS (

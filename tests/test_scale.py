@@ -220,3 +220,68 @@ def test_token_balanced_shards_contiguous_and_balanced(spark):
     total = sum(r.w for r in out)
     for rows in by_shard.values():
         assert abs(sum(r.w for r in rows) - total / 4) <= 50
+
+
+def test_concat_chunk_segments_exact_blocks(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        concat_chunk_segments,
+    )
+
+    # docs of 3, 5, 4, 2 tokens; block=4 -> stream of 14 tokens:
+    # blocks: [0,4) [4,8) [8,12) [12,14)
+    rows = [(1, 3), (2, 5), (3, 4), (4, 2), (5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    segs = sorted(
+        (r.block_id, r.doc_id, r.seg_start, r.seg_len)
+        for r in concat_chunk_segments(
+            df, "doc_id", "n_tokens", block=4
+        ).collect()
+    )
+    # doc1 [0,3) -> b0; doc2 [3,8) -> b0 (tok 0), b1 (toks 1-4);
+    # doc3 [8,12) -> b2; doc4 [12,14) -> b3; doc5 empty -> nothing
+    assert segs == [
+        (0, 1, 0, 3),
+        (0, 2, 0, 1),
+        (1, 2, 1, 4),
+        (2, 3, 0, 4),
+        (3, 4, 0, 2),
+    ]
+
+
+def test_concat_chunk_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.operators.scale import (
+        concat_chunk_segments,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+    )
+    segs = concat_chunk_segments(toks, "doc_id", "n_tokens", block=128)
+    total_tokens = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    per_block = (
+        segs.groupBy("block_id")
+        .agg(F.sum("seg_len").alias("blk"))
+        .collect()
+    )
+    # every block full except possibly the last; totals conserved
+    n_blocks = len(per_block)
+    assert sum(r["blk"] for r in per_block) == total_tokens
+    full = [r for r in per_block if r["block_id"] < n_blocks - 1]
+    assert all(r["blk"] == 128 for r in full)
+    # per-doc segment lengths reassemble the doc exactly, contiguously
+    per_doc = (
+        segs.groupBy("doc_id")
+        .agg(
+            F.sum("seg_len").alias("tot"),
+            F.min("seg_start").alias("first"),
+        )
+        .join(toks, "doc_id")
+        .collect()
+    )
+    assert all(r["tot"] == r["n_tokens"] and r["first"] == 0 for r in per_doc)
