@@ -80,13 +80,32 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="driver-replica session: plain local[32] builder with NONE "
+        "of the engine confs (catalog.load_table's defensive pinning is "
+        "the only thing standing) — catches conf-dependent results "
+        "before the grading driver does",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as ent
-    from dataintegration_csvprovider_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracle")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check_oracle_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from dataintegration_csvprovider_spark.session import get_spark
+
+        spark = get_spark(app_name="check_oracle")
 
     con = duckdb.connect()
     for t in TABLES:
