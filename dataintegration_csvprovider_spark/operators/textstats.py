@@ -327,3 +327,250 @@ def bigram_lm_score(
         F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
         F.col("mean_p"),
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """Sequential filter-funnel accounting — the per-rule drop table
+    every curation report publishes (cf. RefinedWeb/Gopher dataset
+    papers: 'rule X removed N% of documents'): given ordered (name,
+    keep-predicate) rules, report for each stage how many rows reached
+    it, failed exactly there (passed every earlier rule), and survived.
+
+    ONE scan and ONE single-row aggregation regardless of rule count —
+    each stage is a conjunction column and the whole funnel is a set of
+    conditional counts; the reshape to one-row-per-rule happens on the
+    1×(2k) aggregate via stack, not on the data. This is the cheap
+    observability pass you run BEFORE materializing a filtered corpus:
+    at 100 TB the difference between this and k sequential
+    count-after-filter jobs is k full scans.
+
+    Returns (stage, rule, n_in, n_failed_here, n_surviving), stage
+    1-based in rule order; n_in of stage i == n_surviving of stage i-1.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("rule names must be unique")
+
+    survive = F.lit(True)
+    aggs = [F.count(F.lit(1)).alias("__n0")]
+    for i, (_, pred) in enumerate(rules, start=1):
+        prev = survive
+        survive = survive & pred
+        aggs.append(
+            F.sum((prev & ~pred).cast("bigint")).alias(f"__f{i}")
+        )
+        aggs.append(F.sum(survive.cast("bigint")).alias(f"__s{i}"))
+    row = df.agg(*aggs)
+
+    # reshape the 1-row aggregate: stage i reads n_in from stage i-1's
+    # survivor count (stage 1 from the input count)
+    stack_args: list[Column] = []
+    for i, name in enumerate(names, start=1):
+        n_in = F.col("__n0") if i == 1 else F.col(f"__s{i-1}")
+        stack_args += [
+            F.lit(i),
+            F.lit(name),
+            n_in,
+            F.col(f"__f{i}"),
+            F.col(f"__s{i}"),
+        ]
+    n = len(names)
+    return row.select(
+        F.stack(
+            F.lit(n),
+            *stack_args,
+        ).alias("stage", "rule", "n_in", "n_failed_here", "n_surviving")
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "rule",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_failed_here").cast("bigint").alias("n_failed_here"),
+        F.col("n_surviving").cast("bigint").alias("n_surviving"),
+    )
+
+
+def scrub_boilerplate_lines(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    words_per_line: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document duplicate-line removal — the RefinedWeb/CCNet
+    boilerplate scrub: a "line" that appears verbatim in >= ``min_docs``
+    DISTINCT documents of the same group (same ``source``/domain in the
+    fixture — nav bars, footers, cookie banners repeat within a domain)
+    is deleted from every document; surviving lines are rejoined in
+    original order.
+
+    The fixture corpus has no newlines, so a "line" is a tumbling window
+    of ``words_per_line`` whitespace words — the operator's counting /
+    scrubbing / reassembly logic is separator-agnostic (swap the line
+    derivation for ``split(text, '\\n')`` on real corpora).
+
+    Scale shape: one posexplode to the line table (O(total_lines) rows,
+    linear in corpus size — never pairwise), one (group, line) count
+    with map-side partial aggregation (boilerplate lines are exactly the
+    high-frequency keys, so the partial combine collapses them early),
+    one keyed join back, one per-doc reassembly groupBy. All built-in
+    expressions; no UDFs.
+
+    Returns (doc, text_scrubbed, n_lines, n_lines_dropped) — one row per
+    input document, fully-scrubbed docs keep an empty string.
+    """
+    if words_per_line < 1 or min_docs < 1:
+        raise ValueError("words_per_line and min_docs must be >= 1")
+    gcols = list(group_cols)
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    w = words_per_line
+    lines_arr = F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(words) / w).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        )
+    )
+    lines = df.select(
+        F.col(doc_col).alias("__doc"),
+        *[F.col(c).alias(f"__g{k}") for k, c in enumerate(gcols)],
+        F.posexplode_outer(lines_arr).alias("__pos", "__line"),
+    )
+    gkeys = [f"__g{k}" for k in range(len(gcols))]
+    counts = (
+        lines.filter(F.col("__line").isNotNull())
+        .groupBy(*gkeys, "__line")
+        .agg(F.count_distinct("__doc").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select(*gkeys, "__line", F.lit(True).alias("__boiler"))
+    )
+    flagged = lines.join(counts, gkeys + ["__line"], "left")
+    return (
+        flagged.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull()
+                                & F.col("__line").isNotNull(),
+                                F.struct("__pos", "__line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                " ",
+            ).alias("text_scrubbed"),
+            F.sum(
+                F.col("__line").isNotNull().cast("bigint")
+            ).alias("n_lines"),
+            F.sum(
+                F.coalesce(F.col("__boiler"), F.lit(False)).cast("bigint")
+            ).alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("__doc").alias(doc_col),
+            "text_scrubbed",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_lines_dropped").cast("bigint").alias("n_lines_dropped"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance score (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much its unigram distribution looks
+    like a TARGET domain corpus rather than the raw corpus — the
+    distribution-shift half of DSIR (the resampling half is a window
+    top-k / q_temperature_sample over this score).
+
+    Per token w the likelihood ratio under add-one-smoothed unigram
+    models is
+
+        lr(w) = p_target(w) / p_raw(w)
+              = ((c_t(w)+1) * (N_r+V)) / ((c_r(w)+1) * (N_t+V))
+
+    with V the joint vocabulary size. The per-document score is the
+    MEAN of lr over its tokens, not the log-weight sum the paper uses:
+    every lr term is one IEEE division of exact integers (correctly
+    rounded, identical across engines) and the sum runs through
+    decimal(28,12) so the result is order-independent — the registry's
+    no-ln convention (libm log differs by ULPs across engines and would
+    break oracle hashes). Mean-lr is a monotone-enough proxy for the
+    keep/drop gate: target-like tokens have lr > 1, off-domain tokens
+    lr << 1. DSIR proper hashes n-grams into 10k buckets before
+    counting; the fixture vocabulary is tiny so raw unigrams are used
+    — at 100 TB put ``xxhash64(w) % B`` in front of both counts (the
+    shape below is unchanged; the oracle then becomes rows-only since
+    DuckDB lacks xxhash64).
+
+    Scale shape: two unigram-count shuffles (raw + target, both with
+    map-side combine), one keyed join of exploded doc tokens against
+    each count table (Zipf-headed key — AQE skew handling applies), and
+    a broadcast 1-row (N_t, N_r, V) aggregate. No UDFs, no driver-side
+    model.
+
+    Returns (id, n_words, mean_lr); empty docs score NULL over 0 words.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    raw = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("w")
+    )
+    tgt = target_df.select(F.explode(toks).alias("w"))
+    cr = raw.groupBy("w").agg(F.count(F.lit(1)).alias("c_r"))
+    ct = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("c_t"))
+    totals = (
+        cr.join(ct, "w", "full")
+        .agg(
+            F.sum(F.coalesce("c_r", F.lit(0))).alias("N_r"),
+            F.sum(F.coalesce("c_t", F.lit(0))).alias("N_t"),
+            F.count(F.lit(1)).alias("V"),
+        )
+    )
+    scored = (
+        raw.join(cr, "w")  # every raw token is in the raw counts
+        .join(ct, "w", "left")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            (
+                (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
+                * (F.col("N_r") + F.col("V")).cast("double")
+            )
+            / (
+                (F.col("c_r") + F.lit(1)).cast("double")
+                * (F.col("N_t") + F.col("V")).cast("double")
+            ),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        (
+            F.sum(F.col("lr").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_lr"),
+    )
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+        F.col("mean_lr"),
+    )

@@ -2747,6 +2747,149 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_training_shard_manifest",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    ), t AS (SELECT SUM(n_tokens) AS total FROM toks),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             LEAST(((cum_tokens - n_tokens) * 8) // total, 7) AS shard_id
+      FROM cum, t
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_weight,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id,
+           CAST(MAX(doc_id) AS BIGINT) AS last_id
+    FROM sharded GROUP BY shard_id
+    """,
+    doc="The shard-writer SINK (sinks/shards.py write_training_shards): "
+        "token-balanced shard assignment (same distributed prefix sum "
+        "as q_shard_balanced) actually WRITTEN as partitionBy(shard_id) "
+        "parquet directories — the layout every training loader streams "
+        "— with the manifest recomputed FROM THE WRITTEN FILES, so the "
+        "oracle verifies the write path (partitioned commit, partition-"
+        "column round-trip, per-shard contiguity), not an in-memory "
+        "echo.",
+    tags=("text", "packing", "sink"),
+)
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sinks.shards import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "), lambda t: t != F.lit("")
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    d = tempfile.mkdtemp(prefix="shards_")
+    try:
+        manifest = write_training_shards(
+            toks, d, n_shards=8, order_col="doc_id", weight_col="n_tokens"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return manifest
+
+
+@register(
+    "q_filter_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), m AS (
+      SELECT len(ws) AS nw,
+             CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0)
+                  AS BIGINT) AS wlen,
+             len(list_distinct(ws)) AS nd
+      FROM t
+    ), f AS (
+      SELECT nw >= 20 AS r1,
+             nw <= 50000 AS r2,
+             2 * nw <= wlen AND wlen <= 12 * nw AS r3,
+             5 * nd >= nw AS r4
+      FROM m
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS f2,
+        CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS f3,
+        CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS s3,
+        CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND NOT r4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS f4,
+        CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s4
+      FROM f
+    )
+    SELECT CAST(1 AS INT) AS stage, 'min_words_20' AS rule,
+           n0 AS n_in, f1 AS n_failed_here, s1 AS n_surviving FROM agg
+    UNION ALL SELECT 2, 'max_words_50k', s1, f2, s2 FROM agg
+    UNION ALL SELECT 3, 'mean_word_len_2_12', s2, f3, s3 FROM agg
+    UNION ALL SELECT 4, 'distinct_ratio_20pct', s3, f4, s4 FROM agg
+    """,
+    doc="Sequential curation filter funnel (operators/textstats.py "
+        "filter_funnel) over four Gopher-flavored keep rules "
+        "(word-count floor/ceiling, mean word length in [2,12], "
+        "distinct-word ratio >= 0.2 — the ratio rules as CROSS-"
+        "MULTIPLIED integer comparisons, so every predicate is exact "
+        "in both engines): per rule, how many docs reached it, failed "
+        "exactly there, and survived — the drop table every dataset "
+        "report publishes. ONE scan and ONE single-row aggregation for "
+        "all stages (vs k filtered count jobs = k full scans at "
+        "100 TB); the per-rule reshape happens on the 1-row aggregate "
+        "via stack.",
+    tags=("text", "quality", "curation"),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import filter_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    d = docs.select(
+        F.size(toks).cast("bigint").alias("nw"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("wlen"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+    )
+    return filter_funnel(
+        d,
+        [
+            ("min_words_20", F.col("nw") >= 20),
+            ("max_words_50k", F.col("nw") <= 50000),
+            (
+                "mean_word_len_2_12",
+                (2 * F.col("nw") <= F.col("wlen"))
+                & (F.col("wlen") <= 12 * F.col("nw")),
+            ),
+            ("distinct_ratio_20pct", 5 * F.col("nd") >= F.col("nw")),
+        ],
+    )
+
+
+@register(
     "q_concat_chunk_packing",
     oracle="""
     WITH toks AS (
@@ -3183,3 +3326,59 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
         F.sum(F.sqrt(sq).cast("decimal(18,9)")).cast("double").alias("norm_sum"),
     )
+
+
+@register(
+    "q_dsir_importance",
+    oracle="""
+    WITH rawt AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS w
+      FROM documents
+    ), tgt AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS w
+      FROM documents WHERE lang = 'en'
+    ), cr AS (SELECT w, COUNT(*) AS c_r FROM rawt GROUP BY w),
+    ct AS (SELECT w, COUNT(*) AS c_t FROM tgt GROUP BY w),
+    tot AS (
+      SELECT SUM(COALESCE(c_r, 0)) AS n_raw,
+             SUM(COALESCE(c_t, 0)) AS n_tgt,
+             COUNT(*) AS v
+      FROM cr FULL JOIN ct USING (w)
+    ), scored AS (
+      SELECT r.doc_id,
+             (CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE)
+              * CAST(n_raw + v AS DOUBLE))
+             / (CAST(cr.c_r + 1 AS DOUBLE)
+                * CAST(n_tgt + v AS DOUBLE)) AS lr
+      FROM rawt r JOIN cr USING (w) LEFT JOIN ct USING (w), tot
+    ), per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE) AS mean_lr
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_words, CAST(0 AS BIGINT)) AS n_words,
+           mean_lr
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per USING (doc_id)
+    """,
+    doc="DSIR-style importance score (operators/textstats.py "
+        "dsir_importance; Xie et al. 2023): per raw document, the mean "
+        "unigram likelihood ratio p_target/p_raw under add-one-smoothed "
+        "models, target = the English slice — the data-selection signal "
+        "you resample against when fitting web data to a target domain. "
+        "Every ratio is one IEEE division of exact integers and the sum "
+        "runs through decimal(28,12) (the registry's no-ln convention), "
+        "so the score is engine-exact. Two count shuffles + keyed joins "
+        "+ one broadcast totals row; no UDFs.",
+    tags=("text", "quality", "sampling"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))

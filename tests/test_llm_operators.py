@@ -639,3 +639,60 @@ def test_bigram_lm_score_ranks_fluent_above_garbled(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["mean_p"] for r in bigram_lm_score(docs).collect()}
     assert out[0] > out[99] * 3
+
+
+def test_filter_funnel_sequential_attribution(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        filter_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, True), (2, 50, True), (3, 500, False), (4, 50, False)],
+        "doc_id long, nw long, flag boolean",
+    )
+    out = {
+        r["stage"]: r.asDict()
+        for r in filter_funnel(
+            df,
+            [
+                ("nw_min", F.col("nw") >= 10),     # kills doc 1
+                ("nw_max", F.col("nw") <= 100),    # kills doc 3
+                ("flagged", F.col("flag")),        # kills doc 4
+            ],
+        ).collect()
+    }
+    assert out[1] == {"stage": 1, "rule": "nw_min", "n_in": 4,
+                      "n_failed_here": 1, "n_surviving": 3}
+    # doc 1 already failed stage 1 — it must NOT count against stage 2/3
+    assert out[2] == {"stage": 2, "rule": "nw_max", "n_in": 3,
+                      "n_failed_here": 1, "n_surviving": 2}
+    assert out[3] == {"stage": 3, "rule": "flagged", "n_in": 2,
+                      "n_failed_here": 1, "n_surviving": 1}
+    with pytest.raises(ValueError):
+        filter_funnel(df, [])
+    with pytest.raises(ValueError):
+        filter_funnel(df, [("a", F.lit(True)), ("a", F.lit(False))])
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        dsir_importance,
+    )
+
+    rows = [
+        (1, "alpha beta alpha beta gamma"),   # target-like
+        (2, "delta epsilon zeta delta eta"),  # off-target
+        (3, ""),                              # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_importance(docs, target).collect()}
+    assert out[1]["mean_lr"] > out[2]["mean_lr"]
+    assert out[3]["n_words"] == 0 and out[3]["mean_lr"] is None
+    assert out[1]["n_words"] == 5

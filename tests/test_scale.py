@@ -285,3 +285,37 @@ def test_concat_chunk_invariants(spark):
         .collect()
     )
     assert all(r["tot"] == r["n_tokens"] and r["first"] == 0 for r in per_doc)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.sinks.shards import (
+        write_training_shards,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, path, n_shards=4, order_col="doc_id", weight_col="n_tokens"
+    ).collect()
+    m = {r["shard_id"]: r for r in manifest}
+    assert set(m) == {0, 1, 2, 3}
+    # all rows written, weights conserved
+    assert sum(r["n_docs"] for r in manifest) == 200
+    assert sum(r["shard_weight"] for r in manifest) == sum(w for _, w in rows)
+    # contiguity: shard id ranges are disjoint and ordered
+    spans = sorted((m[s]["first_id"], m[s]["last_id"]) for s in m)
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert b1 < a2
+    # balance: every shard within one max-doc-weight of the ideal
+    total = sum(w for _, w in rows)
+    for r in manifest:
+        assert abs(r["shard_weight"] - total / 4) <= 7 + total / 4 * 0.1
+    # written layout is actually partitioned by shard_id
+    import os
+
+    assert any(
+        d.startswith("shard_id=") for d in os.listdir(path)
+    )
