@@ -94,3 +94,48 @@ def scd2(
         .withColumn("valid_to", F.lead("valid_from").over(w2))
         .drop("__is_new_version")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Derive a changeset FROM two full snapshots — the inverse of
+    :func:`apply_changeset`, and the corpus-versioning primitive: given
+    yesterday's and today's corpus, report per key whether it was
+    ``added``, ``removed``, or ``changed`` (unchanged keys are omitted —
+    at 100 TB they are almost all of the data and the diff must not
+    carry them).
+
+    Contents compare by ``md5(concat_ws(sep, content_cols))`` computed
+    independently on each side — one narrow hash column per snapshot, so
+    the join ships (key, 32-byte digest) rows, never the payloads
+    (documents can be megabytes; the diff stays O(rows), not O(bytes)).
+    md5 over UTF-8 strings is engine-portable (Spark and DuckDB agree
+    bit-for-bit), which keeps the operator oracle-checkable. One full
+    outer join on the key — a single co-partitioned shuffle; either side
+    broadcastable when it's a delta-sized snapshot.
+
+    ``concat_ws`` skips NULLs on both engines, so (NULL, 'a') and
+    ('a', NULL) would collide; pass an explicit sentinel column ahead of
+    nullable content columns if that distinction matters upstream.
+    """
+    if not key_cols or not content_cols:
+        raise ValueError("key_cols and content_cols must be non-empty")
+    sig = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    o = old.select(*key_cols, sig.alias("__old_sig"))
+    n = new.select(*key_cols, sig.alias("__new_sig"))
+    joined = o.join(n, key_cols, "full").filter(
+        F.col("__old_sig").isNull()
+        | F.col("__new_sig").isNull()
+        | (F.col("__old_sig") != F.col("__new_sig"))
+    )
+    return joined.select(
+        *key_cols,
+        F.when(F.col("__old_sig").isNull(), F.lit("added"))
+        .when(F.col("__new_sig").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -186,3 +186,56 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("total_spend"),
         )
     )
+
+
+@register(
+    "q_corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31), text, lang, source)) AS sig
+      FROM documents WHERE doc_id % 7 <> 3
+    ), new AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                           CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                                ELSE text END,
+                           lang, source)) AS sig
+      FROM documents WHERE doc_id % 11 <> 5
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.sig IS NULL THEN 'added'
+                WHEN n.sig IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.sig IS NULL OR n.sig IS NULL OR o.sig <> n.sig
+    """,
+    doc="Corpus-version snapshot diff (operators/cdc.py snapshot_diff) — "
+        "the inverse of q_upsert_changeset: derive added/removed/changed "
+        "keys from two full snapshots by comparing md5 content "
+        "signatures (engine-portable; Spark and DuckDB md5 agree "
+        "bit-for-bit). Synthetic versions: old drops doc_id%7==3, new "
+        "drops doc_id%11==5 and revises text on doc_id%5==0. The join "
+        "ships (key, digest) rows only — the diff is O(rows) regardless "
+        "of document size, and unchanged keys (the 100 TB bulk) never "
+        "leave the join.",
+    tags=("cdc", "dedup", "join"),
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", "text", "lang", "source"
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+    )
+    return snapshot_diff(
+        old, new, key_cols=["doc_id"], content_cols=["text", "lang", "source"]
+    )

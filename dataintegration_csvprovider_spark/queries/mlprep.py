@@ -341,3 +341,86 @@ def q_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("n") >= lo) & (F.max("n") <= hi)).alias("populations_ok"),
         F.lit(n_rows).cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle="""
+    WITH v AS (
+      SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+             AS mean_i,
+           ROUND(CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+             AS mean_j,
+           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                         * CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
+                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)), 9)
+             AS cov
+    FROM v, range(64) t(i), range(64) u(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+    doc="Exact upper-triangle covariance table over the embedding column "
+        "(operators/linalg.py covariance_exact): per-row coordinate "
+        "products are single IEEE doubles, sums run through "
+        "decimal(28,12) (order-independent), divisions happen in double "
+        "after the cast (sql_davg convention), and the outputs report "
+        "at 9-decimal precision (the tfidf convention: a float32 "
+        "coordinate's terminating decimal expansion can land exactly on "
+        "a 1e-12 midpoint, where Spark and DuckDB round differently — "
+        "dim 37 of the fixture does) — so all 2080 covariance entries "
+        "hash-match DuckDB exactly. This is the oracle-grade "
+        "path (O(n*d^2) exploded rows); the 100 TB path is the one-pass "
+        "per-partition numpy Gram (gram_arrow, mapInArrow — O(n*d) I/O, "
+        "zero shuffle), tolerance-pinned against this one by test.",
+    tags=("mlprep", "linalg", "embedding"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import covariance_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_exact(emb, "embedding")
+    return cov.select(
+        "i",
+        "j",
+        "n",
+        F.round("mean_i", 9).alias("mean_i"),
+        F.round("mean_j", 9).alias("mean_j"),
+        F.round("cov", 9).alias("cov"),
+    )
+
+
+@register(
+    "q_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; invariants
+    # (trace identity, orthonormality, per-axis variance == eigenvalue,
+    # whitened variance == 1, numpy parity) are pinned in
+    # tests/test_linalg.py
+    doc="PCA projection of the embedding corpus onto k=4 fitted "
+        "components (operators/linalg.py pca_fit/pca_project): "
+        "distributed covariance (exact decimal path), driver-side d x d "
+        "eigh with a deterministic sign pin, projection as k "
+        "sequential-order JVM dot-product expressions (whole-stage "
+        "codegen, no Python in the per-row path). Rows-only check; the "
+        "linear-algebra invariants live in pytest.",
+    tags=("mlprep", "linalg", "embedding"),
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    proj = pca_project(emb, model, "embedding", out_col="pc")
+    return proj.select(
+        "vec_id",
+        *[F.col("pc")[r].alias(f"pc{r + 1}") for r in range(4)],
+    )

@@ -151,3 +151,83 @@ def q_term_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(F.col("n_both") >= 5)
         .select("term_a", "term_b", "n_both", lift.alias("lift"))
     )
+
+
+@register(
+    "q_boilerplate_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source,
+             trim(repeat(source || ' ', 8))
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' ' || trim(repeat(source || ' ', 8)) ELSE '' END
+             || ' ' || text AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, source,
+             list_filter(string_split(t, ' '), x -> x <> '') AS w
+      FROM aug
+    ), lines AS (
+      SELECT doc_id, source, CAST(ln AS INT) AS ln,
+             array_to_string(w[CAST(ln AS INT) * 8 + 1
+                              : CAST(ln AS INT) * 8 + 8], ' ') AS line
+      FROM words,
+           LATERAL unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT)))
+             AS t(ln)
+    ), boiler AS (
+      SELECT source, line
+      FROM lines GROUP BY source, line
+      HAVING COUNT(DISTINCT doc_id) >= 3
+    ), flagged AS (
+      SELECT l.doc_id, l.ln, l.line,
+             (b.line IS NOT NULL) AS is_boiler
+      FROM lines l LEFT JOIN boiler b
+        ON l.source = b.source AND l.line = b.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_dropped,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                   ' ' ORDER BY ln), '')) AS scrub_sig
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="Cross-document duplicate-line removal — the RefinedWeb/CCNet "
+        "boilerplate scrub (operators/textstats.py "
+        "scrub_boilerplate_lines): lines (8-word tumbling windows; the "
+        "fixture has no newlines) appearing in >= 3 distinct documents "
+        "of the same source are deleted everywhere and the survivors "
+        "rejoined in order. The query plants a deterministic per-source "
+        "banner line (plus a second one on doc_id % 4 == 0) so every "
+        "source has real boilerplate to catch; scrubbed text is "
+        "reported as md5 so rows stay narrow. One explode + one "
+        "(source, line) count with map-side combine + one keyed join "
+        "back — linear, never pairwise.",
+    tags=("text", "quality", "dedup"),
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import scrub_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    banner = F.array_join(F.array_repeat(F.col("source"), 8), " ")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            banner,
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(" "), banner))
+            .otherwise(F.lit("")),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = scrub_boilerplate_lines(
+        aug, doc_col="doc_id", text_col="text", group_cols=("source",),
+        words_per_line=8, min_docs=3,
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_lines_dropped",
+        F.md5("text_scrubbed").alias("scrub_sig"),
+    )

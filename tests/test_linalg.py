@@ -1,0 +1,183 @@
+"""Linear-algebra operator invariants (operators/linalg.py): exact vs
+Arrow covariance agreement, eigen identities, projection parity with
+numpy, whitening, and the deterministic sign pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_csvprovider_spark.operators.linalg import (
+    covariance_exact,
+    gram_arrow,
+    pca_fit,
+    pca_project,
+    pca_variance_table,
+)
+
+D = 6
+N = 400
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(7)
+    # correlated data so PCA has real structure
+    base = rng.randn(N, 3)
+    mix = rng.randn(3, D)
+    x = (base @ mix + 0.1 * rng.randn(N, D) + [1, -2, 0, 3, 0, 0]).astype(
+        np.float32
+    )
+    rows = [(i, x[i].tolist()) for i in range(N)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        x.astype(np.float64),
+    )
+
+
+def test_covariance_exact_matches_numpy(spark, vec_df):
+    df, x = vec_df
+    got = {(r["i"], r["j"]): r for r in covariance_exact(df).collect()}
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    assert len(got) == D * (D + 1) // 2
+    for (i, j), r in got.items():
+        assert r["n"] == N
+        assert abs(r["mean_i"] - mean[i]) < 1e-9
+        assert abs(r["cov"] - cov[i, j]) < 1e-9
+
+
+def test_gram_arrow_matches_exact(spark, vec_df):
+    df, x = vec_df
+    s, g, n = gram_arrow(df)
+    assert n == N
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    ref = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(cov, ref, atol=1e-9)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-12)
+
+
+def test_covariance_exact_rejects_ragged(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        covariance_exact(df)
+
+
+def test_pca_fit_invariants(spark, vec_df):
+    df, x = vec_df
+    model = pca_fit(df, k=D)  # full decomposition
+    ev = model["eigenvalues"]
+    # eigenvalues descend and are non-negative (covariance is PSD)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(D - 1))
+    assert ev[-1] > -1e-9
+    # trace identity: sum of ALL eigenvalues == total variance
+    assert abs(ev.sum() - model["trace"]) < 1e-9
+    # components are orthonormal rows
+    c = model["components"]
+    assert np.allclose(c @ c.T, np.eye(D), atol=1e-9)
+    # deterministic sign pin: largest-|coord| entry of each row positive
+    for row in c:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # k out of range
+    with pytest.raises(ValueError):
+        pca_fit(df, k=D + 1)
+
+
+def test_pca_project_matches_numpy_and_eigenvalue_variance(spark, vec_df):
+    df, x = vec_df
+    k = 3
+    model = pca_fit(df, k=k)
+    out = (
+        pca_project(df, model, out_col="pc")
+        .select("vec_id", "pc")
+        .collect()
+    )
+    got = np.array(
+        [r["pc"] for r in sorted(out, key=lambda r: r["vec_id"])]
+    )
+    ref = (x - model["mean"]) @ model["components"].T
+    assert np.allclose(got, ref, atol=1e-8)
+    # per-axis projected variance equals the eigenvalue
+    var = got.var(axis=0)  # population, matching the fit convention
+    assert np.allclose(var, model["eigenvalues"], rtol=1e-6)
+
+
+def test_pca_whiten_unit_variance(spark, vec_df):
+    df, _ = vec_df
+    model = pca_fit(df, k=3)
+    out = pca_project(df, model, out_col="pc", whiten=True).select("pc")
+    got = np.array([r["pc"] for r in out.collect()])
+    assert np.allclose(got.var(axis=0), np.ones(3), rtol=1e-6)
+
+
+def test_pca_exact_and_arrow_paths_agree(spark, vec_df):
+    df, _ = vec_df
+    m1 = pca_fit(df, k=3, exact=True)
+    m2 = pca_fit(df, k=3, exact=False)
+    assert np.allclose(m1["eigenvalues"], m2["eigenvalues"], rtol=1e-9)
+    assert np.allclose(m1["components"], m2["components"], atol=1e-7)
+    assert m1["n"] == m2["n"] == N
+
+
+def test_pca_variance_table_cumulative(spark, vec_df):
+    df, _ = vec_df
+    model = pca_fit(df, k=D)
+    table = pca_variance_table(model)
+    assert len(table) == D
+    assert abs(table[-1][2] - 1.0) < 1e-9  # full k explains everything
+    ratios = [r[2] for r in table]
+    assert all(a <= b + 1e-12 for a, b in zip(ratios, ratios[1:]))
+
+
+def test_scrub_boilerplate_lines_drops_shared_lines(spark):
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        scrub_boilerplate_lines,
+    )
+
+    banner = "nav nav nav"
+    rows = [
+        (1, "s1", f"{banner} alpha beta gamma"),
+        (2, "s1", f"{banner} delta epsilon zeta"),
+        (3, "s1", f"{banner} eta theta iota"),
+        (4, "s2", f"{banner} kappa lambda mu"),  # other source: only 1 doc
+        (5, "s1", ""),  # empty doc survives as a row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate_lines(
+            df, words_per_line=3, min_docs=3
+        ).collect()
+    }
+    assert len(out) == 5
+    # the banner line is boilerplate within s1 (3 docs) and dropped
+    assert out[1]["text_scrubbed"] == "alpha beta gamma"
+    assert out[1]["n_lines"] == 2 and out[1]["n_lines_dropped"] == 1
+    # s2 has only one doc with the banner — kept there
+    assert out[4]["text_scrubbed"].startswith(banner)
+    assert out[4]["n_lines_dropped"] == 0
+    # empty doc: zero lines, empty output
+    assert out[5]["n_lines"] == 0 and out[5]["text_scrubbed"] == ""
+
+
+def test_snapshot_diff_statuses(spark):
+    from dataintegration_csvprovider_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "k long, v string"
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["v"])
