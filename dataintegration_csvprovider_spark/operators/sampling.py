@@ -290,3 +290,106 @@ def apportion_mixture(
         .filter(F.col("__pick") <= F.col("quota"))
         .drop("__pick")
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    bucket_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_frac: float = 0.75,
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): within each cluster, rank examples by
+    distance to the cluster centroid and KEEP the hardest (farthest)
+    ``keep_frac`` — when data is abundant, the most prototypical
+    (centroid-hugging, redundant) examples teach the least, so they are
+    the ones to drop.
+
+    ``bucket_col`` is the cluster assignment and is caller-supplied so
+    the clustering stays pluggable: production feeds the trained k-means
+    assignment (operators/clustering.py); the oracle query feeds a
+    deterministic sign-pattern bucket so DuckDB can replay the whole
+    pipeline.
+
+    Arithmetic contract: centroids are per-dimension decimal-summed
+    means cast to double (order-independent) and PINNED at 9 decimals —
+    raw float32 coordinates can land on exact decimal-cast midpoints
+    where engines round differently (see q_embedding_covariance), and an
+    unpinned 1e-15 centroid wobble would propagate into every distance;
+    with the pin, each squared-distance term is the same IEEE double on
+    every engine and the decimal(28,12) accumulation makes the score —
+    and therefore the RANK — exactly engine-identical. Rank ties break
+    on ``id_col``.
+
+    Scale shape: one groupBy(bucket) aggregate with d sum columns
+    (map-side combine; centroid table is #buckets x d — broadcast), one
+    broadcast join back, one window rank per bucket (the shuffle every
+    per-cluster operation pays; cluster sizes are the skew bound —
+    k-means assignment with adaptive k keeps them ~500, see
+    similarity.py _ivf_k).
+
+    Returns (id, bucket, n_bucket, dist2, keep_rank, kept) for every
+    input row — the audit table; filter ``kept`` for the pruned corpus.
+    """
+    if not 0 < keep_frac <= 1:
+        raise ValueError("keep_frac must be in (0, 1]")
+    d = df.select(F.size(vec_col).alias("d")).filter(
+        F.col("d").isNotNull()
+    ).distinct().collect()
+    if len(d) != 1:
+        raise ValueError(f"embedding lengths not unique: {[r['d'] for r in d]}")
+    d = d[0]["d"]
+
+    dec = "decimal(28,12)"
+    cent = df.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.round(
+                F.sum(F.col(vec_col)[i].cast("double").cast(dec))
+                .cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias(f"__c{i}")
+            for i in range(d)
+        ],
+    )
+    centroid_arr = F.array(*[F.col(f"__c{i}") for i in range(d)])
+    joined = df.join(
+        F.broadcast(
+            cent.select(
+                bucket_col, "__n", centroid_arr.alias("__centroid")
+            )
+        ),
+        bucket_col,
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0).cast(dec),
+        # re-cast each step: decimal + decimal widens to (29,12), which
+        # would break the accumulator type; values are tiny so the cast
+        # back is lossless and the sum stays order-independent
+        lambda acc, v: (acc + v.cast(dec)).cast(dec),
+    ).cast("double")
+    w = W.partitionBy(bucket_col).orderBy(
+        F.col("__dist2").desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        joined.withColumn("__dist2", dist2)
+        .withColumn("__rank", F.row_number().over(w))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("bucket"),
+        F.col("__n").cast("bigint").alias("n_bucket"),
+        F.col("__dist2").alias("dist2"),
+        F.col("__rank").cast("bigint").alias("keep_rank"),
+        (
+            F.col("__rank")
+            <= F.ceil(F.col("__n") * F.lit(float(keep_frac))).cast("bigint")
+        ).alias("kept"),
+    )

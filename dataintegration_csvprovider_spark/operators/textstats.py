@@ -574,3 +574,94 @@ def dsir_importance(
         F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
         F.col("mean_lr"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+    mask_every: int = 4,
+) -> DataFrame:
+    """T5-style span-corruption pair generation (Raffel et al. 2020):
+    split each document into ``span_words``-word spans, mask every
+    ``mask_every``-th span, and emit the (input, target) training pair —
+    input keeps the visible text with one ``<extra_id_k>`` sentinel per
+    masked span, target is the sentinel-prefixed concatenation of the
+    masked spans.
+
+    T5 proper samples mask positions; this is the STRIDE-deterministic
+    analog (the registry's RNG-free convention, cf. stride_mix /
+    epoch_shuffle): span s is masked iff ``s % mask_every ==
+    mask_every - 1``, sentinel ordinal ``k = s // mask_every``. Masking
+    rate = 1/mask_every, mean span length = span_words — the two knobs
+    the paper tunes.
+
+    Pure array expressions over one scan — transform-with-index, filter,
+    array_join; no explode, no shuffle, no Python. Rows stream through
+    whole-stage codegen at full width regardless of document size.
+
+    Returns (id, n_words, n_masked, input, target); empty documents
+    yield empty strings.
+    """
+    if span_words < 1 or mask_every < 2:
+        raise ValueError("span_words >= 1 and mask_every >= 2 required")
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    sw, me = span_words, mask_every
+
+    def span_of(i: Column) -> Column:
+        return (i / sw).cast("int")
+
+    def is_masked(i: Column) -> Column:
+        return span_of(i) % me == me - 1
+
+    def sentinel(i: Column) -> Column:
+        return F.concat(
+            F.lit("<extra_id_"),
+            (span_of(i) / me).cast("int").cast("string"),
+            F.lit(">"),
+        )
+
+    def first_of_span(i: Column) -> Column:
+        return i % sw == 0
+
+    inp = F.array_join(
+        F.filter(
+            F.transform(
+                words,
+                lambda x, i: F.when(~is_masked(i), x).when(
+                    first_of_span(i), sentinel(i)
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                words,
+                lambda x, i: F.when(
+                    is_masked(i) & first_of_span(i),
+                    F.concat(sentinel(i), F.lit(" "), x),
+                ).when(is_masked(i), x),
+            ),
+            lambda t: t.isNotNull(),
+        ),
+        " ",
+    )
+    n_masked = F.size(
+        F.filter(
+            F.transform(words, lambda x, i: is_masked(i)),
+            lambda b: b,
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_words"),
+        n_masked.cast("bigint").alias("n_masked"),
+        inp.alias("input"),
+        tgt.alias("target"),
+    )

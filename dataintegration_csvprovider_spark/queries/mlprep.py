@@ -424,3 +424,77 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col("pc")[r].alias(f"pc{r + 1}") for r in range(4)],
     )
+
+
+@register(
+    "q_prototype_prune",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding AS e,
+             4 * CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END
+             + 2 * CASE WHEN e[2] >= 0 THEN 1 ELSE 0 END
+             + CASE WHEN e[3] >= 0 THEN 1 ELSE 0 END AS bucket
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cent AS (
+      SELECT bucket, CAST(i AS INT) AS i,
+             ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS c,
+             COUNT(*) AS n_bucket
+      FROM v, range(64) t(i) GROUP BY bucket, i
+    ), dist AS (
+      SELECT v.vec_id, v.bucket, MIN(cent.n_bucket) AS n_bucket,
+             CAST(SUM(CAST(
+               (CAST(e[cent.i + 1] AS DOUBLE) - cent.c)
+               * (CAST(e[cent.i + 1] AS DOUBLE) - cent.c)
+               AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+      FROM v JOIN cent ON cent.bucket = v.bucket
+      GROUP BY v.vec_id, v.bucket
+    )
+    SELECT vec_id, CAST(bucket AS INT) AS bucket,
+           CAST(n_bucket AS BIGINT) AS n_bucket, dist2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                   ORDER BY dist2 DESC, vec_id)
+                AS BIGINT) AS keep_rank,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY dist2 DESC, vec_id)
+             <= CAST(ceil(n_bucket * 0.75) AS BIGINT) AS kept
+    FROM dist
+    """,
+    doc="Prototype-based data pruning (operators/sampling.py "
+        "prototype_prune; Sorscher et al. 2022): within each cluster, "
+        "keep the hardest (centroid-farthest) 75% and drop the "
+        "prototypical redundant core. Clustering is pluggable — "
+        "production feeds trained k-means, this oracle feeds a "
+        "deterministic 3-bit sign-pattern bucket so DuckDB replays "
+        "everything. Centroids are decimal-summed means pinned at 9 "
+        "decimals; distances accumulate through decimal(28,12) — so "
+        "dist2 AND the keep rank are engine-exact. One d-column "
+        "aggregate + broadcast join + one per-bucket window.",
+    tags=("mlprep", "sampling", "embedding"),
+)
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import prototype_prune
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    e = F.col("embedding")
+    bucket = (
+        (e[0] >= 0).cast("int") * 4
+        + (e[1] >= 0).cast("int") * 2
+        + (e[2] >= 0).cast("int")
+    )
+    tagged = emb.withColumn("bucket", bucket)
+    out = prototype_prune(
+        tagged, bucket_col="bucket", vec_col="embedding",
+        id_col="vec_id", keep_frac=0.75,
+    )
+    return out.select(
+        "vec_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_bucket",
+        "dist2",
+        "keep_rank",
+        "kept",
+    )

@@ -231,3 +231,66 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_dropped",
         F.md5("text_scrubbed").alias("scrub_sig"),
     )
+
+
+@register(
+    "q_span_corruption",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             w[CAST(i AS INT) + 1] AS word,
+             CAST(i AS INT) // 3 AS s
+      FROM w, LATERAL unnest(range(len(w))) t(i)
+    ), m AS (
+      SELECT doc_id, i, word, s, (s % 4 = 3) AS masked,
+             '<extra_id_' || CAST(s // 4 AS VARCHAR) || '>' AS sent
+      FROM tok
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+             md5(COALESCE(string_agg(
+               CASE WHEN NOT masked THEN word
+                    WHEN i % 3 = 0 THEN sent END, ' ' ORDER BY i), ''))
+               AS input_sig,
+             md5(COALESCE(string_agg(
+               CASE WHEN masked AND i % 3 = 0 THEN sent || ' ' || word
+                    WHEN masked THEN word END, ' ' ORDER BY i), ''))
+               AS target_sig
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+           COALESCE(a.n_masked, CAST(0 AS BIGINT)) AS n_masked,
+           COALESCE(a.input_sig, md5('')) AS input_sig,
+           COALESCE(a.target_sig, md5('')) AS target_sig
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="T5-style span-corruption pair generation (operators/textstats.py "
+        "span_corruption; Raffel et al. 2020): 3-word spans, every 4th "
+        "span masked (stride-deterministic — the registry's RNG-free "
+        "analog of T5's sampled spans), input gets one <extra_id_k> "
+        "sentinel per masked span, target is the sentinel-prefixed "
+        "masked text. Pure array expressions in one scan — no explode, "
+        "no shuffle, no Python; the oracle replays token-by-token and "
+        "compares md5 of both strings.",
+    tags=("text", "mlprep", "packing"),
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_corruption(docs, span_words=3, mask_every=4)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_masked",
+        F.md5("input").alias("input_sig"),
+        F.md5("target").alias("target_sig"),
+    )

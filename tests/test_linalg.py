@@ -181,3 +181,68 @@ def test_snapshot_diff_statuses(spark):
     assert got == {1: "removed", 3: "changed", 4: "added"}
     with pytest.raises(ValueError):
         snapshot_diff(old, new, [], ["v"])
+
+
+def test_prototype_prune_keeps_hardest(spark):
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        prototype_prune,
+    )
+
+    # one bucket: 4 points on a line; centroid = 2.5 -> farthest are 0, 5
+    rows = [
+        (1, 0, [0.0, 0.0]),
+        (2, 0, [2.0, 0.0]),
+        (3, 0, [3.0, 0.0]),
+        (4, 0, [5.0, 0.0]),
+        (5, 1, [9.0, 9.0]),  # singleton bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, bucket int, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in prototype_prune(
+            df, bucket_col="bucket", keep_frac=0.5
+        ).collect()
+    }
+    # ceil(4*0.5)=2 kept in bucket 0: the two extremes
+    assert out[1]["kept"] and out[4]["kept"]
+    assert not out[2]["kept"] and not out[3]["kept"]
+    assert out[1]["keep_rank"] == 1  # dist 2.5 ties -> vec_id breaks
+    assert out[4]["keep_rank"] == 2
+    assert out[1]["n_bucket"] == 4
+    # singleton bucket always kept (ceil(1*0.5)=1)
+    assert out[5]["kept"] and out[5]["dist2"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prototype_prune(df, bucket_col="bucket", keep_frac=0.0)
+
+
+def test_span_corruption_t5_shape(spark):
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        span_corruption,
+    )
+
+    # 24 words a0..a23 -> spans of 3; spans 3 and 7 masked
+    words = [f"w{i}" for i in range(24)]
+    rows = [(1, " ".join(words)), (2, "x y"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(df).collect()}
+    r = out[1]
+    assert r["n_words"] == 24 and r["n_masked"] == 6
+    exp_input = (
+        " ".join(words[0:9]) + " <extra_id_0> "
+        + " ".join(words[12:21]) + " <extra_id_1>"
+    )
+    exp_target = (
+        "<extra_id_0> " + " ".join(words[9:12])
+        + " <extra_id_1> " + " ".join(words[21:24])
+    )
+    assert r["input"] == exp_input
+    assert r["target"] == exp_target
+    # short doc: no span reaches the masked stride
+    assert out[2]["n_masked"] == 0 and out[2]["input"] == "x y"
+    assert out[2]["target"] == ""
+    # empty doc
+    assert out[3]["n_words"] == 0 and out[3]["input"] == ""
