@@ -151,6 +151,17 @@ _GRADE_FIRST = [
     "q_knn_ivf",
     "q_knn_lsh",
     "q_stratified_sample",
+    # round-5 additions (never graded yet; ordered for the r6 window)
+    "q_training_shard_manifest",
+    "q_filter_funnel",
+    "q_dsir_importance",
+    "q_embedding_covariance",
+    "q_prototype_prune",
+    "q_span_corruption",
+    "q_boilerplate_scrub",
+    "q_corpus_snapshot_diff",
+    "q_corpus_datacard",
+    "q_pca_project",
 ]
 
 

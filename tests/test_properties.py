@@ -585,3 +585,63 @@ def test_exact_substring_dedup_matches_model(spark_prop, texts, L):
         for r in exact_substring_dedup(docs, min_tokens=L).collect()
     }
     assert got == expected
+
+
+_word = st.text(
+    alphabet=st.characters(codec="ascii", categories=("L", "N")),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.lists(_word, min_size=0, max_size=40), min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=2, max_value=5),
+)
+def test_span_corruption_reconstructs_original(
+    spark_prop, docs, span_words, mask_every
+):
+    """Lossless-corruption property: splicing each target span back over
+    its sentinel in the input reproduces the original document exactly,
+    for arbitrary word sequences and (span_words, mask_every) knobs —
+    i.e. the (input, target) pair carries the full document, which is
+    precisely what lets T5 train on it."""
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        span_corruption,
+    )
+
+    spark = spark_prop
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_corruption(
+        df, span_words=span_words, mask_every=mask_every
+    ).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        ws = docs[r["doc_id"]]
+        assert r["n_words"] == len(ws)
+        # parse target into {sentinel: [words]}
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for tok in r["target"].split(" ") if r["target"] else []:
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        # splice
+        rebuilt: list[str] = []
+        for tok in r["input"].split(" ") if r["input"] else []:
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(spans.pop(tok))
+            else:
+                rebuilt.append(tok)
+        assert spans == {}  # every masked span consumed exactly once
+        assert rebuilt == ws
+        assert r["n_masked"] == sum(
+            1
+            for i in range(len(ws))
+            if (i // span_words) % mask_every == mask_every - 1
+        )

@@ -178,12 +178,84 @@ def probe_similarity(spark, path: str) -> dict[str, float]:
         "neardup_trained": lambda d: similarity.embedding_near_dup_pairs(
             d, threshold=0.95
         ),
+        "prototype_prune": lambda d: _prototype(d),
     }
     secs: dict[str, float] = {}
     for name, fn in ops.items():
         spark.sparkContext._jvm.System.gc()
         t0 = time.monotonic()
         _force(fn(emb))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
+def _prototype(emb):
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        prototype_prune,
+    )
+
+    e = F.col("embedding")
+    bucket = (
+        (e[0] >= 0).cast("int") * 4
+        + (e[1] >= 0).cast("int") * 2
+        + (e[2] >= 0).cast("int")
+    )
+    return prototype_prune(
+        emb.withColumn("bucket", bucket), bucket_col="bucket",
+        keep_frac=0.75,
+    )
+
+
+def probe_curation(spark, path: str) -> dict[str, float]:
+    """Round-5 curation family: every op here is designed linear (one
+    explode / one keyed join / expression-only), so 10x data should cost
+    ~10x or less — anything super-linear is a scale bug."""
+    from dataintegration_csvprovider_spark.operators.cdc import snapshot_diff
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        dsir_importance,
+        filter_funnel,
+        scrub_boilerplate_lines,
+        span_corruption,
+    )
+
+    docs = spark.read.parquet(path)
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+
+    def funnel(d):
+        return filter_funnel(
+            d,
+            [
+                ("min_words", n_tokens >= 10),
+                ("max_words", n_tokens <= 100000),
+                ("has_lang", F.col("lang").isNotNull()),
+            ],
+        )
+
+    def snapshot(d):
+        old = d.filter(F.col("doc_id") % 7 != 3)
+        new = d.filter(F.col("doc_id") % 11 != 5).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        return snapshot_diff(old, new, ["doc_id"], ["text", "lang", "source"])
+
+    ops = {
+        "filter_funnel": funnel,
+        "boilerplate_scrub": lambda d: scrub_boilerplate_lines(d),
+        "dsir_importance": lambda d: dsir_importance(
+            d, d.filter(F.col("lang") == "en")
+        ),
+        "span_corruption": lambda d: span_corruption(d),
+        "snapshot_diff": snapshot,
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(docs))
         secs[name] = round(time.monotonic() - t0, 3)
     return secs
 
@@ -211,7 +283,7 @@ def main() -> None:
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument(
         "--family",
-        choices=["dedup", "similarity", "graph"],
+        choices=["dedup", "similarity", "graph", "curation"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -222,6 +294,7 @@ def main() -> None:
         "dedup": (build_scaled, probe_ops),
         "similarity": (build_scaled_embeddings, probe_similarity),
         "graph": (build_scaled_edges, probe_graph),
+        "curation": (build_scaled, probe_curation),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
