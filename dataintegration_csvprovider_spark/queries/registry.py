@@ -161,6 +161,7 @@ _GRADE_FIRST = [
     "q_boilerplate_scrub",
     "q_corpus_snapshot_diff",
     "q_corpus_datacard",
+    "q_stream_training_ingest",
     "q_pca_project",
 ]
 

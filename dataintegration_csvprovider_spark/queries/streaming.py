@@ -1010,3 +1010,87 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_contaminated_tokens"),
     )
+
+
+@register(
+    "q_stream_training_ingest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(doc_id % 8 AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id,
+           CAST(MAX(doc_id) AS BIGINT) AS last_id
+    FROM t
+    WHERE n_tokens >= 10 AND lang IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="The END-TO-END streaming training-ingest topology: a document "
+        "stream is quality-filtered IN the stream (SQL-expressible keep "
+        "rules — the filter_funnel gates), hash-sharded, and written by "
+        "foreachBatch as partitionBy(shard_id) parquet appends — the "
+        "layout a training loader streams — with the manifest recomputed "
+        "FROM THE WRITTEN FILES after the availableNow run, so the "
+        "oracle verifies what landed on disk, not an in-memory echo. "
+        "Stateless (no watermark, no state store): every operator is "
+        "map-side, restart-safe via the checkpointed file-source "
+        "offsets; the only shuffle is the post-run manifest aggregate. "
+        "Hash sharding (doc_id % 8) rather than token-balanced: "
+        "streaming cannot see the global prefix sum, so balance comes "
+        "from the law of large numbers per micro-batch — the batch "
+        "token-balanced writer (sinks/shards.py) is the offline "
+        "compaction pass.",
+    tags=("streaming", "sink", "text"),
+)
+def q_stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d_in = tempfile.mkdtemp(prefix="ingest_src_")
+    d_out = tempfile.mkdtemp(prefix="ingest_shards_")
+    d_ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    try:
+        docs.write.mode("overwrite").parquet(d_in)
+        stream = stream_from_parquet(spark, d_in, docs.schema)
+        n_tokens = F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("bigint")
+        clean = (
+            stream.withColumn("n_tokens", n_tokens)
+            .filter((F.col("n_tokens") >= 10) & F.col("lang").isNotNull())
+            .withColumn("shard_id", (F.col("doc_id") % 8).cast("int"))
+            .select("doc_id", "shard_id", "n_tokens")
+        )
+
+        def write_batch(bdf: DataFrame, _batch_id: int) -> None:
+            bdf.write.mode("append").partitionBy("shard_id").parquet(d_out)
+
+        q = (
+            clean.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", d_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        written = spark.read.parquet(d_out)
+        manifest = (
+            written.groupBy(F.col("shard_id").cast("int").alias("shard_id"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.min("doc_id").cast("bigint").alias("first_id"),
+                F.max("doc_id").cast("bigint").alias("last_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d_in, ignore_errors=True)
+        shutil.rmtree(d_out, ignore_errors=True)
+        shutil.rmtree(d_ckpt, ignore_errors=True)
+    return manifest

@@ -58,6 +58,7 @@ NLJ_OK = {
     "q_shard_balanced",  # single-row Σtokens aggregate broadcast cross
     "q_skew_stats",  # single-row top-k aggregate broadcast cross
     "q_lm_quality_score",  # single-row vocab-size aggregate broadcast cross
+    "q_dsir_importance",  # single-row (N_raw, N_tgt, V) totals broadcast cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
