@@ -104,6 +104,17 @@ HEADLINE = (
     "q_bpe_tokenize",
     "q_token_rarity",
     "q_stream_dedup_corpus",
+    # round-5 curation/linalg families: cross-doc boilerplate scrub,
+    # DSIR importance scoring, prototype pruning, T5 span corruption,
+    # and the end-to-end streaming ingest-to-shards topology. NOT
+    # q_embedding_covariance: its O(n*d^2) explode is the oracle
+    # fixture; the production covariance path is the one-pass mapInArrow
+    # Gram and is covered by the linalg pytest suite.
+    "q_boilerplate_scrub",
+    "q_dsir_importance",
+    "q_prototype_prune",
+    "q_span_corruption",
+    "q_stream_training_ingest",
 )
 
 

@@ -498,3 +498,60 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_rank",
         "kept",
     )
+
+
+@register(
+    "q_length_bucket_batching",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 32 THEN 0
+                  WHEN n_tokens <= 64 THEN 1
+                  WHEN n_tokens <= 128 THEN 2
+                  ELSE 3 END AS bucket
+      FROM t
+    ), r AS (
+      SELECT bucket, n_tokens,
+             (ROW_NUMBER() OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens, doc_id) - 1) // 16
+               AS batch_id
+      FROM b
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+           CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+             AS waste_tokens
+    FROM r GROUP BY bucket, batch_id
+    """,
+    doc="Length-bucketed inference batching (operators/scale.py "
+        "length_bucketed_batches): docs bucketed by token length "
+        "(<=32/64/128/overflow), batches of 16 cut within each bucket in "
+        "(length, id) order, per-batch padded-token and waste accounting "
+        "— the padding-waste reducer every transformer eval/serving "
+        "loader uses. Deterministic RNG-free batch composition; one "
+        "per-bucket window shuffle + one riding aggregate.",
+    tags=("mlprep", "packing", "text"),
+)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import length_bucketed_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return length_bucketed_batches(
+        toks, len_col="n_tokens", id_col="doc_id",
+        bucket_edges=[32, 64, 128], batch_size=16,
+    )

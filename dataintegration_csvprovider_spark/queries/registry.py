@@ -162,6 +162,7 @@ _GRADE_FIRST = [
     "q_corpus_snapshot_diff",
     "q_corpus_datacard",
     "q_stream_training_ingest",
+    "q_length_bucket_batching",
     "q_pca_project",
 ]
 

@@ -319,3 +319,34 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert any(
         d.startswith("shard_id=") for d in os.listdir(path)
     )
+
+
+def test_length_bucketed_batches(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataintegration_csvprovider_spark.operators.scale import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, l) for i, l in enumerate([5, 8, 30, 33, 40, 70, 200, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = length_bucketed_batches(
+        df, "n_tokens", "doc_id", bucket_edges=[32, 64], batch_size=2
+    ).collect()
+    by_key = {(r["bucket"], r["batch_id"]): r for r in out}
+    # bucket 0 (<=32): lengths 5,7,8,30 -> batches [5,7], [8,30]
+    assert by_key[(0, 0)]["n_items"] == 2
+    assert by_key[(0, 0)]["max_len"] == 7
+    assert by_key[(0, 0)]["waste_tokens"] == 2 * 7 - 12
+    assert by_key[(0, 1)]["max_len"] == 30
+    # bucket 1 (33..64): 33,40 -> one batch
+    assert by_key[(1, 0)]["n_items"] == 2 and by_key[(1, 0)]["max_len"] == 40
+    # overflow bucket 2: 70,200
+    assert by_key[(2, 0)]["padded_tokens"] == 2 * 200
+    # conservation: every row lands in exactly one batch
+    assert sum(r["n_items"] for r in out) == len(rows)
+    with pytest.raises(ValueError):
+        length_bucketed_batches(df, "n_tokens", "doc_id", [64, 32], 2)
+    with pytest.raises(ValueError):
+        length_bucketed_batches(df, "n_tokens", "doc_id", [32], 0)
