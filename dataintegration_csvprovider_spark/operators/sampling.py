@@ -393,3 +393,129 @@ def prototype_prune(
             <= F.ceil(F.col("__n") * F.lit(float(keep_frac))).cast("bigint")
         ).alias("kept"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive /
+    retrieval training: for every anchor row, pick ``k`` pseudo-random
+    other rows as negatives — RNG-free (the registry convention), so the
+    pair set is reproducible across runs, engines, and resumes.
+
+    Mechanics: rows get a dense 0..N-1 index from the distributed
+    prefix sum over ``id_col`` (no single-partition window), and
+    negative j of anchor index i is the row at index
+
+        (i + 1 + ((i * K + j * K2 + salt) mod (N - 1))) mod N
+
+    — a Knuth-multiplicative offset in [1, N-1], so a row never draws
+    itself and the k draws for one anchor are spread deterministically.
+    One broadcast-joinable index table, one equi-join on the target
+    index: O(k*N) output rows, no pairwise blowup. Collisions among a
+    row's k negatives are possible (sampling WITH replacement across j),
+    exactly like hash-bucketed in-batch negatives in production trainers.
+
+    Returns (anchor=id, j, neg=id of the drawn negative). Requires
+    N >= 2.
+    """
+    from .scale import distributed_cumsum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ones = df.select(F.col(id_col).alias("__id"), F.lit(1).alias("__one"))
+    idx = distributed_cumsum(ones, "__id", "__one", "__rank").select(
+        F.col("__id"),
+        (F.col("__rank") - 1).alias("__idx"),
+    )
+    tot = idx.agg((F.max("__idx") + 1).cast("bigint").alias("__n"))
+    anchors = idx.crossJoin(F.broadcast(tot)).select(
+        "__id", "__idx", "__n",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    )
+    targets = anchors.withColumn(
+        "__tgt",
+        (
+            F.col("__idx")
+            + 1
+            + (
+                (
+                    F.col("__idx") * F.lit(_KNUTH)
+                    + F.col("j") * F.lit(2246822519)
+                    + F.lit(salt)
+                )
+                % (F.col("__n") - 1)
+            )
+        )
+        % F.col("__n"),
+    )
+    neg = idx.select(
+        F.col("__idx").alias("__tgt"), F.col("__id").alias("neg")
+    )
+    return (
+        targets.join(neg, "__tgt")
+        .select(
+            F.col("__id").alias("anchor"),
+            F.col("j").cast("int").alias("j"),
+            "neg",
+        )
+    )
+
+
+def budget_curation(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    score_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Quality-first selection under a per-group token budget — the
+    data-constrained curation step (cf. Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": when compute allows more
+    tokens than the best data provides, you fill each source's budget in
+    quality order): rank each group's rows by (score desc, id), keep a
+    row iff the running token total THROUGH that row still fits the
+    group's budget.
+
+    Greedy-prefix semantics: the kept set is the longest quality-ordered
+    prefix whose cumulative ``weight_col`` stays <= budget; one
+    over-budget document blocks the prefix there (no skip-and-continue
+    knapsack — deterministic, order-respecting, and what budgeted
+    sampling actually does in practice).
+
+    Scale shape: one window shuffle partitioned by group (rank and
+    running sum share it), a broadcast budget map, a filter. No global
+    window, no driver loops; group skew is bounded by the groups
+    themselves (sources), the usual mixture-weighting regime.
+
+    Returns the kept rows with ``keep_rank`` and ``cum_weight`` audit
+    columns.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    items = [x for kv in budgets.items() for x in (kv[0], int(kv[1]))]
+    bmap = F.create_map(*[F.lit(x) for x in items])
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_weight",
+            F.sum(weight_col)
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .withColumn("__budget", bmap[F.col(group_col)])
+    )
+    return (
+        ranked.filter(
+            F.col("__budget").isNotNull()
+            & (F.col("cum_weight") <= F.col("__budget"))
+        )
+        .drop("__budget")
+    )

@@ -95,8 +95,8 @@ def salted_join(
 def distributed_cumsum(
     df: DataFrame,
     order_col: str | list[str],
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Globally-ordered running sum of ``value_col`` by ``order_col``
@@ -118,7 +118,11 @@ def distributed_cumsum(
     ``value_col`` must be integer-typed and non-null; ``order_col`` (a
     single column or a list — e.g. ``["price", "id"]`` for a value order
     with a unique tie-break) must be unique as a tuple for a
-    deterministic result.
+    deterministic result. ``value_col``/``out_col`` may be parallel
+    LISTS: every running sum shares the one range shuffle, local-window
+    pass, and totals fetch (the KS statistic needs two cumsums over the
+    same order — paying the shuffle twice would double the dominant
+    cost).
 
     The range partitioning is materialized ONCE (eager ``localCheckpoint``)
     before the local-window pass and the totals pass read it. Without that
@@ -140,6 +144,10 @@ def distributed_cumsum(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must align")
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -152,25 +160,42 @@ def distributed_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
+    local = ranged
+    for k, vc in enumerate(value_cols):
+        local = local.withColumn(f"__local_cum{k}", F.sum(vc).over(w))
     totals = sorted(
-        (r["__pid"], r["__tot"])
+        (r["__pid"], tuple(r[f"__tot{k}"] for k in range(len(value_cols))))
         for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__tot"))
+        .agg(
+            *[
+                F.sum(vc).alias(f"__tot{k}")
+                for k, vc in enumerate(value_cols)
+            ]
+        )
         .collect()
     )
-    offsets, running = [], 0
-    for pid, tot in totals:
-        offsets.append((pid, running))
-        running += tot
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets] or [(0, 0)],
-        "__pid INT, __off BIGINT",
+    offsets, running = [], [0] * len(value_cols)
+    for pid, tots in totals:
+        offsets.append((pid, tuple(running)))
+        running = [r + t for r, t in zip(running, tots)]
+    off_schema = "__pid INT, " + ", ".join(
+        f"__off{k} BIGINT" for k in range(len(value_cols))
     )
-    return (
-        local.join(F.broadcast(off_df), "__pid")
-        .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__local_cum", "__off")
+    off_df = spark.createDataFrame(
+        [(int(p), *[int(o) for o in offs]) for p, offs in offsets]
+        or [(0, *([0] * len(value_cols)))],
+        off_schema,
+    )
+    out = local.join(F.broadcast(off_df), "__pid")
+    for k, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc,
+            (F.col(f"__local_cum{k}") + F.col(f"__off{k}")).cast("bigint"),
+        )
+    return out.drop(
+        "__pid",
+        *[f"__local_cum{k}" for k in range(len(value_cols))],
+        *[f"__off{k}" for k in range(len(value_cols))],
     )
 
 
@@ -416,5 +441,63 @@ def length_bucketed_batches(
             (
                 F.col("n_items") * F.col("max_len") - F.col("sum_len")
             ).cast("bigint").alias("waste_tokens"),
+        )
+    )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — max_x |F_a(x) - F_b(x)|
+    over the empirical CDFs: the classic distribution-drift test (the
+    rank-based companion to the binned TVD drift in q_drift_tvd; KS
+    needs no binning choice and is sensitive anywhere on the axis).
+
+    Plan: union both samples with indicator columns, collapse ties with
+    one (value)-keyed count aggregate, then run BOTH cumulative counts
+    through ONE shared distributed prefix sum (the multi-value
+    :func:`distributed_cumsum` — no single-partition window, and the
+    dominant range shuffle is paid once, not per sample). The CDF
+    difference is per-row IEEE arithmetic on exact integer cumulative
+    counts, so the statistic is engine-exact.
+
+    Returns one row (ks_stat, n_a, n_b).
+    """
+    pa_ = a.select(
+        F.col(value_col).alias("v"),
+        F.lit(1).alias("ca"),
+        F.lit(0).alias("cb"),
+    )
+    pb = b.select(
+        F.col(value_col).alias("v"),
+        F.lit(0).alias("ca"),
+        F.lit(1).alias("cb"),
+    )
+    pts = (
+        pa_.unionByName(pb)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    cum = distributed_cumsum(pts, "v", ["ca", "cb"], ["cum_a", "cum_b"])
+    tot = pts.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+            ).alias("diff"),
+            "n_a",
+            "n_b",
+        )
+        .agg(
+            F.max("diff").alias("ks_stat"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
         )
     )

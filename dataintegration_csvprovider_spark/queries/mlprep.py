@@ -555,3 +555,101 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, len_col="n_tokens", id_col="doc_id",
         bucket_edges=[32, 64, 128], batch_size=16,
     )
+
+
+@register(
+    "q_negative_sampling",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+      FROM documents
+    ), t AS (SELECT COUNT(*) AS n FROM documents),
+    anchors AS (
+      SELECT doc_id, i, n, j
+      FROM idx, t, unnest([0, 1, 2]) AS u(j)
+    ), tgt AS (
+      SELECT doc_id, j,
+             (i + 1 + ((i * 2654435761 + j * 2246822519) % (n - 1))) % n
+               AS ti
+      FROM anchors
+    )
+    SELECT tgt.doc_id AS anchor, CAST(tgt.j AS INT) AS j,
+           idx.doc_id AS neg
+    FROM tgt JOIN idx ON idx.i = tgt.ti
+    """,
+    doc="Deterministic negative sampling for contrastive training "
+        "(operators/sampling.py negative_samples): every document draws "
+        "k=3 pseudo-random negatives via a Knuth-multiplicative offset "
+        "over a dense 0..N-1 index — RNG-free, so the pair set is "
+        "reproducible across runs/engines/resumes, and a row never "
+        "draws itself. The dense index comes from the distributed "
+        "prefix sum (the oracle's ROW_NUMBER is the semantic spec, not "
+        "the plan); one equi-join on the target index, O(k*N) rows out, "
+        "no pairwise blowup.",
+    tags=("mlprep", "sampling", "embedding"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(docs, id_col="doc_id", k=3)
+
+
+@register(
+    "q_budget_curation",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             n_chars
+      FROM documents WHERE lang IN ('en', 'de')
+    ), r AS (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id)
+               AS keep_rank,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_weight
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(keep_rank AS BIGINT) AS keep_rank,
+           CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM r
+    WHERE cum_weight <= CASE lang WHEN 'en' THEN 4000 ELSE 2500 END
+    """,
+    doc="Quality-first selection under a per-source token budget "
+        "(operators/sampling.py budget_curation; the data-constrained "
+        "curation step, Muennighoff et al. 2023): per language, keep "
+        "the longest (score desc, id)-ordered prefix whose running "
+        "token total fits the budget (en: 4000, de: 2500; n_chars as "
+        "the stand-in quality score). Greedy-prefix semantics, "
+        "deterministic; one per-group window shuffle shared by rank "
+        "and running sum + a broadcast budget map.",
+    tags=("mlprep", "sampling", "text"),
+)
+def q_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import budget_curation
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    out = budget_curation(
+        t, group_col="lang", id_col="doc_id", weight_col="n_tokens",
+        score_col="n_chars", budgets={"en": 4000, "de": 2500},
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "keep_rank", "cum_weight"
+    )

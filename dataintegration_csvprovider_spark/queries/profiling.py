@@ -370,3 +370,49 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_frac",
         )
     )
+
+
+@register(
+    "q_drift_ks",
+    oracle="""
+    WITH u AS (
+      SELECT value AS v, 1 AS ca, 0 AS cb FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT value, 0, 1 FROM events WHERE event_id % 2 = 1
+    ), pts AS (
+      SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM u GROUP BY v
+    ), c AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM pts
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM pts
+    )
+    SELECT MAX(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+             AS ks_stat,
+           MAX(n_a) AS n_a,
+           MAX(n_b) AS n_b
+    FROM c, t
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift statistic between the "
+        "even- and odd-event_id halves of the events value column "
+        "(operators/scale.py ks_two_sample) — the rank-based companion "
+        "to q_drift_tvd, no binning choice. Both empirical CDFs ride "
+        "ONE shared multi-value distributed prefix sum (the oracle's "
+        "single-partition window is the semantic spec, not the plan); "
+        "the statistic is IEEE arithmetic over exact integer cumulative "
+        "counts — engine-exact.",
+    tags=("profiling", "drift", "mlprep"),
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )

@@ -163,6 +163,9 @@ _GRADE_FIRST = [
     "q_corpus_datacard",
     "q_stream_training_ingest",
     "q_length_bucket_batching",
+    "q_drift_ks",
+    "q_negative_sampling",
+    "q_budget_curation",
     "q_pca_project",
 ]
 

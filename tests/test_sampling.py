@@ -124,3 +124,66 @@ def test_apportion_unweighted_group_excluded_and_validation(spark):
         apportion_mixture(df, {}, total=2, group_col="grp")
     with pytest.raises(ValueError):
         apportion_mixture(df, {"a": -1.0, "b": -1.0}, total=2, group_col="grp")
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    ids = [10, 20, 30, 41, 55, 60, 77]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out1 = sorted(
+        (r["anchor"], r["j"], r["neg"])
+        for r in negative_samples(df, "doc_id", k=3).collect()
+    )
+    out2 = sorted(
+        (r["anchor"], r["j"], r["neg"])
+        for r in negative_samples(df, "doc_id", k=3).collect()
+    )
+    assert out1 == out2  # deterministic
+    assert len(out1) == len(ids) * 3
+    assert all(a != n for a, _, n in out1)  # never draws itself
+    assert {a for a, _, _ in out1} == set(ids)
+    # salt changes the draw
+    out3 = sorted(
+        (r["anchor"], r["j"], r["neg"])
+        for r in negative_samples(df, "doc_id", k=3, salt=1).collect()
+    )
+    assert out3 != out1
+    with pytest.raises(ValueError):
+        negative_samples(df, "doc_id", k=0)
+
+
+def test_budget_curation_greedy_prefix(spark):
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        budget_curation,
+    )
+
+    rows = [
+        # (id, group, tokens, score) — scores descending by id for g1
+        (1, "g1", 50, 9.0),
+        (2, "g1", 40, 8.0),
+        (3, "g1", 30, 7.0),
+        (4, "g1", 10, 6.0),
+        (5, "g2", 100, 5.0),
+        (6, "g3", 10, 5.0),  # group without a budget: dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w long, s double")
+    out = {
+        r["id"]: r
+        for r in budget_curation(
+            df, "g", "id", "w", "s", budgets={"g1": 95, "g2": 100}
+        ).collect()
+    }
+    # g1: prefix 50+40=90 fits; +30 would be 120 -> blocks there; the
+    # 10-token doc does NOT sneak in (greedy prefix, not knapsack)
+    assert set(out) == {1, 2, 5}
+    assert out[2]["cum_weight"] == 90 and out[2]["keep_rank"] == 2
+    assert out[5]["cum_weight"] == 100
+    with pytest.raises(ValueError):
+        budget_curation(df, "g", "id", "w", "s", budgets={})

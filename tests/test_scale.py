@@ -350,3 +350,42 @@ def test_length_bucketed_batches(spark):
         length_bucketed_batches(df, "n_tokens", "doc_id", [64, 32], 2)
     with pytest.raises(ValueError):
         length_bucketed_batches(df, "n_tokens", "doc_id", [32], 0)
+
+
+def test_distributed_cumsum_multi_value(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataintegration_csvprovider_spark.operators.scale import (
+        distributed_cumsum,
+    )
+
+    rows = [(i, i % 3 + 1, (i * 7) % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = distributed_cumsum(df, "k", ["a", "b"], ["ca", "cb"]).collect()
+    got = {r["k"]: (r["ca"], r["cb"]) for r in out}
+    ra = rb = 0
+    for i, a, b in rows:
+        ra += a
+        rb += b
+        assert got[i] == (ra, rb)
+    # mismatched list lengths rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        distributed_cumsum(df, "k", ["a", "b"], ["ca"])
+
+
+def test_ks_two_sample_known_values(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        ks_two_sample,
+    )
+
+    # a = {1..4}, b = {3..6}: F_a - F_b maximal at x=2 -> 2/4 - 0 = 0.5
+    a = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4]], "v double")
+    b = spark.createDataFrame([(float(x),) for x in [3, 4, 5, 6]], "v double")
+    r = ks_two_sample(a, b, "v").collect()[0]
+    assert r["ks_stat"] == 0.5
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    # identical samples -> 0
+    r2 = ks_two_sample(a, a, "v").collect()[0]
+    assert r2["ks_stat"] == 0.0

@@ -59,6 +59,8 @@ NLJ_OK = {
     "q_skew_stats",  # single-row top-k aggregate broadcast cross
     "q_lm_quality_score",  # single-row vocab-size aggregate broadcast cross
     "q_dsir_importance",  # single-row (N_raw, N_tgt, V) totals broadcast cross
+    "q_drift_ks",  # single-row (n_a, n_b) totals broadcast cross
+    "q_negative_sampling",  # single-row corpus-size broadcast cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
