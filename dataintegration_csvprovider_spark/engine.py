@@ -154,6 +154,91 @@ class Engine:
 
         return _pk(df, codes_df, codebooks, query, k=k, **kwargs)
 
+    # round-5 extension operators: curation / linalg / batching
+    @staticmethod
+    def filter_funnel(df, rules):
+        from .operators.textstats import filter_funnel as _ff
+
+        return _ff(df, rules)
+
+    @staticmethod
+    def scrub_boilerplate_lines(df, **kwargs):
+        from .operators.textstats import scrub_boilerplate_lines as _sb
+
+        return _sb(df, **kwargs)
+
+    @staticmethod
+    def dsir_importance(df, target_df, **kwargs):
+        from .operators.textstats import dsir_importance as _di
+
+        return _di(df, target_df, **kwargs)
+
+    @staticmethod
+    def span_corruption(df, **kwargs):
+        from .operators.textstats import span_corruption as _sc
+
+        return _sc(df, **kwargs)
+
+    @staticmethod
+    def snapshot_diff(old, new, key_cols, content_cols):
+        from .operators.cdc import snapshot_diff as _sd
+
+        return _sd(old, new, key_cols, content_cols)
+
+    @staticmethod
+    def pca_fit(df, vec_col="embedding", k=8, exact=True):
+        from .operators.linalg import pca_fit as _pf
+
+        return _pf(df, vec_col=vec_col, k=k, exact=exact)
+
+    @staticmethod
+    def pca_project(df, model, vec_col="embedding", **kwargs):
+        from .operators.linalg import pca_project as _pp
+
+        return _pp(df, model, vec_col=vec_col, **kwargs)
+
+    @staticmethod
+    def prototype_prune(df, bucket_col, **kwargs):
+        from .operators.sampling import prototype_prune as _prp
+
+        return _prp(df, bucket_col, **kwargs)
+
+    @staticmethod
+    def negative_samples(df, id_col, k=3, salt=0):
+        from .operators.sampling import negative_samples as _ns
+
+        return _ns(df, id_col, k=k, salt=salt)
+
+    @staticmethod
+    def budget_curation(df, group_col, id_col, weight_col, score_col, budgets):
+        from .operators.sampling import budget_curation as _bc
+
+        return _bc(df, group_col, id_col, weight_col, score_col, budgets)
+
+    @staticmethod
+    def ks_two_sample(a, b, value_col):
+        from .operators.scale import ks_two_sample as _ks
+
+        return _ks(a, b, value_col)
+
+    @staticmethod
+    def length_bucketed_batches(df, len_col, id_col, bucket_edges, batch_size):
+        from .operators.scale import length_bucketed_batches as _lb
+
+        return _lb(df, len_col, id_col, bucket_edges, batch_size)
+
+    @staticmethod
+    def write_training_shards(df, path, n_shards, order_col, weight_col):
+        from .sinks.shards import write_training_shards as _ws
+
+        return _ws(df, path, n_shards, order_col, weight_col)
+
+    @staticmethod
+    def plan_lsh_bands(threshold, num_perm=64, **kwargs):
+        from .operators.dedup import plan_lsh_bands as _pl
+
+        return _pl(threshold, num_perm=num_perm, **kwargs)
+
     # -- JSONL source/sink -------------------------------------------------
     def read_jsonl(
         self, source: JsonlSource, table: str, **kwargs

@@ -220,3 +220,25 @@ def test_negative_conditionals_keep_nulls(spark):
     got = [r.cat for r in apply_conditionals(
         df, [Conditional("cat", "not_in", ["b"])]).collect()]
     assert sorted(x or "" for x in got) == ["", "a"]
+
+
+def test_engine_facade_round5_methods(spark):
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.engine import Engine
+
+    for name in (
+        "filter_funnel", "scrub_boilerplate_lines", "dsir_importance",
+        "span_corruption", "snapshot_diff", "pca_fit", "pca_project",
+        "prototype_prune", "negative_samples", "budget_curation",
+        "ks_two_sample", "length_bucketed_batches",
+        "write_training_shards", "plan_lsh_bands",
+    ):
+        assert callable(getattr(Engine, name)), name
+    # one end-to-end smoke through the facade
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    out = Engine.filter_funnel(df, [("pos", F.col("v") >= 5)]).collect()
+    assert out[0]["n_surviving"] == 5
+    assert Engine.plan_lsh_bands(0.5)[1] >= 1
