@@ -260,6 +260,50 @@ def probe_curation(spark, path: str) -> dict[str, float]:
     return secs
 
 
+def probe_prefixsum(spark, path: str) -> dict[str, float]:
+    """Distributed prefix-sum family (round-5): the two-phase cumsum and
+    the operators riding it. All are one range shuffle + per-partition
+    windows + an O(#partitions) driver fetch — wall-clock should track
+    data volume, never partition-count blowups."""
+    from dataintegration_csvprovider_spark.operators.scale import (
+        distributed_cumsum,
+        ks_two_sample,
+        token_balanced_shards,
+    )
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    docs = spark.read.parquet(path)
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+    )
+    ops = {
+        "cumsum_multi": lambda d: distributed_cumsum(
+            d, "doc_id", ["n_tokens", "n_tokens"], ["c1", "c2"]
+        ),
+        "token_shards": lambda d: token_balanced_shards(
+            d, "doc_id", "n_tokens", 32
+        ),
+        "ks_two_sample": lambda d: ks_two_sample(
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+            "n_tokens",
+        ),
+        "negative_samples": lambda d: negative_samples(d, "doc_id", k=3),
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(toks))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
 def probe_ops(spark, path: str) -> dict[str, float]:
     docs = spark.read.parquet(path)
     ops = {
@@ -283,7 +327,7 @@ def main() -> None:
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument(
         "--family",
-        choices=["dedup", "similarity", "graph", "curation"],
+        choices=["dedup", "similarity", "graph", "curation", "prefixsum"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -295,6 +339,7 @@ def main() -> None:
         "similarity": (build_scaled_embeddings, probe_similarity),
         "graph": (build_scaled_edges, probe_graph),
         "curation": (build_scaled, probe_curation),
+        "prefixsum": (build_scaled, probe_prefixsum),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
