@@ -1574,3 +1574,48 @@ def plan_lsh_bands(
             if best is None or err < best[0]:
                 best = (err, b, r)
     return best[1], best[2]
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, assign
+    every document the weight ``1 / |its duplicate cluster|`` — the
+    cluster as a whole contributes one document's worth of training
+    mass, but surface diversity inside the cluster is preserved (the
+    down-weighting alternative every data-mixing pipeline considers
+    before hard dedup; singletons keep weight 1.0).
+
+    Same machinery as the hard-dedup path — pairs → connected
+    components (large-star/small-star) → one component-keyed count —
+    plus a join back, so the marginal cost over cluster labeling is one
+    tiny keyed aggregate. The weight is an exact IEEE division of
+    integers (1/n), engine-portable.
+
+    Returns (id, component, n_dups, weight) for EVERY input document;
+    Σweight over the corpus = the effective deduplicated corpus size.
+    """
+    from .components import connected_components
+
+    labels = connected_components(pairs, src=a_col, dst=b_col)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(labels, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups")
+    )
+    return labeled.join(sizes, "component").select(
+        id_col,
+        "component",
+        "n_dups",
+        (F.lit(1.0) / F.col("n_dups").cast("double")).alias("weight"),
+    )

@@ -3382,3 +3382,50 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "q_soft_dedup",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    ), und AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS doc_id, MIN(lbl) AS component FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM labeled GROUP BY component
+    )
+    SELECT l.doc_id, l.component, s.n_dups,
+           1.0 / CAST(s.n_dups AS DOUBLE) AS weight
+    FROM labeled l JOIN sizes s USING (component)
+    """,
+    doc="Soft deduplication (operators/dedup.py soft_dedup_weights): "
+        "every document weighted 1/|duplicate cluster| instead of "
+        "dropped — the cluster contributes one document's training "
+        "mass while keeping its surface diversity; singletons stay at "
+        "1.0 and the corpus Σweight is the effective deduplicated "
+        "size. Rides the same pairs → components machinery as hard "
+        "dedup plus one tiny component-keyed count.",
+    tags=("dedup", "sampling", "components"),
+)
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import soft_dedup_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    return soft_dedup_weights(docs, pairs)

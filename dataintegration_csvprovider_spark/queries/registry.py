@@ -166,6 +166,7 @@ _GRADE_FIRST = [
     "q_drift_ks",
     "q_negative_sampling",
     "q_budget_curation",
+    "q_soft_dedup",
     "q_pca_project",
 ]
 

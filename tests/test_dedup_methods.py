@@ -481,3 +481,23 @@ def test_plan_lsh_bands_scurve_planner():
         plan_lsh_bands(0.0)
     with pytest.raises(ValueError):
         plan_lsh_bands(0.5, 1)
+
+
+def test_soft_dedup_weights(spark):
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # cluster {1,2,3}, cluster {4,5}, singleton {6}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    out = {r["doc_id"]: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert len(out) == 6
+    assert out[1]["n_dups"] == 3 and abs(out[1]["weight"] - 1 / 3) < 1e-15
+    assert out[2]["component"] == out[3]["component"] == out[1]["component"]
+    assert out[4]["n_dups"] == 2 and out[5]["weight"] == 0.5
+    assert out[6]["n_dups"] == 1 and out[6]["weight"] == 1.0
+    # effective corpus size: 1 + 1 + 1 = 3 clusters
+    assert abs(sum(r["weight"] for r in out.values()) - 3.0) < 1e-12
