@@ -167,6 +167,7 @@ _GRADE_FIRST = [
     "q_negative_sampling",
     "q_budget_curation",
     "q_soft_dedup",
+    "q_stream_drift_monitor",
     "q_pca_project",
 ]
 

@@ -1094,3 +1094,119 @@ def q_stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d_out, ignore_errors=True)
         shutil.rmtree(d_ckpt, ignore_errors=True)
     return manifest
+
+
+def _ks_sql(sample_pred: str, ref_pred: str) -> str:
+    """DuckDB KS-statistic fragment between two predicate-defined slices
+    of the events value column (shared by the q_stream_drift_monitor
+    oracle — one copy per micro-batch slice)."""
+    return f"""
+    SELECT MAX(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+      FROM (
+        SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM (
+          SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+            SELECT value AS v, 1 AS ca, 0 AS cb FROM events
+            WHERE {sample_pred}
+            UNION ALL
+            SELECT value, 0, 1 FROM events WHERE {ref_pred}
+          ) GROUP BY v
+        )
+      ) c,
+      (SELECT SUM(CASE WHEN {sample_pred} THEN 1 ELSE 0 END) AS n_a,
+              SUM(CASE WHEN {ref_pred} THEN 1 ELSE 0 END) AS n_b
+       FROM events) t
+    """
+
+
+@register(
+    "q_stream_drift_monitor",
+    oracle="""
+    SELECT CAST(b.batch AS INT) AS batch,
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE event_id % 4 = b.batch + 1) AS BIGINT) AS n_batch,
+           CASE b.batch
+             WHEN 0 THEN ({ks0})
+             WHEN 1 THEN ({ks1})
+             ELSE ({ks2})
+           END AS ks_stat
+    FROM (VALUES (0), (1), (2)) AS b(batch)
+    """.format(
+        ks0=_ks_sql("event_id % 4 = 1", "event_id % 4 = 0"),
+        ks1=_ks_sql("event_id % 4 = 2", "event_id % 4 = 0"),
+        ks2=_ks_sql("event_id % 4 = 3", "event_id % 4 = 0"),
+    ),
+    doc="STREAMING drift monitor — the production observability loop: "
+        "three deterministic micro-batches (explicit file->batch order "
+        "via mtimes, maxFilesPerTrigger=1) each scored per-batch by "
+        "foreachBatch against a STATIC reference distribution with the "
+        "two-sample KS statistic (operators/scale.py ks_two_sample — "
+        "the shared multi-value prefix sum), results appended to a "
+        "metrics ledger exactly as a foreachBatch alerting consumer "
+        "would. Engine-exact: each batch's KS is IEEE arithmetic over "
+        "exact integer cumulative counts, so the oracle recomputes all "
+        "three statistics in SQL and matches bit-for-bit.",
+    tags=("streaming", "drift", "profiling"),
+)
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.scale import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ref = ev.filter(F.col("event_id") % 4 == 0).select("value").persist()
+    stage = tempfile.mkdtemp(prefix="drift_stage_")
+    ck = tempfile.mkdtemp(prefix="drift_ck_")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 4 == k + 1).select("value")
+        tmp = tempfile.mkdtemp(prefix="drift_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    ledger: list[tuple[int, int, float]] = []
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def score_batch(bdf: DataFrame, batch_id: int) -> None:
+            r = ks_two_sample(bdf, ref, "value").collect()[0]
+            ledger.append((int(batch_id), int(r["n_a"]), float(r["ks_stat"])))
+
+        q = (
+            feed.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        ref.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        ledger, "batch int, n_batch bigint, ks_stat double"
+    )
