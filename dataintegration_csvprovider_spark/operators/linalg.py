@@ -276,3 +276,65 @@ def pca_variance_table(model: dict) -> list[tuple[int, float, float]]:
         cum += float(v)
         out.append((i, float(v), cum / trace if trace else math.nan))
     return out
+
+
+def grouped_pca_summary(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+) -> DataFrame:
+    """Per-group PCA scree summary via grouped-map ``applyInPandas`` —
+    the MANY-SMALL-MODELS regime (one eigh per group inside the Arrow
+    worker), complementing :func:`pca_fit`'s one-big-model driver eigh:
+    at 100 TB you run this shape when there are thousands of groups
+    (per-domain, per-language) each small enough to fit one task, so
+    the cluster parallelizes across groups and the driver never sees a
+    vector.
+
+    Returns (group, comp, eigenvalue, explained_ratio, n) for the top-k
+    components of each group's population covariance. Deterministic:
+    rows are sorted by ``id_col`` inside the worker before the numpy
+    accumulation, so float summation order is pinned regardless of
+    partitioning; groups with fewer than 2 rows are skipped (no
+    covariance).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gtype = df.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {gtype}, comp int, eigenvalue double, "
+        "explained_ratio double, n bigint"
+    )
+
+    def fit(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame(
+                columns=[group_col, "comp", "eigenvalue",
+                         "explained_ratio", "n"]
+            )
+        pdf = pdf.sort_values(id_col)
+        x = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+        cov = _np.cov(x, rowvar=False, bias=True)
+        evals = _np.linalg.eigvalsh(cov)[::-1]
+        trace = float(_np.trace(cov)) or float("nan")
+        kk = min(k, len(evals))
+        return _pd.DataFrame(
+            {
+                group_col: [key[0]] * kk,
+                "comp": list(range(kk)),
+                "eigenvalue": [float(v) for v in evals[:kk]],
+                "explained_ratio": [float(v) / trace for v in evals[:kk]],
+                "n": [len(pdf)] * kk,
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(fit, out_schema)
+    )

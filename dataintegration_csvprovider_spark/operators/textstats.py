@@ -665,3 +665,52 @@ def span_corruption(
         inp.alias("input"),
         tgt.alias("target"),
     )
+
+
+def quality_ensemble_rank(
+    df: DataFrame,
+    score_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-average ensemble of quality signals — the standard way to
+    combine incommensurable filters (length, repetition, LM score, ...)
+    into ONE curation ordering without calibrating scales: each signal
+    is reduced to its global percent-rank (ties broken by id, so ranks
+    are unique and engine-exact), and the ensemble score is the plain
+    mean of the k percent-ranks (Borda-style; a document must look good
+    under MOST signals to rank high).
+
+    Every per-signal rank comes from the distributed prefix sum over
+    (signal, id) — k range shuffles, NO single-partition
+    ``Window.orderBy`` (the global-rank anti-pattern this module
+    replaces everywhere). percent_rank = (rank-1)/(n-1) in double —
+    engine-exact given the integer ranks; the mean is a fixed-order
+    expression over k doubles.
+
+    Returns the input ids with ``pr_<col>`` per signal and
+    ``ensemble_score`` (higher = better under ascending signals).
+    """
+    from .scale import distributed_cumsum
+
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
+    out = df.select(id_col, *score_cols)
+    n = out.count()
+    if n < 2:
+        raise ValueError("need >= 2 rows for percent ranks")
+    for c in score_cols:
+        ranked = distributed_cumsum(
+            out.withColumn("__one", F.lit(1)),
+            [c, id_col],
+            "__one",
+            "__rank",
+        )
+        out = ranked.withColumn(
+            f"pr_{c}",
+            ((F.col("__rank") - 1) / F.lit(float(n - 1))).cast("double"),
+        ).drop("__one", "__rank")
+    mean_expr = sum(
+        (F.col(f"pr_{c}") for c in score_cols[1:]),
+        F.col(f"pr_{score_cols[0]}"),
+    ) / F.lit(float(len(score_cols)))
+    return out.withColumn("ensemble_score", mean_expr.cast("double"))

@@ -3429,3 +3429,67 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
     return soft_dedup_weights(docs, pairs)
+
+
+@register(
+    "q_contrastive_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+    ), pos AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.5
+    ), idx AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+      FROM documents
+    ), t AS (SELECT COUNT(*) AS n FROM documents),
+    negdraw AS (
+      SELECT x.doc_id AS anchor,
+             (i + 1 + ((i * 2654435761 + j * 2246822519) % (n - 1))) % n
+               AS ti
+      FROM idx x, t, unnest([0, 1]) AS u(j)
+    ), neg AS (
+      SELECT DISTINCT least(nd.anchor, ix.doc_id) AS a,
+             greatest(nd.anchor, ix.doc_id) AS b
+      FROM negdraw nd JOIN idx ix ON ix.i = nd.ti
+    ), negclean AS (
+      SELECT n.a, n.b FROM neg n
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.a = n.a AND p.b = n.b)
+    )
+    SELECT a, b, CAST(1 AS INT) AS label FROM pos
+    UNION ALL
+    SELECT a, b, CAST(0 AS INT) AS label FROM negclean
+    """,
+    doc="Contrastive training-pair table for a retrieval/similarity "
+        "model: POSITIVES are exact bigram-Jaccard >= 0.5 near-dup "
+        "pairs (inverted-index join — at 100 TB swap in the LSH pair "
+        "generator, same schema), NEGATIVES are the RNG-free Knuth-"
+        "offset draws of operators/sampling.py negative_samples "
+        "(canonicalized a<b, deduped, anti-joined against the "
+        "positives so no labeled contradiction survives). The pair set "
+        "is fully deterministic — reproducible across engines and "
+        "training restarts.",
+    tags=("dedup", "sampling", "mlprep"),
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = ngram_jaccard_pairs(docs, n=2, threshold=0.5).select(
+        "a", "b", F.lit(1).alias("label")
+    )
+    neg = (
+        negative_samples(docs, "doc_id", k=2)
+        .select(
+            F.least("anchor", "neg").alias("a"),
+            F.greatest("anchor", "neg").alias("b"),
+        )
+        .distinct()
+        .join(pos.select("a", "b"), ["a", "b"], "left_anti")
+        .select("a", "b", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg)

@@ -653,3 +653,27 @@ def q_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_tokens", "keep_rank", "cum_weight"
     )
+
+
+@register(
+    "q_grouped_pca",
+    oracle=None,  # per-group eigendecomposition is not SQL-expressible;
+    # numpy parity and determinism are pinned in tests/test_linalg.py
+    doc="Per-label PCA scree summary (operators/linalg.py "
+        "grouped_pca_summary): top-2 eigenvalues + explained-variance "
+        "ratio of each label group's covariance, one eigh per group "
+        "inside the Arrow worker (grouped-map applyInPandas) — the "
+        "many-small-models regime complementing q_pca_project's "
+        "one-big-model driver eigh: thousands of per-domain groups "
+        "parallelize across the cluster and no vector reaches the "
+        "driver. Worker-side rows sort by vec_id so float accumulation "
+        "order is pinned. Rows-only check; invariants in pytest.",
+    tags=("mlprep", "linalg", "embedding"),
+)
+def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import grouped_pca_summary
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return grouped_pca_summary(emb, group_col="label", k=2)

@@ -168,6 +168,9 @@ _GRADE_FIRST = [
     "q_budget_curation",
     "q_soft_dedup",
     "q_stream_drift_monitor",
+    "q_quality_ensemble",
+    "q_contrastive_pairs",
+    "q_grouped_pca",
     "q_pca_project",
 ]
 

@@ -294,3 +294,67 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("input").alias("input_sig"),
         F.md5("target").alias("target_sig"),
     )
+
+
+@register(
+    "q_quality_ensemble",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                w -> w <> ''))) AS DOUBLE)
+             / greatest(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')), 1)
+               AS distinct_ratio
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM t),
+    r AS (
+      SELECT doc_id, n_chars, n_tokens, distinct_ratio,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                  AS DOUBLE) / (SELECT n - 1 FROM n) AS pr_n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1
+                  AS DOUBLE) / (SELECT n - 1 FROM n) AS pr_n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY distinct_ratio, doc_id) - 1
+                  AS DOUBLE) / (SELECT n - 1 FROM n) AS pr_distinct_ratio
+      FROM t
+    )
+    SELECT doc_id, pr_n_chars, pr_n_tokens, pr_distinct_ratio,
+           CAST((pr_n_chars + pr_n_tokens + pr_distinct_ratio) / 3.0
+                AS DOUBLE) AS ensemble_score
+    FROM r
+    """,
+    doc="Rank-average quality ensemble (operators/textstats.py "
+        "quality_ensemble_rank): three incommensurable signals (chars, "
+        "tokens, distinct-word ratio) reduced to unique percent-ranks "
+        "and Borda-averaged into one curation ordering — no scale "
+        "calibration needed. Every rank rides the distributed prefix "
+        "sum (the oracle's ROW_NUMBER is the semantic spec, not the "
+        "plan); ranks are integers so the ensemble is engine-exact.",
+    tags=("text", "quality", "mlprep"),
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import quality_ensemble_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("distinct_ratio"),
+    )
+    return quality_ensemble_rank(
+        t, ["n_chars", "n_tokens", "distinct_ratio"]
+    ).select(
+        "doc_id",
+        "pr_n_chars",
+        "pr_n_tokens",
+        "pr_distinct_ratio",
+        "ensemble_score",
+    )

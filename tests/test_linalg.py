@@ -246,3 +246,40 @@ def test_span_corruption_t5_shape(spark):
     assert out[2]["target"] == ""
     # empty doc
     assert out[3]["n_words"] == 0 and out[3]["input"] == ""
+
+
+def test_grouped_pca_summary_matches_numpy(spark, vec_df):
+    from dataintegration_csvprovider_spark.operators.linalg import (
+        grouped_pca_summary,
+    )
+
+    df, x = vec_df
+    # two groups by parity of vec_id
+    gdf = df.withColumn("g", (F.col("vec_id") % 2).cast("int"))
+    out = grouped_pca_summary(gdf, "g", id_col="vec_id", k=2).collect()
+    got = {(r["g"], r["comp"]): r for r in out}
+    assert len(got) == 4
+    for g in (0, 1):
+        xs = x[g::2] if g == 0 else x[1::2]
+        # numpy reference on the same rows (vec_id order == row order)
+        idx = [i for i in range(len(x)) if i % 2 == g]
+        xs = x[idx]
+        cov = np.cov(xs, rowvar=False, bias=True)
+        ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        for c in (0, 1):
+            r = got[(g, c)]
+            assert abs(r["eigenvalue"] - ev[c]) < 1e-8
+            assert abs(r["explained_ratio"] - ev[c] / np.trace(cov)) < 1e-10
+            assert r["n"] == len(idx)
+    # deterministic across runs (worker-side sort pins the sum order)
+    out2 = grouped_pca_summary(
+        gdf.repartition(7), "g", id_col="vec_id", k=2
+    ).collect()
+    assert {(r["g"], r["comp"]): r["eigenvalue"] for r in out2} == {
+        (r["g"], r["comp"]): r["eigenvalue"] for r in out
+    }
+    # tiny group skipped
+    tiny = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0])], "vec_id long, g int, embedding array<float>"
+    )
+    assert grouped_pca_summary(tiny, "g").count() == 0

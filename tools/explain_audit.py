@@ -61,6 +61,7 @@ NLJ_OK = {
     "q_dsir_importance",  # single-row (N_raw, N_tgt, V) totals broadcast cross
     "q_drift_ks",  # single-row (n_a, n_b) totals broadcast cross
     "q_negative_sampling",  # single-row corpus-size broadcast cross
+    "q_contrastive_pairs",  # same corpus-size broadcast via negative_samples
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
