@@ -3493,3 +3493,70 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.lit(0).alias("label"))
     )
     return pos.unionByName(neg)
+
+
+@register(
+    "q_multimodal_dominant_freq",
+    # pure sine at f = (doc_id % 8 + 1) * 500 Hz, 320 samples @ 16 kHz:
+    # exactly f/50 cycles per window, so the rfft magnitude peaks at bin
+    # f/50 = (doc_id % 8 + 1) * 10 with zero spectral leakage — the
+    # 16-bit quantization perturbs magnitudes, never the argmax
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 8 + 1) * 10 AS INT) AS dom_bin,
+           CAST((doc_id % 8 + 1) * 500 AS INT) AS dom_hz
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="End-to-end REAL audio spectral analysis: synthesize true "
+        "16-bit PCM sine WAVs (stdlib wave), decode through the native "
+        "codec (operators/media_codecs.py decode_wav), take the rfft in "
+        "the Arrow worker, and report the dominant frequency bin — "
+        "which the oracle derives from doc_id arithmetic because the "
+        "synthesis puts an exact integer number of cycles in the "
+        "window (no spectral leakage; quantization cannot move the "
+        "argmax). The DSP pattern every audio-curation pipeline needs "
+        "(bandwidth checks, tone detection) on the engine's real "
+        "decode path.",
+    tags=("multimodal", "audio", "decode"),
+)
+def q_multimodal_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import encode_wav
+
+        def build(doc_id: int) -> bytes:
+            f = (doc_id % 8 + 1) * 500.0
+            t = np.arange(320) / 16000.0
+            return encode_wav(
+                0.5 * np.sin(2 * np.pi * f * t), sample_rate=16000
+            )
+
+        return ids.map(build)
+
+    @pandas_udf("int")
+    def dom_bin(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import decode_wav
+
+        def peak(p: bytes) -> int:
+            samples, _sr = decode_wav(bytes(p))
+            mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+            mag = np.abs(np.fft.rfft(mono))
+            return int(np.argmax(mag[1:]) + 1)  # skip DC
+
+        return payloads.map(peak)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = docs.select(
+        "doc_id", dom_bin(make_wav(F.col("doc_id"))).alias("dom_bin")
+    )
+    return out.select(
+        "doc_id",
+        "dom_bin",
+        (F.col("dom_bin") * 50).cast("int").alias("dom_hz"),
+    )

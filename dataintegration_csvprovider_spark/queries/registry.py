@@ -171,6 +171,7 @@ _GRADE_FIRST = [
     "q_quality_ensemble",
     "q_contrastive_pairs",
     "q_grouped_pca",
+    "q_multimodal_dominant_freq",
     "q_pca_project",
 ]
 
