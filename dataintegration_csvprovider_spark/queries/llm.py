@@ -3560,3 +3560,73 @@ def q_multimodal_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dom_bin",
         (F.col("dom_bin") * 50).cast("int").alias("dom_hz"),
     )
+
+
+@register(
+    "q_multimodal_pixel_histogram",
+    # 16x16 BMP whose column x has gray (doc_id*13 + x) % 256: the 16
+    # distinct grays land in value-dependent 32-wide bins, so the
+    # histogram is a doc_id-arithmetic fact that a decode bug (scrambled
+    # bytes, wrong stride, padding error) cannot reproduce
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, (d.doc_id * 13 + x.x) % 256 AS g
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+           (SELECT unnest(range(16)) AS x) x
+    )
+    SELECT doc_id, CAST(g // 32 AS INT) AS bin,
+           CAST(COUNT(*) * 16 AS BIGINT) AS n_pixels
+    FROM px GROUP BY doc_id, g // 32
+    """,
+    doc="Pixel-value histogram on the REAL decode path: per-doc 16x16 "
+        "BMPs with a column-indexed gray pattern, decoded by the native "
+        "codec, 8-bin histogram computed in the Arrow worker and "
+        "exploded to (doc_id, bin, n_pixels) rows — the exposure/"
+        "dynamic-range profile an image-curation pipeline computes "
+        "before filtering; bin populations are value-sensitive, so any "
+        "decode corruption breaks the doc_id-arithmetic oracle.",
+    tags=("multimodal", "decode", "profiling"),
+)
+def q_multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_bmp(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import encode_bmp
+
+        def build(doc_id: int) -> bytes:
+            col = (doc_id * 13 + np.arange(16)) % 256
+            img = np.broadcast_to(
+                col[None, :, None], (16, 16, 3)
+            ).astype(np.uint8)
+            return encode_bmp(img)
+
+        return ids.map(build)
+
+    @pandas_udf("array<long>")
+    def hist8(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.media_codecs import decode_image_bytes
+
+        def h(p: bytes) -> list[int]:
+            pixels = decode_image_bytes(bytes(p))
+            gray = np.asarray(pixels)[:, :, 0].reshape(-1)
+            counts, _ = np.histogram(gray, bins=8, range=(0, 256))
+            return [int(c) for c in counts]
+
+        return payloads.map(h)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = docs.select(
+        "doc_id", F.posexplode(hist8(make_bmp(F.col("doc_id")))).alias(
+            "bin", "n_pixels"
+        )
+    )
+    return out.filter(F.col("n_pixels") > 0).select(
+        "doc_id",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_pixels").cast("bigint").alias("n_pixels"),
+    )

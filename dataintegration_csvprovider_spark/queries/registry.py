@@ -172,6 +172,7 @@ _GRADE_FIRST = [
     "q_contrastive_pairs",
     "q_grouped_pca",
     "q_multimodal_dominant_freq",
+    "q_multimodal_pixel_histogram",
     "q_pca_project",
 ]
 
