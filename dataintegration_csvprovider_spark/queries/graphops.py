@@ -215,3 +215,53 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "q_personalized_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr(iter, node, rank) AS (
+      SELECT 0, src,
+             CASE WHEN src IN (0, 1, 2)
+                  THEN CAST(1.0 AS DOUBLE) / 3 ELSE CAST(0 AS DOUBLE) END
+      FROM (SELECT DISTINCT src FROM edges) s
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             CASE WHEN e.dst IN (0, 1, 2)
+                  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 3
+                  ELSE CAST(0 AS DOUBLE) END
+             + CAST(0.85 AS DOUBLE)
+               * CAST(SUM(CAST(p.rank / od.deg AS DECIMAL(18,9))) AS DOUBLE)
+      FROM pr p
+      JOIN edges e ON e.src = p.node
+      JOIN outdeg od ON od.src = p.node
+      WHERE p.iter < 10
+      GROUP BY p.iter, e.dst
+    )
+    SELECT node, rank FROM pr WHERE iter = 10
+    """,
+    doc="Personalized PageRank (operators/graph.py "
+        "personalized_pagerank): teleport mass concentrated on seeds "
+        "{0,1,2}, damping 0.85, 10 iterations over the same 50-node "
+        "orders graph as q_pagerank — ranks measure proximity to the "
+        "seed set (seeded recommendation / related-document expansion) "
+        "instead of global importance. Identical iterative-join plan "
+        "shape; decimal-accumulated contributions keep every "
+        "iteration's ranks engine-exact; the oracle replays the "
+        "recursion as a CTE.",
+    tags=("graph", "iterative"),
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 50).alias("dst"),
+    )
+    return personalized_pagerank(edges, seeds=[0, 1, 2])

@@ -173,6 +173,7 @@ _GRADE_FIRST = [
     "q_grouped_pca",
     "q_multimodal_dominant_freq",
     "q_multimodal_pixel_histogram",
+    "q_personalized_pagerank",
     "q_pca_project",
 ]
 

@@ -44,3 +44,32 @@ def test_bfs_levels_no_raise_at_exact_eccentricity(spark):
     edges = _path_graph(spark, 6)
     out = bfs_levels(edges, _sources(spark), max_depth=5)
     assert out.count() == 6
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # ring 0->1->2->...->9->0 plus chords into node 0
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    chords = [(3, 0), (6, 0)]
+    edges = spark.createDataFrame(ring + chords, "src long, dst long")
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds=[0], iterations=12).collect()
+    }
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=12).collect()
+    }
+    # seed proximity: the seed and its successor outrank distant nodes
+    assert ppr[0] > ppr[5]
+    assert ppr[1] > ppr[5]
+    # personalization actually changes the ordering vs global PR
+    assert ppr[0] / sum(ppr.values()) > pr[0] / sum(pr.values())
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds=[])
