@@ -677,3 +677,76 @@ def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     return grouped_pca_summary(emb, group_col="label", k=2)
+
+
+@register(
+    "q_label_centroid_similarity",
+    oracle="""
+    WITH v AS (
+      SELECT label, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), cent AS (
+      SELECT label, CAST(i AS INT) AS i,
+             ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS c
+      FROM v, range(64) t(i) GROUP BY label, i
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.c * a.c AS DECIMAL(28,12))) AS DOUBLE) AS na,
+             CAST(SUM(CAST(b.c * b.c AS DECIMAL(28,12))) AS DOUBLE) AS nb
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
+    FROM dots
+    """,
+    doc="Domain similarity matrix — pairwise cosine between per-label "
+        "embedding centroids: the redundancy signal mixture designers "
+        "check before weighting domains (two near-identical domains "
+        "should not both get full weight). Centroids are decimal-summed "
+        "means pinned at 9 decimals (the covariance convention); the "
+        "pairwise stage runs over #labels x d rows — tiny regardless of "
+        "corpus size, since the heavy reduction happened in the ONE "
+        "centroid aggregate. Cosine reported at 9 decimals.",
+    tags=("mlprep", "embedding", "similarity"),
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    dec = "decimal(28,12)"
+    xi = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = xi.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "i", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (a.i == b.i) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast(dec)).cast("double").alias("dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast(dec)).cast("double").alias("na"),
+            F.sum((F.col("cb") * F.col("cb")).cast(dec)).cast("double").alias("nb"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 9
+        ).alias("cosine"),
+    )

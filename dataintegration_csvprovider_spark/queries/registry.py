@@ -174,6 +174,8 @@ _GRADE_FIRST = [
     "q_multimodal_dominant_freq",
     "q_multimodal_pixel_histogram",
     "q_personalized_pagerank",
+    "q_label_centroid_similarity",
+    "q_time_decay_agg",
     "q_pca_project",
 ]
 

@@ -489,3 +489,57 @@ def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("filled_value"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "q_time_decay_agg",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MAX(CAST(ts AS DATE)) AS DATE) AS dmax FROM events
+    ), w AS (
+      SELECT e.event_type, e.value,
+             date_diff('day', CAST(e.ts AS DATE), b.dmax) AS age
+      FROM events e, bounds b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value * power(0.5, LEAST(age, 60))
+                         AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_sum
+    FROM w GROUP BY event_type
+    """,
+    doc="Recency-weighted (exponentially time-decayed) aggregation: per "
+        "event type, sum(value * 0.5^age_days) with the age capped at "
+        "60 — the engagement/freshness score every feature store keeps. "
+        "Engine-exact: 0.5^k for integer k is an exact binary power "
+        "(the q_ewma trick), each weighted term is one exact IEEE "
+        "product, and the sum runs through decimal(28,12). The sum "
+        "reports at 6-decimal precision: v*2^-k is a dyadic rational "
+        "whose terminating decimal expansion ends in 5, so deep terms "
+        "land EXACTLY on the decimal-cast midpoint where Spark "
+        "(half-up) and DuckDB (half-even) legitimately differ by one "
+        "ulp of the accumulator — the tfidf reporting-precision "
+        "convention absorbs it. One scan + one broadcast max-date + "
+        "one keyed aggregate.",
+    tags=("timeseries", "agg", "mlprep"),
+)
+def q_time_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    w = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.datediff(F.col("dmax"), F.col("ts").cast("date")).alias("age"),
+    )
+    dec = "decimal(28,12)"
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                (
+                    F.col("value")
+                    * F.pow(F.lit(0.5), F.least(F.col("age"), F.lit(60)))
+                ).cast(dec)
+            ).cast("double"),
+            6,
+        ).alias("decayed_sum"),
+    )
