@@ -337,6 +337,14 @@ def prototype_prune(
     d = df.select(F.size(vec_col).alias("d")).filter(
         F.col("d").isNotNull()
     ).distinct().collect()
+    if len(d) == 0:
+        # empty-input tolerance (the registry convention): empty audit
+        # table with the output schema, not a crash
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, bucket long, n_bucket bigint, "
+            "dist2 double, keep_rank bigint, kept boolean",
+        )
     if len(d) != 1:
         raise ValueError(f"embedding lengths not unique: {[r['d'] for r in d]}")
     d = d[0]["d"]

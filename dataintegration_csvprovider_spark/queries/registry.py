@@ -22,6 +22,13 @@ Cross-engine determinism rules (so order-insensitive value hashes match):
   can never match even with identical values. Enforced by
   ``tests/test_oracle_lint.py`` (DESCRIBE-based, no Spark needed) and
   ``tools/check_oracle.py``.
+- Decimal casts of DYADIC values (short-mantissa float32 coordinates,
+  ``v * 2^-k`` decay products) can land EXACTLY on the cast midpoint —
+  their terminating decimal expansions end in 5 — where Spark rounds
+  half-up and DuckDB half-even. When an expression carries that class
+  into a decimal accumulator, report the output at fixed precision
+  (``ROUND(x, 9)``; 6 for deep-decay sums) on BOTH sides — see
+  q_embedding_covariance / q_time_decay_agg.
 """
 
 from __future__ import annotations

@@ -283,3 +283,37 @@ def test_grouped_pca_summary_matches_numpy(spark, vec_df):
         [(1, 0, [1.0, 2.0])], "vec_id long, g int, embedding array<float>"
     )
     assert grouped_pca_summary(tiny, "g").count() == 0
+
+
+def test_round5_operators_tolerate_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.operators.cdc import snapshot_diff
+    from dataintegration_csvprovider_spark.operators.sampling import (
+        budget_curation,
+        negative_samples,
+        prototype_prune,
+    )
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        scrub_boilerplate_lines,
+        span_corruption,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, bucket int, embedding array<float>"
+    )
+    assert scrub_boilerplate_lines(empty_docs).count() == 0
+    assert span_corruption(empty_docs).count() == 0
+    assert prototype_prune(empty_vecs, "bucket").count() == 0
+    assert negative_samples(empty_docs, "doc_id").count() == 0
+    assert (
+        budget_curation(
+            empty_docs.withColumn("w", F.lit(1).cast("long")),
+            "source", "doc_id", "w", "w", {"x": 10},
+        ).count()
+        == 0
+    )
+    assert snapshot_diff(empty_docs, empty_docs, ["doc_id"], ["text"]).count() == 0
