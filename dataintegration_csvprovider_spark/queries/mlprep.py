@@ -729,13 +729,21 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     a = cent.select(
-        F.col("label").alias("label_a"), "i", F.col("c").alias("ca")
+        F.col("label").alias("label_a"),
+        F.col("i").alias("ia"),
+        F.col("c").alias("ca"),
     )
     b = cent.select(
-        F.col("label").alias("label_b"), "i", F.col("c").alias("cb")
+        F.col("label").alias("label_b"),
+        F.col("i").alias("ib"),
+        F.col("c").alias("cb"),
     )
     dots = (
-        a.join(b, (a.i == b.i) & (F.col("label_a") < F.col("label_b")))
+        a.join(
+            b,
+            (F.col("ia") == F.col("ib"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
         .groupBy("label_a", "label_b")
         .agg(
             F.sum((F.col("ca") * F.col("cb")).cast(dec)).cast("double").alias("dot"),

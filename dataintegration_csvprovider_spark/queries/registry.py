@@ -183,6 +183,7 @@ _GRADE_FIRST = [
     "q_personalized_pagerank",
     "q_label_centroid_similarity",
     "q_time_decay_agg",
+    "q_zipf_coverage",
     "q_pca_project",
 ]
 

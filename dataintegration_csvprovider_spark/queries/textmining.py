@@ -358,3 +358,70 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pr_distinct_ratio",
         "ensemble_score",
     )
+
+
+@register(
+    "q_zipf_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+      FROM documents
+    ), c AS (
+      SELECT w, COUNT(*) AS c FROM w GROUP BY w
+    ), r AS (
+      SELECT SUM(1) OVER (ORDER BY c DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS rank,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM c
+    ), t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c)
+    SELECT CAST(rank AS BIGINT) AS top_k,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           (SELECT total FROM t) AS total_tokens,
+           CAST(cum_tokens AS DOUBLE) / (SELECT total FROM t) AS coverage
+    FROM r WHERE rank IN (10, 100, 1000)
+    """,
+    doc="Zipf head-coverage diagnostic: the fraction of all token "
+        "occurrences covered by the top-10/100/1000 most frequent words "
+        "(ties broken by word) — the measurement behind every bounded-"
+        "head design decision in this engine (the BPE trainer's "
+        "max_words, the exact-Jaccard dense-vocabulary regime switch, "
+        "heavy-hitter counter sizing). Frequency-ordered rank and "
+        "cumulative coverage ride ONE shared multi-value distributed "
+        "prefix sum over the vocabulary (the oracle's global window is "
+        "the semantic spec, not the plan — a billion-word vocabulary "
+        "never funnels through one task).",
+    tags=("text", "profiling", "agg"),
+)
+def q_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    counts = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("neg_c", -F.col("c"))
+        .withColumn("one", F.lit(1))
+    )
+    cum = distributed_cumsum(
+        counts, ["neg_c", "w"], ["one", "c"], ["rank", "cum_tokens"]
+    )
+    tot = counts.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    return (
+        cum.filter(F.col("rank").isin(10, 100, 1000))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("bigint").alias("top_k"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            "total_tokens",
+            (
+                F.col("cum_tokens").cast("double") / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+    )

@@ -62,6 +62,8 @@ NLJ_OK = {
     "q_drift_ks",  # single-row (n_a, n_b) totals broadcast cross
     "q_negative_sampling",  # single-row corpus-size broadcast cross
     "q_contrastive_pairs",  # same corpus-size broadcast via negative_samples
+    "q_time_decay_agg",  # single-row max-date bounds broadcast cross
+    "q_zipf_coverage",  # single-row total-tokens broadcast cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
