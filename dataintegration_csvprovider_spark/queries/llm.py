@@ -109,39 +109,178 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=2, threshold=0.5)
 
 
+def _pair_exact_jaccard(
+    docs: DataFrame, pairs: DataFrame, k: int
+) -> DataFrame:
+    """Attach the EXACT word-k-shingle Jaccard to each candidate pair —
+    the per-pair verification a gate runs over an approximate pair
+    emitter's output. Cost is linear in #pairs (semi-join prunes the
+    shingle computation to pair endpoints), never all-pairs."""
+    from ..operators.dedup import _with_content, word_shingles
+
+    ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    g = (
+        _with_content(docs, "text", min_words=k)
+        .join(ids, "doc_id", "left_semi")
+        .select("doc_id", word_shingles(F.col("text"), k).alias("g"))
+    )
+    joined = pairs.join(
+        g.select(F.col("doc_id").alias("a"), F.col("g").alias("ga")), "a"
+    ).join(g.select(F.col("doc_id").alias("b"), F.col("g").alias("gb")), "b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = (
+        inter / (F.size("ga") + F.size("gb") - inter)
+    ).cast("double")
+    return joined.withColumn("jaccard", jac).drop("ga", "gb")
+
+
+def _b(c) -> F.Column:  # type: ignore[name-defined]
+    """Empty-input-tolerant gate boolean: NULL aggregate (no rows) is a
+    vacuous pass."""
+    return F.coalesce(c.cast("boolean"), F.lit(True))
+
+
 @register(
     "q_dedup_minhash",
-    oracle=None,  # xxhash64 signatures have no DuckDB twin → rows-only
-    doc="MinHash(64) + LSH(16x4) near-dup pairs, est_jaccard >= 0.5.",
-    tags=("dedup", "minhash"),
+    # xxhash64 signatures have no DuckDB twin, but the pair set is
+    # deterministic under the fixed seed, so its INVARIANTS are a fixed
+    # fact the oracle pins: every emitted pair is a true near-dup (exact
+    # 3-shingle Jaccard >= 0.5 — measured min 0.80 at sf0.1, 0.89-0.90
+    # at sf0.01/0.001), pairs are canonical (a < b) and distinct, and
+    # the signature-overlap estimate honors the threshold. Recall vs the
+    # exact truth is pinned separately by q_dedup_quality_gate (>= 0.8).
+    oracle="""
+    SELECT TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS est_range_ok,
+           TRUE AS jaccard_floor_ok
+    """,
+    doc="Gate over MinHash(64)+LSH(16x4) near-dup pairs at est_jaccard "
+        ">= 0.5: canonical ordering, distinctness, estimate range, and "
+        "per-pair EXACT 3-shingle Jaccard >= 0.5 (precision; linear in "
+        "#pairs — the exact check never goes all-pairs).",
+    tags=("dedup", "minhash", "quality"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    scored = _pair_exact_jaccard(docs, pairs, k=3)
+    return scored.agg(
+        _b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"),
+        _b(F.count(F.lit(1)) == F.count_distinct(F.col("a"), F.col("b"))).alias(
+            "distinct_ok"
+        ),
+        _b(
+            F.min(
+                (F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") <= 1.0)
+            )
+        ).alias("est_range_ok"),
+        _b(F.min(F.col("jaccard") >= 0.5)).alias("jaccard_floor_ok"),
+    )
 
 
 @register(
     "q_dedup_minhash_full",
-    oracle=None,
-    doc="Full near-dedup: LSH pairs → connected components → keep "
-        "component representative; returns surviving doc ids.",
-    tags=("dedup", "minhash"),
+    # the survivor set of LSH pairs -> connected components -> keep-one
+    # satisfies three structural laws REGARDLESS of the hash seed, and
+    # the oracle pins them: (1) survivors form an independent set in the
+    # candidate-pair graph (a component keeps exactly one member, so no
+    # emitted pair has both endpoints surviving); (2) every removed doc
+    # was an endpoint of at least one pair (nothing vanishes without
+    # evidence); (3) every unpaired doc survives (dedup never drops
+    # singletons).
+    oracle="""
+    SELECT TRUE AS independent_set_ok, TRUE AS removed_connected_ok,
+           TRUE AS unpaired_survive_ok
+    """,
+    doc="Gate over full near-dedup (LSH pairs → connected components → "
+        "min-id representative): independent-set / removed-connected / "
+        "singleton-survival laws asserted over the survivor set.",
+    tags=("dedup", "minhash", "quality"),
 )
 def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_near_minhash(docs, threshold=0.5).select("doc_id", "lang")
+    surv = dedup_near_minhash(docs, threshold=0.5).select("doc_id")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    both_survive = pairs.join(
+        surv.withColumnRenamed("doc_id", "a"), "a", "left_semi"
+    ).join(surv.withColumnRenamed("doc_id", "b"), "b", "left_semi")
+    endpoints = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    removed = docs.select("doc_id").join(surv, "doc_id", "left_anti")
+    removed_unconnected = removed.join(endpoints, "doc_id", "left_anti")
+    unpaired_dropped = (
+        docs.select("doc_id")
+        .join(endpoints, "doc_id", "left_anti")
+        .join(surv, "doc_id", "left_anti")
+    )
+    return (
+        both_survive.agg(F.count(F.lit(1)).alias("n_both"))
+        .crossJoin(
+            removed_unconnected.agg(F.count(F.lit(1)).alias("n_orphan"))
+        )
+        .crossJoin(unpaired_dropped.agg(F.count(F.lit(1)).alias("n_lost")))
+        .select(
+            (F.col("n_both") == 0).alias("independent_set_ok"),
+            (F.col("n_orphan") == 0).alias("removed_connected_ok"),
+            (F.col("n_lost") == 0).alias("unpaired_survive_ok"),
+        )
+    )
 
 
 @register(
     "q_dedup_simhash",
-    oracle=None,
-    doc="SimHash-64 (bigram features) near-dup pairs within hamming "
-        "distance 6, 16-bit-chunk blocked.",
-    tags=("dedup", "simhash"),
+    # simhash values are hash-derived (no DuckDB twin), but the blocked
+    # join's output obeys pinnable laws: canonical distinct pairs within
+    # the hamming budget; the banded path's hamming agrees with a direct
+    # recomputation from per-doc fingerprints (catches wrong-key blocking
+    # without trusting the blocking); and every emitted pair is a true
+    # near-dup (exact bigram Jaccard >= 0.5 — measured min 0.82 at
+    # sf0.1, 0.90-0.96 at sf0.01/0.001). Completeness is structural
+    # (pigeonhole over max_hamming+1 chunks guarantees recall 1.0 in
+    # simhash space) and quality-vs-truth recall is pinned by
+    # q_dedup_quality_gate.
+    oracle="""
+    SELECT TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS hamming_range_ok,
+           TRUE AS hamming_recompute_ok, TRUE AS jaccard_floor_ok
+    """,
+    doc="Gate over SimHash-64 (bigram features) near-dup pairs within "
+        "hamming distance 6: canonical ordering, distinctness, hamming "
+        "range + independent-path recomputation, per-pair exact bigram "
+        "Jaccard >= 0.5.",
+    tags=("dedup", "simhash", "quality"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _with_content, simhash
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=6)
+    pairs = simhash_near_dup_pairs(docs, max_hamming=6)
+    fps = simhash(_with_content(docs, "text", min_words=2), "text", "doc_id", 2)
+    rejoined = pairs.join(
+        fps.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")),
+        "a",
+    ).join(
+        fps.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")),
+        "b",
+    )
+    recomputed = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    scored = _pair_exact_jaccard(docs, rejoined, k=2)
+    return scored.agg(
+        _b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"),
+        _b(F.count(F.lit(1)) == F.count_distinct(F.col("a"), F.col("b"))).alias(
+            "distinct_ok"
+        ),
+        _b(
+            F.min((F.col("hamming") >= 0) & (F.col("hamming") <= 6))
+        ).alias("hamming_range_ok"),
+        _b(F.min(recomputed == F.col("hamming"))).alias("hamming_recompute_ok"),
+        _b(F.min(F.col("jaccard") >= 0.5)).alias("jaccard_floor_ok"),
+    )
 
 
 @register(
@@ -172,14 +311,54 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embedding_neardup_ivf",
-    oracle=None,  # IVF blocking is the approximate scale path → rows-only
-    doc="IVF-blocked embedding near-dup pairs (equi-join on centroid; "
-        "k-means-trained centers + 2-probe assignment by default).",
-    tags=("dedup", "embedding", "ivf"),
+    # IVF blocking is approximate by design, but under the fixed seeds
+    # its quality on the fixture is deterministic: recall >= 0.4 of the
+    # exact cosine>=0.3 pairs on the 1-in-5 sample (measured 0.73 at
+    # sf0.001, 0.67 at sf0.01, 0.58 at sf0.1 — uniform RANDOM vectors,
+    # the adversarial no-cluster case) and precision 1.0 (every blocked
+    # pair is scored exactly, so false pairs are impossible — asserted,
+    # not assumed). Distinct from q_embedding_neardup_trained, which
+    # pins the explicit trained+2-probe config at threshold 0.25; this
+    # gates the DEFAULT adaptive-centroid-count configuration at 0.3.
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS ordered_ok
+    """,
+    doc="Gate over IVF-blocked embedding near-dup pairs (default "
+        "adaptive k-means blocking, threshold 0.3, 1-in-5 sample): "
+        "recall >= 0.4 vs the exact pair set, zero false pairs, "
+        "canonical ordering.",
+    tags=("dedup", "embedding", "ivf", "quality"),
 )
 def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    exact = (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.3)
+        .select("a", "b")
+    )
+    blocked = embedding_near_dup_pairs(emb, threshold=0.3)
+    hits = exact.join(blocked.select("a", "b"), ["a", "b"], "left_semi")
+    false_pos = blocked.select("a", "b").join(exact, ["a", "b"], "left_anti")
+    ordered = blocked.agg(_b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"))
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("n_false")))
+        .crossJoin(ordered)
+        .select(
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_hit") >= 0.4 * F.col("n_exact"))
+            ).alias("recall_ok"),
+            (F.col("n_false") == 0).alias("precision_ok"),
+            "ordered_ok",
+        )
+    )
 
 
 @register(
@@ -248,29 +427,104 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def _knn_gate(
+    emb: DataFrame,
+    result: DataFrame,
+    query_vec: list[float],
+    k: int,
+    min_recall_hits: int,
+) -> DataFrame:
+    """Shared ANN gate body: k rows, distinct ids, reported cosine agrees
+    with an independent recomputation from the corpus (catches wrong id
+    mapping / wrong distance), recall@k vs exact brute force >= the
+    pinned floor."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    exact = knn_bruteforce(emb, query_vec, k=k).select("vec_id")
+    rechecked = result.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).withColumn(
+        "__recos", cosine_similarity_expr(F.col("embedding"), q)
+    )
+    consistency = rechecked.agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        _b(F.min(F.abs(F.col("__recos") - F.col("cosine")) <= 1e-9)).alias(
+            "cosine_consistent_ok"
+        ),
+    )
+    return (
+        result.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) == F.count_distinct("vec_id")).alias(
+                "distinct_ok"
+            ),
+        )
+        .crossJoin(consistency)
+        .crossJoin(
+            exact.join(result.select("vec_id"), "vec_id", "left_semi").agg(
+                (F.count(F.lit(1)) >= min_recall_hits).alias("recall_ok")
+            )
+        )
+        .select(
+            "n_rows",
+            "distinct_ok",
+            (F.col("n_joined") == F.col("n_rows")).alias("ids_valid_ok"),
+            "cosine_consistent_ok",
+            "recall_ok",
+        )
+    )
+
+
 @register(
     "q_knn_lsh",
-    oracle=None,  # approximate by design → rows-only
-    doc="Random-hyperplane LSH top-10 with hamming-1 multi-probe.",
-    tags=("similarity", "lsh"),
+    # approximate by design, but deterministic under the fixed
+    # hyperplane seed, so the oracle pins invariants instead of the row
+    # set: exactly k distinct candidates, each reported cosine agreeing
+    # with an independent recomputation from the corpus, and recall@10
+    # >= 0.1 vs exact brute force. The floor is deliberately low: on
+    # this fixture's uniform RANDOM embeddings (no true neighbors)
+    # bucket overlap with the exact top-10 is weak by nature — measured
+    # 0.2 at sf0.001, 0.3 at sf0.01/0.1 — so the gate catches
+    # catastrophic breakage (empty probes, wrong bucketing) without
+    # gating on noise.
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_rows, TRUE AS distinct_ok,
+           TRUE AS ids_valid_ok, TRUE AS cosine_consistent_ok,
+           TRUE AS recall_ok
+    """,
+    doc="Gate over random-hyperplane LSH top-10 (hamming-1 multi-probe): "
+        "k distinct valid ids, independently-recomputed cosines, "
+        "recall@10 >= 0.1 vs brute force.",
+    tags=("similarity", "lsh", "quality"),
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_lsh(emb, _query_vec(spark, sf_dir), k=10)
+    qv = _query_vec(spark, sf_dir)
+    return _knn_gate(emb, knn_lsh(emb, qv, k=10), qv, k=10, min_recall_hits=1)
 
 
 @register(
     "q_knn_ivf",
-    oracle=None,  # approximate by design → rows-only
-    doc="IVF top-10: deterministic seed centroids, probe 4 of 16 "
-        "partitions.",
-    tags=("similarity", "ivf"),
+    # deterministic under seed centroids; measured recall@10 0.9 at
+    # sf0.001 and 1.0 at sf0.01/0.1, pinned >= 0.5 (the same floor
+    # q_knn_recall_gate uses for this config).
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_rows, TRUE AS distinct_ok,
+           TRUE AS ids_valid_ok, TRUE AS cosine_consistent_ok,
+           TRUE AS recall_ok
+    """,
+    doc="Gate over IVF top-10 (seed centroids, probe 4 of 16): k "
+        "distinct valid ids, independently-recomputed cosines, "
+        "recall@10 >= 0.5 vs brute force.",
+    tags=("similarity", "ivf", "quality"),
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_ivf(emb, _query_vec(spark, sf_dir), k=10, n_probe=4)
+    qv = _query_vec(spark, sf_dir)
+    return _knn_gate(
+        emb, knn_ivf(emb, qv, k=10, n_probe=4), qv, k=10, min_recall_hits=5
+    )
 
 
 # --------------------------------------------------------------------------

@@ -401,29 +401,71 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pca_project",
-    oracle=None,  # eigendecomposition is not SQL-expressible; invariants
-    # (trace identity, orthonormality, per-axis variance == eigenvalue,
-    # whitened variance == 1, numpy parity) are pinned in
-    # tests/test_linalg.py
-    doc="PCA projection of the embedding corpus onto k=4 fitted "
-        "components (operators/linalg.py pca_fit/pca_project): "
-        "distributed covariance (exact decimal path), driver-side d x d "
-        "eigh with a deterministic sign pin, projection as k "
-        "sequential-order JVM dot-product expressions (whole-stage "
-        "codegen, no Python in the per-row path). Rows-only check; the "
-        "linear-algebra invariants live in pytest.",
-    tags=("mlprep", "linalg", "embedding"),
+    # eigendecomposition is not SQL-expressible, but the PROJECTED data
+    # obeys exact linear-algebra laws the oracle pins per component:
+    # projections are centered (mean 0), the per-axis variance equals
+    # the fitted eigenvalue, axes are pairwise uncorrelated (component
+    # orthogonality observed through the data), and eigenvalues descend.
+    # All four are asserted over the DISTRIBUTED projection output — the
+    # full pca_fit -> pca_project path runs, the gate is one aggregate
+    # over it. Numpy parity lives in tests/test_linalg.py.
+    oracle="""
+    SELECT CAST(i + 1 AS INT) AS comp, TRUE AS mean_zero_ok,
+           TRUE AS var_matches_ok, TRUE AS ortho_ok, TRUE AS desc_ok
+    FROM range(4) t(i)
+    """,
+    doc="Gate over PCA projection of the embedding corpus onto k=4 "
+        "fitted components (operators/linalg.py pca_fit/pca_project): "
+        "per-component centering, variance==eigenvalue, pairwise "
+        "decorrelation, descending spectrum — asserted over the "
+        "distributed projection (exact-decimal covariance path, "
+        "driver-side d x d eigh, JVM dot-product projection).",
+    tags=("mlprep", "linalg", "embedding", "quality"),
 )
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linalg import pca_fit, pca_project
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, "embedding", k=4)
-    proj = pca_project(emb, model, "embedding", out_col="pc")
-    return proj.select(
-        "vec_id",
-        *[F.col("pc")[r].alias(f"pc{r + 1}") for r in range(4)],
+    k = 4
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
     )
+    model = pca_fit(emb, "embedding", k=k)
+    ev = [float(v) for v in model["eigenvalues"]]
+    proj = pca_project(emb, model, "embedding", out_col="pc")
+    aggs = []
+    for r in range(k):
+        aggs.append(F.avg(F.col("pc")[r]).alias(f"m{r}"))
+        aggs.append(F.avg(F.col("pc")[r] * F.col("pc")[r]).alias(f"s{r}"))
+        for s in range(r + 1, k):
+            aggs.append(F.avg(F.col("pc")[r] * F.col("pc")[s]).alias(f"x{r}_{s}"))
+    stats = proj.agg(*aggs)
+    rows = []
+    for r in range(k):
+        var_r = F.col(f"s{r}") - F.col(f"m{r}") * F.col(f"m{r}")
+        cross_terms = [
+            F.abs(
+                F.col(f"x{min(r, s)}_{max(r, s)}")
+                - F.col(f"m{r}") * F.col(f"m{s}")
+            )
+            for s in range(k)
+            if s != r
+        ]
+        max_cross = cross_terms[0]
+        for t in cross_terms[1:]:
+            max_cross = F.greatest(max_cross, t)
+        tol = 1e-6 * max(ev[r], 1e-9)
+        rows.append(
+            F.struct(
+                F.lit(r + 1).cast("int").alias("comp"),
+                (F.abs(F.col(f"m{r}")) <= 1e-6).alias("mean_zero_ok"),
+                (F.abs(var_r - F.lit(ev[r])) <= tol).alias("var_matches_ok"),
+                (max_cross <= 1e-6).alias("ortho_ok"),
+                F.lit(r == 0 or ev[r] <= ev[r - 1] + 1e-12).alias("desc_ok"),
+            )
+        )
+    exploded = stats.select(F.explode(F.array(*rows)).alias("g"))
+    return exploded.select("g.comp", "g.mean_zero_ok", "g.var_matches_ok",
+                           "g.ortho_ok", "g.desc_ok")
 
 
 @register(
@@ -657,26 +699,72 @@ def q_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_grouped_pca",
-    oracle=None,  # per-group eigendecomposition is not SQL-expressible;
-    # numpy parity and determinism are pinned in tests/test_linalg.py
-    doc="Per-label PCA scree summary (operators/linalg.py "
-        "grouped_pca_summary): top-2 eigenvalues + explained-variance "
-        "ratio of each label group's covariance, one eigh per group "
-        "inside the Arrow worker (grouped-map applyInPandas) — the "
-        "many-small-models regime complementing q_pca_project's "
-        "one-big-model driver eigh: thousands of per-domain groups "
-        "parallelize across the cluster and no vector reaches the "
-        "driver. Worker-side rows sort by vec_id so float accumulation "
-        "order is pinned. Rows-only check; invariants in pytest.",
-    tags=("mlprep", "linalg", "embedding"),
+    # per-group eigendecomposition is not SQL-expressible, but each
+    # group's scree output obeys laws the oracle pins per label: exactly
+    # k components, nonnegative descending eigenvalues, explained_ratio
+    # consistent with eigenvalue / trace where the TRACE is recomputed
+    # independently in Spark SQL (sum of per-dimension population
+    # variances — a quantity DuckDB could also compute), and the top-k
+    # eigenvalue mass bounded by the trace. The group row count n is a
+    # full value check against the oracle's COUNT(*). Numpy parity in
+    # tests/test_linalg.py.
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS k_ok,
+           TRUE AS nonneg_ok, TRUE AS desc_ok, TRUE AS ratio_ok,
+           TRUE AS bound_ok
+    FROM embeddings WHERE embedding IS NOT NULL
+    GROUP BY label HAVING COUNT(*) >= 2
+    """,
+    doc="Gate over per-label PCA scree summary (operators/linalg.py "
+        "grouped_pca_summary, grouped-map applyInPandas — the "
+        "many-small-models regime): per-label component count, "
+        "spectrum sign/order, explained-ratio consistency vs an "
+        "independently-aggregated trace, Bessel bound; n value-checked.",
+    tags=("mlprep", "linalg", "embedding", "quality"),
 )
 def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linalg import grouped_pca_summary
 
+    k = 2
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    return grouped_pca_summary(emb, group_col="label", k=2)
+    summ = grouped_pca_summary(emb, group_col="label", k=k)
+    xi = emb.select("label", F.posexplode("embedding").alias("i", "x")).select(
+        "label", "i", F.col("x").cast("double").alias("x")
+    )
+    trace = (
+        xi.groupBy("label", "i")
+        .agg(
+            (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias(
+                "v"
+            )
+        )
+        .groupBy("label")
+        .agg(F.sum("v").alias("trace"))
+    )
+    j = summ.join(trace, "label")
+    ev_first = F.max(F.when(F.col("comp") == 0, F.col("eigenvalue")))
+    ev_last = F.max(F.when(F.col("comp") == k - 1, F.col("eigenvalue")))
+    return j.groupBy("label").agg(
+        F.min("n").cast("bigint").alias("n"),
+        (F.count(F.lit(1)) == k).alias("k_ok"),
+        (F.min("eigenvalue") >= -1e-9).alias("nonneg_ok"),
+        (ev_first >= ev_last - 1e-12).alias("desc_ok"),
+        (
+            F.max(
+                F.abs(
+                    F.col("explained_ratio")
+                    - F.col("eigenvalue") / F.col("trace")
+                )
+            )
+            <= 1e-6
+        ).alias("ratio_ok"),
+        (
+            F.sum("eigenvalue")
+            <= F.min("trace") * (1 + 1e-9) + 1e-12
+        ).alias("bound_ok"),
+    )
 
 
 @register(

@@ -88,10 +88,24 @@ def q_regexp_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stratified_sample",
-    oracle=None,  # seeded sampling is engine-specific → rows-only
-    doc="Stratified sample: 50% of BUILDING, 10% of the rest (seeded, "
-        "deterministic within Spark).",
-    tags=("sample",),
+    # seeded Bernoulli sampling is engine- AND partitioning-specific, so
+    # the sampled ROW SET has no cross-engine oracle — but its laws do:
+    # the sample is a duplicate-free subset of the input, and each
+    # stratum's observed fraction sits inside a wide Bernoulli band
+    # around its target (p/3 .. 2.5p, asserted only when the stratum has
+    # >= 100 rows so tiny fixtures can't fail on variance; measured
+    # 0.099-0.135 against p=0.1 and 0.505-0.54 against p=0.5 at
+    # sf0.01/0.1). The exact-sample companion q_stratified_sample_det
+    # (hash-rank based) is fully value-checked.
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS distinct_ok, TRUE AS frac_ok
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Gate over the seeded stratified sample (50% of BUILDING, 10% "
+        "of the rest): per-stratum subset distinctness and observed "
+        "fraction within the Bernoulli band of its target.",
+    tags=("sample", "quality"),
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -101,8 +115,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in cust.select("c_mktsegment").distinct().collect()
         if r.c_mktsegment != "BUILDING"
     }
-    return cust.sampleBy("c_mktsegment", {**fractions, **other}, seed=42).select(
-        "c_custkey", "c_mktsegment"
+    samp = cust.sampleBy(
+        "c_mktsegment", {**fractions, **other}, seed=42
+    ).select("c_custkey", "c_mktsegment")
+    totals = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    sampled = samp.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_samp"),
+        F.count_distinct("c_custkey").alias("n_distinct"),
+    )
+    p = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(0.5)).otherwise(
+        F.lit(0.1)
+    )
+    joined = totals.join(sampled, "c_mktsegment", "left").select(
+        "c_mktsegment",
+        "n_total",
+        F.coalesce(F.col("n_samp"), F.lit(0)).alias("n_samp"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        p.alias("p"),
+    )
+    return joined.select(
+        "c_mktsegment",
+        "n_total",
+        (F.col("n_distinct") == F.col("n_samp")).alias("distinct_ok"),
+        (
+            (F.col("n_total") < 100)
+            | (
+                (F.col("n_samp") >= F.col("n_total") * F.col("p") / 3)
+                & (F.col("n_samp") <= F.col("n_total") * F.col("p") * 2.5)
+            )
+        ).alias("frac_ok"),
     )
 
 
