@@ -124,6 +124,20 @@ def gram_arrow(df: DataFrame, vec_col: str = "embedding") -> tuple[
             if not rows:
                 continue
             x = np.asarray(rows, dtype=np.float64)
+            # ragged embedding columns build an object array (ndim 1) or
+            # a width that differs across batches; fail with a clear
+            # message instead of an opaque broadcast error mid-accumulate
+            if x.ndim != 2:
+                raise ValueError(
+                    "gram_arrow: ragged embedding column — all vectors "
+                    "must have the same length (np.asarray gave "
+                    f"ndim={x.ndim}); pre-validate with covariance_exact"
+                )
+            if s is not None and x.shape[1] != s.shape[0]:
+                raise ValueError(
+                    "gram_arrow: embedding length changed within a "
+                    f"partition: {s.shape[0]} then {x.shape[1]}"
+                )
             if s is None:
                 s = np.zeros(x.shape[1])
                 g = np.zeros((x.shape[1], x.shape[1]))

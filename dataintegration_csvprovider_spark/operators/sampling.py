@@ -339,10 +339,13 @@ def prototype_prune(
     ).distinct().collect()
     if len(d) == 0:
         # empty-input tolerance (the registry convention): empty audit
-        # table with the output schema, not a crash
+        # table with the output schema, not a crash; id/bucket types
+        # mirror the caller's so empty and non-empty paths union cleanly
+        id_t = df.schema[id_col].dataType.simpleString()
+        b_t = df.schema[bucket_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [],
-            f"{id_col} long, bucket long, n_bucket bigint, "
+            f"{id_col} {id_t}, bucket {b_t}, n_bucket bigint, "
             "dist2 double, keep_rank bigint, kept boolean",
         )
     if len(d) != 1:
@@ -427,8 +430,11 @@ def negative_samples(
     row's k negatives are possible (sampling WITH replacement across j),
     exactly like hash-bucketed in-batch negatives in production trainers.
 
-    Returns (anchor=id, j, neg=id of the drawn negative). Requires
-    N >= 2.
+    Returns (anchor=id, j, neg=id of the drawn negative). With N < 2
+    there is nothing to draw: the result is empty (guarded — no
+    modulo-by-zero under ANSI mode). The offset product is computed in
+    decimal(38,0) so ``i * K`` stays exact far past the ~3.4e9-row point
+    where a bigint multiply would wrap (decimal headroom: 1e19 rows).
     """
     from .scale import distributed_cumsum
 
@@ -440,23 +446,31 @@ def negative_samples(
         (F.col("__rank") - 1).alias("__idx"),
     )
     tot = idx.agg((F.max("__idx") + 1).cast("bigint").alias("__n"))
-    anchors = idx.crossJoin(F.broadcast(tot)).select(
-        "__id", "__idx", "__n",
-        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    anchors = (
+        idx.crossJoin(F.broadcast(tot))
+        # N < 2: no other row exists to draw — empty result, and the
+        # (N - 1) modulus below never sees zero
+        .filter(F.col("__n") >= 2)
+        .select(
+            "__id", "__idx", "__n",
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        )
     )
+    # decimal(20,0) x decimal(10,0) -> decimal(31,0): exact, under the
+    # 38-digit cap, so the multiply can never silently wrap or round
     targets = anchors.withColumn(
         "__tgt",
         (
             F.col("__idx")
             + 1
-            + (
-                (
-                    F.col("__idx") * F.lit(_KNUTH)
-                    + F.col("j") * F.lit(2246822519)
-                    + F.lit(salt)
-                )
-                % (F.col("__n") - 1)
-            )
+            + F.pmod(
+                F.col("__idx").cast("decimal(20,0)")
+                * F.lit(_KNUTH).cast("decimal(10,0)")
+                + F.col("j").cast("decimal(20,0)")
+                * F.lit(2246822519).cast("decimal(10,0)")
+                + F.lit(salt).cast("decimal(20,0)"),
+                (F.col("__n") - 1).cast("decimal(20,0)"),
+            ).cast("bigint")
         )
         % F.col("__n"),
     )

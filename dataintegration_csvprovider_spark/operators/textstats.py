@@ -358,7 +358,12 @@ def filter_funnel(
 
     survive = F.lit(True)
     aggs = [F.count(F.lit(1)).alias("__n0")]
-    for i, (_, pred) in enumerate(rules, start=1):
+    for i, (_, raw_pred) in enumerate(rules, start=1):
+        # NULL keep-predicates (e.g. a comparison on a NULL column) count
+        # as failures AT THIS STAGE — otherwise the row is in n_in but in
+        # neither n_failed_here nor n_surviving and the funnel identity
+        # n_failed_here + n_surviving == n_in silently breaks
+        pred = F.coalesce(raw_pred, F.lit(False))
         prev = survive
         survive = survive & pred
         aggs.append(

@@ -198,8 +198,13 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # both legs derive from the same events scan: alias the join key on
+    # one side and join on the RENAMED column, so Spark never sees a
+    # same-lineage `.col == .col` predicate (which warns "trivially true"
+    # and can degrade to a cross join under refactoring — same fix as
+    # q_label_centroid_similarity)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
+        F.col("user_id").alias("p_user_id"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
         F.col("value").alias("revenue"),
@@ -212,9 +217,9 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = purchases.join(
         touches,
-        (purchases.user_id == touches.user_id)
-        & (touches.ts <= purchases.p_ts)
-        & (touches.ts >= purchases.p_ts - F.expr("INTERVAL 24 HOURS")),
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
     )
     w = Window.partitionBy("purchase_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()

@@ -259,12 +259,18 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view-value and click-value series: all five moments come from "
         "decimal-accumulated window sums (order-independent), the "
         "final expression is rational + sqrt (both IEEE-exact), so the "
-        "correlation stream matches the oracle bit-for-bit. The single "
-        "global-window series is a deliberately tiny intermediate: the "
-        "wide data stays in the hourly pre-aggregation shuffle.",
+        "correlation stream matches the oracle bit-for-bit. The "
+        "trailing window runs BLOCK-PARTITIONED: rows get a dense "
+        "global index from the distributed prefix sum, blocks of 256 "
+        "rows each carry a copy of the previous block's last 23 rows, "
+        "and the 24-row frame runs per-block in parallel — no "
+        "single-task global window even when the hourly series spans "
+        "decades (verdict r5 item 6).",
     tags=("timeseries", "window", "corr"),
 )
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import distributed_cumsum
+
     ev = load_table(spark, sf_dir, "events")
     dec = "decimal(18,6)"
     hourly = (
@@ -287,18 +293,31 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("y", F.lit(0.0)).alias("y"),
         )
     )
-    w = Window.orderBy("h").rowsBetween(-23, 0)
-    stats = hourly.select(
+    # dense 1-based global row index in h order, no single-task window
+    B = 256  # block size; each block's task sees B + 23 rows
+    indexed = distributed_cumsum(
+        hourly.withColumn("__one", F.lit(1)), "h", "__one", "__i"
+    ).drop("__one")
+    blk = F.expr(f"CAST((__i - 1) DIV {B} AS BIGINT)")
+    native = indexed.select("*", blk.alias("__blk"), F.lit(False).alias("__carry"))
+    # last 23 rows of each block are REPLAYED into the next block so its
+    # earliest native rows still see their full 24-row trailing frame
+    carry = indexed.filter((F.col("__i") - 1) % B >= B - 23).select(
+        "*", (blk + 1).alias("__blk"), F.lit(True).alias("__carry")
+    )
+    w = Window.partitionBy("__blk").orderBy("__i").rowsBetween(-23, 0)
+    stats = native.unionByName(carry).select(
         "h",
         "x",
         "y",
+        "__carry",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum(F.col("x").cast(dec)).over(w).cast("double").alias("sx"),
         F.sum(F.col("y").cast(dec)).over(w).cast("double").alias("sy"),
         F.sum((F.col("x") * F.col("y")).cast(dec)).over(w).cast("double").alias("sxy"),
         F.sum((F.col("x") * F.col("x")).cast(dec)).over(w).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).cast("double").alias("syy"),
-    )
+    ).filter(~F.col("__carry"))
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(
             F.greatest(
