@@ -265,3 +265,86 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 50).alias("dst"),
     )
     return personalized_pagerank(edges, seeds=[0, 1, 2])
+
+
+@register(
+    "q_components_zipf_gate",
+    # the component LABELS are fully determined by the deterministic
+    # graph construction (every node reaches hub 1), so the oracle
+    # value-checks the node/label counts and pins the structural gates:
+    # every node labeled with component 1, hub skew actually present
+    # (top decimal block holds >= 50% of nodes — measured 0.80 at
+    # sf0.001/0.01/0.1), and the large-star/small-star round count
+    # within the O(log n) budget (measured 3 rounds at every SF incl. the
+    # fixpoint confirmation; pinned <= 12) — the skew probe the r5
+    # verdict asked for: naive min-label propagation would need ~200
+    # rounds for the chain segment alone.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_labeled,
+           TRUE AS all_one_component_ok,
+           TRUE AS skew_ok,
+           TRUE AS rounds_ok
+    FROM documents WHERE doc_id >= 1
+    """,
+    doc="Scale-hardening gate for connected components (operators/"
+        "components.py, Kiveris et al. large-star/small-star) on a "
+        "deliberately adversarial deterministic graph over the document "
+        "ids: Zipf-skewed hubs (every node links to 10^(digits-1), so "
+        "the top hub collects ~80% of all nodes — the high-degree "
+        "regime where a collect_list design would OOM one task; this "
+        "engine uses window minima), a hub backbone (10^k -> 10^(k-1)), "
+        "and a 200-node chain (the long-diameter regime where naive "
+        "label propagation needs diameter rounds). Asserts: all nodes "
+        "labeled, single component with min id 1, skew present, and "
+        "round count <= 12 (O(log n), measured 3 at sf0.001-0.1).",
+    tags=("graph", "components", "quality", "scale"),
+)
+def q_components_zipf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components_stats
+
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 1)
+        .select(F.col("doc_id").alias("i"))
+    )
+    # hub(i) = 10^(decimal digits of i - 1), exact integer arithmetic in
+    # both engines (string build, no float log)
+    hub = F.concat(
+        F.lit("1"),
+        F.repeat(F.lit("0"), F.length(F.col("i").cast("string")) - 1),
+    ).cast("bigint")
+    hubs = nodes.select("i", hub.alias("h"))
+    e1 = hubs.filter(F.col("i") != F.col("h")).select(
+        F.col("i").alias("src"), F.col("h").alias("dst")
+    )
+    e2 = hubs.filter((F.col("i") == F.col("h")) & (F.col("i") >= 10)).select(
+        F.col("i").alias("src"), F.expr("i DIV 10").alias("dst")
+    )
+    e3 = nodes.filter((F.col("i") >= 2) & (F.col("i") <= 200)).select(
+        F.col("i").alias("src"), (F.col("i") - 1).alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    labels, rounds = connected_components_stats(edges)
+    top = hubs.agg(F.max("h").alias("ht"))
+    skew = hubs.crossJoin(F.broadcast(top)).agg(
+        (
+            F.sum((F.col("h") == F.col("ht")).cast("long"))
+            >= 0.5 * F.count(F.lit(1))
+        ).alias("skew_ok")
+    )
+    return (
+        labels.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_labeled"),
+            F.min(F.col("component") == 1).alias("all_one_component_ok"),
+        )
+        .crossJoin(nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+        .crossJoin(skew)
+        .select(
+            "n_nodes",
+            "n_labeled",
+            "all_one_component_ok",
+            "skew_ok",
+            F.lit(rounds <= 12).alias("rounds_ok"),
+        )
+    )

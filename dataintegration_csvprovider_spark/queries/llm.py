@@ -1279,6 +1279,203 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_pipeline_full",
+    # the verdict-r5 "demo a real user runs first": the WHOLE curation
+    # chain as one query, value-checked end to end — quality funnel ->
+    # ExactSubstr scrub (Lee et al.) -> near-dedup (exact bigram
+    # Jaccard + connected components; the documented oracle-grade swap
+    # for LSH) -> Hamilton mixture apportionment -> token-balanced
+    # shard manifest. The oracle replays every stage in SQL, clean-text
+    # token lists included, so the manifest is a full value check.
+    oracle="""
+    WITH RECURSIVE
+    f AS (
+      SELECT doc_id, lang, text FROM documents WHERE n_chars >= 60
+    ), toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM f
+    ), grams0 AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i : i + 9], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, GREATEST(len(toks) - 9, 0))) AS t(i)
+    ), dup AS (
+      SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) >= 2
+    ), marked AS (
+      SELECT g.doc_id, g.pos FROM grams0 g JOIN dup USING (gram)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), islanded AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 9) AS e
+      FROM islanded GROUP BY doc_id, island
+    ), iv AS (
+      SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS iv
+      FROM spans GROUP BY doc_id
+    ), cleaned AS (
+      SELECT t.doc_id, t.lang,
+             list_filter(t.toks,
+               (tok, j) -> len(list_filter(COALESCE(v.iv, []),
+                                s -> j - 1 >= s.s AND j - 1 <= s.e)) = 0)
+               AS ctoks
+      FROM toks t LEFT JOIN iv v USING (doc_id)
+    ), c2 AS (
+      SELECT doc_id, lang, ctoks, CAST(len(ctoks) AS BIGINT) AS n_tokens
+      FROM cleaned WHERE len(ctoks) >= 10
+    ), bg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ctoks)),
+               i -> ctoks[i] || ' ' || ctoks[i + 1])) AS grams
+      FROM c2
+    ), p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))) >= 0.7
+    ), e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    ), comp AS (SELECT node, MIN(lab) AS component FROM reach
+                GROUP BY node),
+    removed AS (SELECT node FROM comp WHERE node != component),
+    surv AS (
+      SELECT c.* FROM c2 c LEFT JOIN removed r ON c.doc_id = r.node
+      WHERE r.node IS NULL
+    ), counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_available
+      FROM surv GROUP BY lang
+    ), w AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('de', 0.125), ('zh', 0.125),
+                            ('fr', 0.125), ('es', 0.125)) AS t(lang, wt)
+    ), g AS (
+      SELECT c.lang, c.n_available,
+             CAST(wt AS DOUBLE) / 1.0 * 200.0 AS quota_raw
+      FROM counts c JOIN w USING (lang)
+    ), seats AS (
+      SELECT lang, n_available, CAST(FLOOR(quota_raw) AS BIGINT) AS base,
+             quota_raw - FLOOR(quota_raw) AS rem
+      FROM g
+    ), ranked AS (
+      SELECT lang, n_available, base, rem,
+             CAST(200 - SUM(base) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+      FROM seats
+    ), quotas AS (
+      SELECT lang, n_available,
+             LEAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END,
+                   n_available) AS quota
+      FROM ranked
+    ), picked AS (
+      SELECT s.doc_id, s.lang, s.n_tokens, q.quota,
+             ROW_NUMBER() OVER (PARTITION BY s.lang
+                                ORDER BY s.n_tokens DESC, s.doc_id) AS rn
+      FROM surv s JOIN quotas q USING (lang)
+    ), sel AS (
+      SELECT doc_id, n_tokens FROM picked WHERE rn <= quota
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens
+      FROM sel
+    ), t2 AS (SELECT SUM(n_tokens) AS total FROM sel),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             LEAST(((cum_tokens - n_tokens) * 4) // total, 3) AS shard_id
+      FROM cum, t2
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sharded GROUP BY shard_id
+    """,
+    doc="END-TO-END curation pipeline, one query: quality funnel "
+        "(n_chars >= 60) -> ExactSubstr duplicated-substring scrub at "
+        "min_tokens=10 (operators/dedup.py exact_substring_dedup) -> "
+        "post-scrub refilter (>= 10 clean tokens) -> exact bigram-"
+        "Jaccard near-dedup at 0.7 + connected components, keep "
+        "min-doc_id representative (the oracle-grade swap for the LSH "
+        "pair emitter, per the dedup module's documented production "
+        "path) -> largest-remainder mixture apportionment to a 200-doc "
+        "budget (en .5 / de,es,fr,zh .125, order by clean tokens) -> "
+        "token-balanced 4-shard assignment over the distributed prefix "
+        "sum. Output is the shard MANIFEST a training job consumes. "
+        "Every stage is the already-verified operator; the composition "
+        "pays one gram-keyed shuffle (scrub), one pair join + "
+        "iterative components on the PAIR graph only, two group-keyed "
+        "windows, and the prefix-sum range shuffle — nothing "
+        "all-pairs, nothing driver-side beyond #groups/#partition "
+        "rows.",
+    tags=("pipeline", "dedup", "curation", "sampling", "sharding"),
+)
+def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, exact_substring_dedup
+    from ..operators.sampling import apportion_mixture
+    from ..operators.scale import token_balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    surv1 = docs.filter(F.col("n_chars") >= 60)
+    scrub = exact_substring_dedup(
+        surv1.select("doc_id", "text"), min_tokens=10
+    )
+    cleaned = (
+        scrub.select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            F.size(
+                F.filter(
+                    F.split("clean_text", " "), lambda t: t != F.lit("")
+                )
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 10)
+        .join(surv1.select("doc_id", "lang"), "doc_id")
+    )
+    pairs = ngram_jaccard_pairs(cleaned, n=2, threshold=0.7)
+    comps = connected_components(pairs)
+    removed = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv2 = cleaned.join(removed, "doc_id", "left_anti")
+    sel = apportion_mixture(
+        surv2.select("doc_id", "lang", "n_tokens"),
+        weights={"en": 0.5, "de": 0.125, "zh": 0.125, "fr": 0.125,
+                 "es": 0.125},
+        total=200,
+        group_col="lang",
+        id_col="doc_id",
+        order_col="n_tokens",
+    )
+    sharded = token_balanced_shards(
+        sel.select("doc_id", "n_tokens"), "doc_id", "n_tokens", n_shards=4
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+@register(
     "q_grouped_fit",
     oracle="""
     WITH t AS (

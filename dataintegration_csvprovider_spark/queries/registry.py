@@ -132,7 +132,15 @@ _GRADE_FIRST = [
     "q_dedup_simhash",
     "q_embedding_neardup_ivf",
     "q_stratified_sample",
-    # ---- round-6 additions fill the rest of the window
+    # ---- round-6 additions
+    "q_curation_pipeline_full",
+    "q_components_zipf_gate",
+    # ---- queries whose code changed in round 6 (advisor fixes / plan
+    # rewrites): re-grade so the driver confirms the change is neutral
+    "q_rolling_corr",
+    "q_last_touch_attribution",
+    "q_negative_sampling",
+    "q_filter_funnel",
 ]
 
 

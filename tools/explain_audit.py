@@ -56,6 +56,8 @@ NLJ_OK = {
     "q_dedup_incremental",  # 1x1x1-row crossJoin of gate-count aggregates
     "q_leakage_safe_split_lsh",  # 1x1x1-row crossJoin of gate aggregates
     "q_shard_balanced",  # single-row Σtokens aggregate broadcast cross
+    "q_curation_pipeline_full",  # same single-row Σtokens cross via token_balanced_shards
+    "q_components_zipf_gate",  # 1x1x1-row crossJoin of gate aggregates + top-hub broadcast
     "q_skew_stats",  # single-row top-k aggregate broadcast cross
     "q_lm_quality_score",  # single-row vocab-size aggregate broadcast cross
     "q_dsir_importance",  # single-row (N_raw, N_tgt, V) totals broadcast cross
