@@ -41,8 +41,12 @@ HEADLINE = (
     "q_asof_join",
     "q_sessionize_batch",
     "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
+    # round-6: q_dedup_minhash / q_dedup_simhash became verification
+    # GATES (per-pair exact-Jaccard precision checks); the bench keeps
+    # timing the raw pair EMITTERS via the EXTRA entries below — same
+    # computation r1-r5 timed under the registry names
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
     "q_dedup_ngram_jaccard",
     # round-5: ExactSubstr (suffix-array family semantics) via the
     # duplicated-window cover — one gram-keyed shuffle, no suffix array
@@ -115,7 +119,43 @@ HEADLINE = (
     "q_prototype_prune",
     "q_span_corruption",
     "q_stream_training_ingest",
+    # NOT q_curation_pipeline_full (13.1s isolated at sf0.1): the
+    # composite's cost is dominated by its oracle-grade exact
+    # bigram-Jaccard near-dedup stage and the ExactSubstr scrub, both
+    # already benched standalone (q_dedup_ngram_jaccard,
+    # q_exact_substring_dedup) — same Σdf² reasoning as
+    # q_curation_keep_best above. The production swap for its pair
+    # stage is the LSH path benched via q_split_lsh_summary.
 )
+
+
+def _minhash_pairs(spark, sf_dir):
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+
+
+def _simhash_pairs(spark, sf_dir):
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+#: operator-level bench entries with no 1:1 registry query (their
+#: registry twins are correctness gates whose cost is the verification
+#: harness, not the operator)
+EXTRA = {
+    "minhash_neardup_pairs": _minhash_pairs,
+    "simhash_neardup_pairs": _simhash_pairs,
+}
 
 
 def _force(df) -> int:
@@ -131,10 +171,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    fns = {
+        n: (EXTRA[n] if n in EXTRA else registry[n].fn)
+        for n in HEADLINE
+        if n in registry or n in EXTRA
+    }
+    names = list(fns)
 
     # warm the JVM + parquet footers once so timings measure the queries
-    registry[names[0]].fn(spark, sf_dir).limit(1).collect()
+    fns[names[0]](spark, sf_dir).limit(1).collect()
 
     # round-over-round drift audit (r1→r2 showed a uniform 1.29x on the
     # common queries): isolated vs in-suite timings match and neither the
@@ -142,6 +187,13 @@ def main() -> None:
     # machine load, not a plan regression. gc between queries keeps it
     # that way — dropping Python DataFrame refs lets py4j release
     # localCheckpoint blocks some queries pin in the block manager.
+    # Same signature recurred r4→r5 (near-uniform +13% on 48 unchanged
+    # queries, top deltas q_embedding_centroid 1.51x / q_join_inner
+    # 1.46x / q_window_topk_per_group 1.47x) and was re-adjudicated by
+    # an ISOLATED round-6 run: common-46 subtotal 41.4s vs r4's 42.4s
+    # (0.98x), the three flagged queries back at r4 levels (1.32/1.25/
+    # 0.40s vs r4 1.34/1.37/0.36s) — ambient load during the r5 driver
+    # bench, not a plan change. Benches must run alone.
     import gc
 
     timings: dict[str, float] = {}
@@ -150,7 +202,7 @@ def main() -> None:
         for _ in range(2):  # min-of-2: absorbs JIT/cache warmup variance
             spark.catalog.clearCache()  # operator persists don't carry over
             t0 = time.time()
-            _force(registry[name].fn(spark, sf_dir))
+            _force(fns[name](spark, sf_dir))
             el = time.time() - t0
             best = el if best is None else min(best, el)
         gc.collect()
