@@ -846,3 +846,111 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 9
         ).alias("cosine"),
     )
+
+
+@register(
+    "q_upsample_epochs",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, rn,
+             CASE WHEN n >= 150
+                  THEN CASE WHEN rn <= 150 THEN 1 ELSE 0 END
+                  ELSE 150 // n
+                       + CASE WHEN rn <= 150 % n THEN 1 ELSE 0 END
+             END AS copies
+      FROM r)
+    SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch
+    FROM c, UNNEST(generate_series(0, CAST(copies AS INT) - 1)) AS t(e)
+    WHERE copies >= 1
+    """,
+    doc="Epoch upsampling to a fixed 150-doc-per-language target — the "
+        "data-repetition step of a pretraining mix (low-resource "
+        "domains repeat for multiple epochs, e.g. Muennighoff et al. "
+        "2023 on repeating data; abundant ones truncate): a group with "
+        "n >= 150 contributes its first 150 docs once; a group with "
+        "n < 150 contributes every doc floor(150/n) times plus one "
+        "extra epoch for the first 150 mod n docs (deterministic by "
+        "doc_id), so every group lands on EXACTLY 150 rows. Output is "
+        "(doc_id, lang, epoch) — epoch is the repeat index a loader "
+        "uses for shuffling/curriculum. One per-group window on the "
+        "group-keyed shuffle + an integer-sequence explode; quotas are "
+        "pure integer arithmetic, no sampling, fully value-checked.",
+    tags=("mlprep", "sampling", "upsampling"),
+)
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    target = 150
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    copies = F.when(
+        F.col("n") >= target,
+        F.when(F.col("rn") <= target, F.lit(1)).otherwise(F.lit(0)),
+    ).otherwise(
+        (F.lit(target) / F.col("n")).cast("bigint")
+        + F.when(F.col("rn") <= F.lit(target) % F.col("n"), 1).otherwise(0)
+    )
+    c = r.withColumn("copies", copies).filter(F.col("copies") >= 1)
+    return c.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("copies") - 1).cast("int"))
+        ).alias("epoch"),
+    ).select("doc_id", "lang", F.col("epoch").cast("bigint").alias("epoch"))
+
+
+@register(
+    "q_interleave_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source, CAST(rn AS BIGINT) AS rn,
+           CAST(2 * rn - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pos
+    FROM r ORDER BY pos, source LIMIT 100
+    """,
+    doc="Deterministic proportional source interleaving for training "
+        "order: document i of a source with n docs gets global sort "
+        "key (2i-1)/(2n) — the stratified low-discrepancy ordering "
+        "that spreads every source evenly through the epoch (no "
+        "clumping of one domain, the RNG-free counterpart of a "
+        "weighted shuffle; same midpoint rule as stratified systematic "
+        "sampling). The key is one integer-to-double division — exact "
+        "cross-engine; ties (equal-size sources) break by source name. "
+        "First 100 interleaved rows returned. Per-source rank windows "
+        "on the source-keyed shuffle; the global cut is a sort-limit "
+        "(per-partition heaps), not a global window.",
+    tags=("mlprep", "sampling", "ordering"),
+)
+def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy("doc_id")
+    r = docs.select(
+        "source",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    pos = (F.lit(2) * F.col("rn") - 1).cast("double") / (
+        F.lit(2) * F.col("n")
+    ).cast("double")
+    return (
+        r.select("source", "rn", pos.alias("pos"))
+        .orderBy("pos", "source")
+        .limit(100)
+    )

@@ -416,3 +416,99 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1),
         "value",
     )
+
+
+@register(
+    "q_drift_chi2",
+    oracle="""
+    WITH a AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS term
+            FROM documents WHERE source = 'src1')
+      GROUP BY term),
+    b AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS term
+            FROM documents WHERE source = 'src2')
+      GROUP BY term),
+    j AS (
+      SELECT COALESCE(a.term, b.term) AS term,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.term = b.term),
+    tot AS (
+      SELECT CAST(SUM(ca) AS DOUBLE) AS n1, CAST(SUM(cb) AS DOUBLE) AS n2,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM j),
+    contrib AS (
+      SELECT ((CAST(ca AS DOUBLE) + 0.5) / (n1 + 0.5 * v)
+              - (CAST(cb AS DOUBLE) + 0.5) / (n2 + 0.5 * v))
+             * ((CAST(ca AS DOUBLE) + 0.5) / (n1 + 0.5 * v)
+                - (CAST(cb AS DOUBLE) + 0.5) / (n2 + 0.5 * v))
+             / ((CAST(cb AS DOUBLE) + 0.5) / (n2 + 0.5 * v)) AS x
+      FROM j, tot)
+    SELECT CAST(v AS BIGINT) AS n_terms, CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE), 9)
+             AS chi2
+    FROM contrib, tot GROUP BY v, n1, n2
+    """,
+    doc="Chi-square drift between the word distributions of two corpus "
+        "slices (source src1 observed vs src2 reference), additive-0.5 "
+        "smoothing over the union vocabulary — the RATIONAL member of "
+        "the drift family (q_drift_tvd: L1; q_drift_ks: sup-CDF; this: "
+        "variance-weighted L2), no logarithm anywhere so every term "
+        "contribution is the same IEEE double on both engines; the sum "
+        "folds through DECIMAL(28,12) (order-independent) and reports "
+        "at 9 decimals. Two map-side-combinable term counts, one "
+        "term-keyed full outer join, a 1-row totals broadcast: the "
+        "same shape at any vocabulary size.",
+    tags=("profiling", "drift", "text"),
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _counts(src: str) -> DataFrame:
+        return (
+            docs.filter(F.col("source") == src)
+            .select(
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                    "term"
+                )
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    a = _counts("src1").select("term", F.col("c").alias("ca"))
+    b = _counts("src2").select("term", F.col("c").alias("cb"))
+    j = a.join(b, "term", "full_outer").select(
+        "term",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").cast("double").alias("n1"),
+        F.sum("cb").cast("double").alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p = (F.col("ca").cast("double") + F.lit(0.5)) / (
+        F.col("n1") + F.lit(0.5) * F.col("v")
+    )
+    q = (F.col("cb").cast("double") + F.lit(0.5)) / (
+        F.col("n2") + F.lit(0.5) * F.col("v")
+    )
+    contrib = j.crossJoin(F.broadcast(tot)).select(
+        "n1", "n2", "v", (((p - q) * (p - q)) / q).alias("x")
+    )
+    return contrib.groupBy("v", "n1", "n2").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double"), 9
+        ).alias("chi2")
+    ).select(
+        F.col("v").cast("bigint").alias("n_terms"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "chi2",
+    )

@@ -135,6 +135,12 @@ _GRADE_FIRST = [
     # ---- round-6 additions
     "q_curation_pipeline_full",
     "q_components_zipf_gate",
+    "q_bm25_topk",
+    "q_rank_fusion",
+    "q_drift_chi2",
+    "q_lexical_diversity",
+    "q_upsample_epochs",
+    "q_interleave_order",
     # ---- queries whose code changed in round 6 (advisor fixes / plan
     # rewrites): re-grade so the driver confirms the change is neutral
     "q_rolling_corr",

@@ -425,3 +425,285 @@ def q_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# -- retrieval scoring (round 6) -------------------------------------------
+
+#: fixed lexical query for the retrieval-scoring surface — terms chosen
+#: from the fixture vocabulary (all present at every SF)
+_BM25_QUERY = ("spark", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rational-idf BM25 score for :data:`_BM25_QUERY`.
+
+    The idf is the RATIONAL Robertson odds (N - df + .5)/(df + .5)
+    without the ln wrap — the engine-portability convention this repo
+    uses everywhere (see q_tfidf_cosine_pairs, q_dsir_importance):
+    ln's last-ulp behavior is libm-specific, while +,-,*,/ are IEEE-
+    exact on both engines given the same parenthesization. Monotone per
+    term, so per-term score ORDER is classic-BM25's; the sum is the
+    rational-idf family. Per-term doubles fold through DECIMAL(28,12)
+    (order-independent); the reported score is rounded at 9 decimals,
+    far above the decimal-midpoint noise floor.
+
+    Scale shape: one (doc, term) count restricted by a 3-term IN filter
+    BEFORE the shuffle (query terms only — the scan-side prune every
+    search engine does), a 3-row df aggregate broadcast back, one
+    doc-keyed sum. No vocabulary-wide state."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = int(stats["tot"]) / int(stats["n"])  # IEEE double division
+    terms = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term").isin(*_BM25_QUERY))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    odds = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfpart = (F.col("tf") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    per_term = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id", (odds * tfpart).alias("s")
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
+        ).alias("score")
+    )
+
+
+_BM25_ORACLE_CORE = """
+    N AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM documents),
+    t0 AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS dl,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS term
+      FROM documents),
+    tq AS (SELECT * FROM t0 WHERE term IN ('spark', 'hash', 'vector')),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tq GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf GROUP BY term),
+    per AS (
+      SELECT tf.doc_id,
+             ((n.n - dft.df + 0.5) / (dft.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                                 / n.avgdl)))) AS s
+      FROM tf JOIN dft USING (term) CROSS JOIN N n),
+    bm AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 9)
+               AS score
+      FROM per GROUP BY doc_id)
+"""
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CORE}
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-20 retrieval for the fixed query (spark, hash, "
+        "vector) with rational Robertson idf (no ln — see _bm25_scores "
+        "for the portability contract): k1=1.2, b=0.75, decimal-"
+        "accumulated per-term sums, rank ties broken by doc_id. The "
+        "query-term IN prune keeps the shuffle at O(matching postings), "
+        "not O(corpus terms) — the retrieval-scoring step of a "
+        "query-targeted data-selection pass.",
+    tags=("text", "retrieval", "bm25"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_scores(spark, sf_dir)
+    # top-k via global sort-limit (TakeOrderedAndProject — per-partition
+    # heaps, no single-task window); the rank column is attached by a
+    # window over the 20 SURVIVING rows only
+    top = bm.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CORE},
+    ra AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm),
+    dens AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(CASE WHEN term IN ('spark', 'hash',
+                                                    'vector')
+                                      THEN 1.0 ELSE 0.0 END
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(MIN(dl) AS DOUBLE), 12) AS dens
+      FROM t0 GROUP BY doc_id),
+    rb AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY dens DESC, doc_id) AS r
+      FROM dens WHERE dens > 0),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60.0 + ra.r), 0.0)
+                   + COALESCE(1.0 / (60.0 + rb.r), 0.0), 12) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+    SELECT doc_id, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (k=60) of two retrieval signals for "
+        "the same fixed query: the BM25 ranking and a query-term "
+        "DENSITY ranking (matched terms / doc length — the "
+        "length-normalized lexical signal BM25's saturation "
+        "deliberately dampens). RRF is pure rank arithmetic "
+        "(1/(60+r)), so fusion is exact across engines regardless of "
+        "the score scales — the standard hybrid-retrieval combiner "
+        "(Cormack et al. 2009). Both rankings derive from the same "
+        "single postings pass; ranks are integers, fusion is two "
+        "divisions and one add.",
+    tags=("text", "retrieval", "fusion"),
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    # both FULL rankings ride the distributed prefix sum (rank = running
+    # count in sort order — range shuffle + per-partition window), never
+    # a no-partition global row_number: at corpus scale the match set is
+    # data-sized, and only the fused top-20 is ever driver-bounded
+    bm = _bm25_scores(spark, sf_dir)
+    ra = distributed_cumsum(
+        bm.select(
+            "doc_id", (-F.col("score")).alias("neg"), F.lit(1).alias("one")
+        ),
+        ["neg", "doc_id"],
+        "one",
+        "r_a",
+    ).select("doc_id", "r_a")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    dens = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("term").isin(*_BM25_QUERY), F.lit(1.0))
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(28,12)")
+                ).cast("double")
+                / F.min("dl").cast("double"),
+                12,
+            ).alias("dens")
+        )
+        .filter(F.col("dens") > 0)
+    )
+    rb = distributed_cumsum(
+        dens.select(
+            "doc_id", (-F.col("dens")).alias("neg"), F.lit(1).alias("one")
+        ),
+        ["neg", "doc_id"],
+        "one",
+        "r_b",
+    ).select("doc_id", "r_b")
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_a")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("r_b")), F.lit(0.0)
+            ),
+            12,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(20)
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "rrf", F.row_number().over(wf).cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "q_lexical_diversity",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS term
+            FROM documents)
+      GROUP BY doc_id, term)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS dl,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+                 / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+    FROM tf GROUP BY doc_id
+    """,
+    doc="Lexical diversity per document as the Gini-Simpson index "
+        "1 - sum(tf^2)/dl^2 over the word distribution — the "
+        "repetitiveness quality signal (template/boilerplate docs "
+        "collapse toward 0) that needs NO logarithm: both moments are "
+        "exact INTEGERS (sum of squared counts, squared length), so "
+        "the score is one double division — bit-exact across engines "
+        "with no rounding, no ordered fold, no decimal ladder. "
+        "Complements the entropy-flavored signals (q_token_rarity, "
+        "q_lm_quality_score) with the rational member of the family. "
+        "One (doc, term) count, one doc-keyed sum: two shuffles, "
+        "map-side combinable.",
+    tags=("text", "quality", "diversity"),
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c")).cast("double")
+        ).alias("gini"),
+    )
