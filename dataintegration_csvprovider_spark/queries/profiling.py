@@ -467,7 +467,15 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("profiling", "drift", "text"),
 )
 def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return chi2_drift_docs(load_table(spark, sf_dir, "documents"))
+
+
+def chi2_drift_docs(
+    docs: DataFrame, src_a: str = "src1", src_b: str = "src2"
+) -> DataFrame:
+    """Core of q_drift_chi2 over an in-memory documents frame — also
+    exercised by the scale probe (tools/scale_probe.py, retrieval
+    family)."""
 
     def _counts(src: str) -> DataFrame:
         return (
@@ -481,8 +489,8 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
 
-    a = _counts("src1").select("term", F.col("c").alias("ca"))
-    b = _counts("src2").select("term", F.col("c").alias("cb"))
+    a = _counts(src_a).select("term", F.col("c").alias("ca"))
+    b = _counts(src_b).select("term", F.col("c").alias("cb"))
     j = a.join(b, "term", "full_outer").select(
         "term",
         F.coalesce("ca", F.lit(0)).alias("ca"),

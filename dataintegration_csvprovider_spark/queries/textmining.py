@@ -437,6 +437,10 @@ _BM25_B = 0.75
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_scores_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_scores_docs(docs: DataFrame) -> DataFrame:
     """Per-document rational-idf BM25 score for :data:`_BM25_QUERY`.
 
     The idf is the RATIONAL Robertson odds (N - df + .5)/(df + .5)
@@ -453,7 +457,6 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the shuffle (query terms only — the scan-side prune every
     search engine does), a 3-row df aggregate broadcast back, one
     doc-keyed sum. No vocabulary-wide state."""
-    docs = load_table(spark, sf_dir, "documents")
     stats = docs.select(
         F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tot"),
         F.count(F.lit(1)).alias("n"),

@@ -260,6 +260,60 @@ def probe_curation(spark, path: str) -> dict[str, float]:
     return secs
 
 
+def probe_retrieval(spark, path: str) -> dict[str, float]:
+    """Round-6 retrieval/drift family: BM25 scoring (postings-pruned),
+    chi-square drift (term-keyed full outer join + 1-row totals),
+    Gini-Simpson diversity (two keyed counts), epoch upsampling and
+    proportional interleave (per-group windows). All designed linear in
+    corpus size; the BM25 prune means its cost tracks MATCHING postings,
+    not vocabulary. NOTE: the scaled copies prefix every word with a
+    copy tag, so the fixed BM25 query terms only match copy 0 — the
+    probe therefore times the scan+prune (the dominant 100 TB cost) at
+    k-fold data with a constant match set, which is exactly the
+    retrieval regime (query selectivity does not grow with the
+    corpus)."""
+    from dataintegration_csvprovider_spark.queries.profiling import (
+        chi2_drift_docs,
+    )
+    from dataintegration_csvprovider_spark.queries.textmining import (
+        _bm25_scores_docs,
+    )
+
+    docs = spark.read.parquet(path)
+
+    def diversity(d):
+        tf = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                    "term"
+                ),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return tf.groupBy("doc_id").agg(
+            (
+                F.lit(1.0)
+                - F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c")).cast("double")
+            ).alias("gini")
+        )
+
+    ops = {
+        "bm25_scores": _bm25_scores_docs,
+        "chi2_drift": lambda d: chi2_drift_docs(d),
+        "lexical_diversity": diversity,
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(docs))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
 def probe_prefixsum(spark, path: str) -> dict[str, float]:
     """Distributed prefix-sum family (round-5): the two-phase cumsum and
     the operators riding it. All are one range shuffle + per-partition
@@ -327,7 +381,8 @@ def main() -> None:
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument(
         "--family",
-        choices=["dedup", "similarity", "graph", "curation", "prefixsum"],
+        choices=["dedup", "similarity", "graph", "curation", "prefixsum",
+                 "retrieval"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -340,6 +395,7 @@ def main() -> None:
         "graph": (build_scaled_edges, probe_graph),
         "curation": (build_scaled, probe_curation),
         "prefixsum": (build_scaled, probe_prefixsum),
+        "retrieval": (build_scaled, probe_retrieval),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
