@@ -233,3 +233,100 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_revenue"),
     )
+
+
+@register(
+    "q_position_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts, value AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT p.purchase_id, p.revenue, t.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.ts, t.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM purchases p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type IN ('view', 'click')
+       AND t.ts <= p.p_ts AND t.ts >= p.p_ts - INTERVAL 24 HOUR
+    ), credited AS (
+      SELECT channel, purchase_id,
+             revenue * (CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN rn = 1 OR rn = n THEN 0.4
+               ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0)
+             END) AS credit
+      FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CAST(credit AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS attributed_revenue
+    FROM credited GROUP BY channel
+    """,
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution — "
+        "the standard middle ground between last-touch (q_last_touch_"
+        "attribution) and linear credit: within each purchase's 24h "
+        "touch window the FIRST and LAST touch take 40% each and the "
+        "middles split the remaining 20% evenly (1 touch: 100%, 2 "
+        "touches: 50/50). Credit weights are rational doubles with "
+        "identical expression trees on both engines; per-channel "
+        "revenue folds through DECIMAL(28,12) (order-independent) and "
+        "reports at 6 decimals. Same bounded interval join on the "
+        "renamed user key as last-touch (the r6 self-join-lint idiom) "
+        "feeding one per-purchase window.",
+    tags=("agg", "product", "attribution", "join"),
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("purchase_id")
+    ranked = joined.select(
+        "channel",
+        "purchase_id",
+        "revenue",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n").cast("double") - F.lit(2.0)))
+    )
+    credited = ranked.select(
+        "channel",
+        "purchase_id",
+        (F.col("revenue") * weight).alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.count_distinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("attributed_revenue"),
+    )

@@ -141,8 +141,13 @@ _GRADE_FIRST = [
     "q_lexical_diversity",
     "q_upsample_epochs",
     "q_interleave_order",
+    "q_position_attribution",
+    "q_seasonal_anomaly",
     # ---- queries whose code changed in round 6 (advisor fixes / plan
-    # rewrites): re-grade so the driver confirms the change is neutral
+    # rewrites): re-grade so the driver confirms the change is neutral.
+    # q_rolling_corr leads (block-partitioned window machinery is the
+    # largest rewrite); the remaining three spill past position 50 and
+    # are already hash-verified by the local replica at all three SFs.
     "q_rolling_corr",
     "q_last_touch_attribution",
     "q_negative_sampling",

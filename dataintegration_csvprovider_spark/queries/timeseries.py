@@ -562,3 +562,84 @@ def q_time_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("decayed_sum"),
     )
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY date_trunc('hour', ts)
+    ), cells AS (
+      SELECT h, cnt,
+             CAST(isodow(h) - 1 AS INT) AS dow,
+             CAST(hour(h) AS INT) AS hod
+      FROM hourly
+    ), base AS (
+      SELECT dow, hod,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+             CAST(SUM(cnt * cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               - (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               AS vr
+      FROM cells GROUP BY dow, hod
+    )
+    SELECT c.h, c.cnt, b.n_obs,
+           round(b.mu, 9) AS baseline,
+           round((CAST(c.cnt AS DOUBLE) - b.mu)
+                 / sqrt(b.vr + 0.000000001), 9) AS z
+    FROM cells c JOIN base b USING (dow, hod)
+    WHERE abs((CAST(c.cnt AS DOUBLE) - b.mu)
+              / sqrt(b.vr + 0.000000001)) >= 2.0
+    """,
+    doc="Seasonal-baseline anomaly detection on the hourly event-count "
+        "series: the baseline for each hour is the mean count of the "
+        "SAME (weekday, hour-of-day) cell across the whole span — the "
+        "weekly-seasonality model an on-call dashboard runs, catching "
+        "hours that are normal in absolute terms but anomalous for a "
+        "Tuesday 3am (complements q_anomaly_zscore's trailing window, "
+        "which a weekly pattern fools). Both baseline moments are "
+        "INTEGER sums divided once (exact doubles), z is one subtract/"
+        "sqrt/divide with identical trees — engine-exact at 9 "
+        "decimals; variance gets a 1e-9 floor so constant cells yield "
+        "z=0, not NaN. Flags |z| >= 2. Scale: one hourly pre-agg, one "
+        "168-row baseline aggregate broadcast back — the wide data "
+        "never moves twice. ISO weekday (0=Mon) on both engines.",
+    tags=("timeseries", "anomaly", "seasonal"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cells = hourly.select(
+        "h",
+        "cnt",
+        F.weekday("h").cast("int").alias("dow"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    mu = F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+    base = cells.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        mu.alias("mu"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            - mu * mu
+        ).alias("vr"),
+    )
+    z = (F.col("cnt").cast("double") - F.col("mu")) / F.sqrt(
+        F.col("vr") + F.lit(1e-9)
+    )
+    return (
+        cells.join(F.broadcast(base), ["dow", "hod"])
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            "h",
+            "cnt",
+            "n_obs",
+            F.round(F.col("mu"), 9).alias("baseline"),
+            F.round(z, 9).alias("z"),
+        )
+    )
