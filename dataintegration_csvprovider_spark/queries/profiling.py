@@ -520,3 +520,120 @@ def chi2_drift_docs(
         F.col("n2").cast("bigint").alias("n2"),
         "chi2",
     )
+
+
+#: count-min sketch geometry + Knuth-style arithmetic hash constants —
+#: pure integer arithmetic so BOTH engines can replay the sketch exactly
+#: (xxhash64 has no DuckDB twin; these do)
+_CMS_P = 2147483647  # 2^31 - 1, prime
+_CMS_W = 64
+_CMS_ROWS = ((2654435761, 1), (2246822519, 7), (3266489917, 31),
+             (668265263, 127))
+
+
+@register(
+    "q_countmin_sketch",
+    oracle="""
+    WITH seeds(i, a, b) AS (
+      VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+             (2, 3266489917, 31), (3, 668265263, 127)
+    ), hashed AS (
+      SELECT e.user_id, s.i,
+             CAST(((CAST(e.user_id AS HUGEINT) * s.a + s.b) % 2147483647)
+                  % 64 AS BIGINT) AS bucket
+      FROM events e CROSS JOIN seeds s
+    ), sketch AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hashed GROUP BY i, bucket
+    ), truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id
+    ), probes AS (
+      SELECT t.user_id, t.true_n, s.i,
+             CAST(((CAST(t.user_id AS HUGEINT) * sd.a + sd.b)
+                   % 2147483647) % 64 AS BIGINT) AS bucket
+      FROM truth t CROSS JOIN seeds sd
+      JOIN seeds s ON s.i = sd.i
+    ), est AS (
+      SELECT p.user_id, p.true_n, MIN(sk.c) AS est
+      FROM probes p JOIN sketch sk
+        ON sk.i = p.i AND sk.bucket = p.bucket
+      GROUP BY p.user_id, p.true_n
+    )
+    SELECT user_id, true_n, est, TRUE AS over_ok
+    FROM est WHERE user_id < 50
+    """,
+    doc="Count-min sketch (Cormode-Muthukrishnan) over the events "
+        "user_id stream: 4x64 counter matrix under Knuth-multiplicative "
+        "arithmetic hashes mod (2^31-1) — PURE integer arithmetic, so "
+        "unlike the xxhash64-based sketches the entire sketch AND every "
+        "point estimate are replayed exactly by the oracle (est is "
+        "VALUE-checked, not bounded). over_ok pins the one-sided error "
+        "law est >= true that defines CMS. Scale shape: the sketch is "
+        "one (row, bucket) count with map-side combine — 256 cells "
+        "regardless of stream size, mergeable across "
+        "partitions/streams by cell-wise addition (the reason CMS "
+        "exists); point queries broadcast the 256-row sketch. The "
+        "probe set is capped at user_id < 50 for the fixture.",
+    tags=("profiling", "sketch", "frequency"),
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    seeds = [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)]
+
+    def bucket(x, a: int, b: int):
+        # decimal(20,0) x decimal(10,0) keeps the multiply exact far past
+        # the bigint-overflow point (same convention as negative_samples)
+        return F.pmod(
+            F.pmod(
+                x.cast("decimal(20,0)") * F.lit(a).cast("decimal(10,0)")
+                + F.lit(b).cast("decimal(10,0)"),
+                F.lit(_CMS_P).cast("decimal(20,0)"),
+            ).cast("bigint"),
+            F.lit(_CMS_W),
+        )
+
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(F.col("user_id"), a, b).alias("bucket"),
+                    )
+                    for i, a, b in seeds
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "h.i", "h.bucket")
+    sketch = hashed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    probes = truth.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(F.col("user_id"), a, b).alias("bucket"),
+                    )
+                    for i, a, b in seeds
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "true_n", "h.i", "h.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.select(
+        "user_id", "true_n", "est",
+        (F.col("est") >= F.col("true_n")).alias("over_ok"),
+    )

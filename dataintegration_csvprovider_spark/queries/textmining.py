@@ -710,3 +710,121 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c") * F.sum("c")).cast("double")
         ).alias("gini"),
     )
+
+
+#: fixed multi-query batch for q_bm25_batch: (query_id, term)
+_BM25_BATCH = (
+    (1, "spark"), (1, "hash"), (1, "vector"),
+    (2, "join"), (2, "merge"),
+    (3, "customer"), (3, "query"), (3, "data"),
+)
+
+
+@register(
+    "q_bm25_batch",
+    oracle="""
+    WITH q(qid, term) AS (
+      VALUES (1, 'spark'), (1, 'hash'), (1, 'vector'),
+             (2, 'join'), (2, 'merge'),
+             (3, 'customer'), (3, 'query'), (3, 'data')
+    ), N AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(len(list_filter(string_split(text, ' '),
+                                             t -> t <> ''))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM documents),
+    t0 AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS dl,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS term
+      FROM documents),
+    tq AS (SELECT * FROM t0
+           WHERE term IN (SELECT DISTINCT term FROM q)),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tq GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+            FROM tf GROUP BY term),
+    per AS (
+      SELECT q.qid, tf.doc_id,
+             ((n.n - dft.df + 0.5) / (dft.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                                 / n.avgdl)))) AS s
+      FROM tf JOIN dft USING (term) JOIN q USING (term)
+      CROSS JOIN N n),
+    bm AS (
+      SELECT qid, doc_id,
+             round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 9)
+               AS score
+      FROM per GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm)
+    SELECT CAST(qid AS INT) AS qid, doc_id, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Batched BM25: top-5 documents for EVERY query of a 3-query "
+        "batch in ONE postings pass — the retrieval twin of "
+        "q_knn_batch's one-corpus-pass contract. The postings scan is "
+        "pruned to the UNION of all query terms before the shuffle, "
+        "document frequencies are shared across queries (computed "
+        "once), the per-(query, doc) score reuses q_bm25_topk's "
+        "rational-idf arithmetic, and the final top-5 is a window "
+        "PARTITIONED BY query id (embarrassingly parallel across "
+        "queries — the batch dimension is the parallelism, exactly how "
+        "a 10k-query nightly retrieval sweep should run).",
+    tags=("text", "retrieval", "bm25", "batch"),
+)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = docs.sparkSession.createDataFrame(
+        list(_BM25_BATCH), "qid int, term string"
+    )
+    all_terms = sorted({t for _, t in _BM25_BATCH})
+    stats = docs.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = int(stats["tot"]) / int(stats["n"])
+    terms = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term").isin(*all_terms))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    odds = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfpart = (F.col("tf") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    per = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qdf), "term")
+        .select("qid", "doc_id", (odds * tfpart).alias("s"))
+    )
+    bm = per.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        bm.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "doc_id", "score", "rank")
+    )
