@@ -954,3 +954,96 @@ def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos", "source")
         .limit(100)
     )
+
+
+def _domain_reweight_oracle(n_iter: int = 10) -> str:
+    """Chained-CTE oracle for q_domain_reweight: the recursion is a
+    FIXED 10 steps over a #domains-row table, so it unrolls into 10
+    chained CTEs (a recursive CTE cannot reference itself twice, which
+    the per-step weighted mean would need). Each step is MATERIALIZED:
+    every it(k+1) references it(k) twice (FROM + the weighted-mean
+    scalar subquery), so default CTE inlining doubles the expression
+    tree per level — 2^10 copies of the base aggregate, minutes of
+    planner time for a 10-row table; materialization makes it 10 tiny
+    scans (measured: minutes -> <1s). Ordered list_sum folds pin the
+    float accumulation order to match the driver-side sequential
+    fold."""
+    steps = [
+        """it0 AS MATERIALIZED (
+      SELECT source, s, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM st)
+               AS w
+      FROM st
+    )"""
+    ]
+    for k in range(n_iter):
+        steps.append(f"""it{k + 1} AS MATERIALIZED (
+      SELECT source, s,
+             w * (1.0 + 0.1 * (s -
+               (SELECT list_sum(list(w * s ORDER BY source))
+                       / list_sum(list(w ORDER BY source)) FROM it{k})))
+               AS w
+      FROM it{k}
+    )""")
+    return f"""
+    WITH st AS (
+      SELECT source,
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000.0 AS s
+      FROM documents GROUP BY source
+    ), {', '.join(steps)}
+    SELECT source, round(s, 9) AS score,
+           round(w / (SELECT list_sum(list(w ORDER BY source))
+                      FROM it{n_iter}), 9) AS weight
+    FROM it{n_iter}
+    """
+
+
+@register(
+    "q_domain_reweight",
+    oracle=_domain_reweight_oracle(),
+    doc="Iterative multiplicative domain reweighting (DoReMi-style "
+        "excess-score updates, Xie et al. 2023, in a deterministic "
+        "rational form): starting uniform, each of 10 rounds moves "
+        "weight toward domains whose quality score exceeds the current "
+        "weighted mean — w <- w * (1 + 0.1 * (s - <s>_w)) — then the "
+        "final weights normalize once. The score is the per-source "
+        "mean n_chars / 1000 (two exact integer sums, one division). "
+        "All folds are ORDER-PINNED (source-sorted sequential adds) so "
+        "driver arithmetic and the oracle's ordered list_sum agree "
+        "bit-for-bit; reported at 9 decimals. Scale shape: the ONLY "
+        "distributed work is the per-source moment aggregate (map-side "
+        "combinable); the 10-step loop runs on the #domains-row "
+        "artifact (bounded, like k-means centroids or the PCA eigh) — "
+        "at 100 TB the iteration cost is independent of corpus size.",
+    tags=("mlprep", "mixture", "iterative"),
+)
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("source")
+        .agg(
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000.0)
+            ).alias("s")
+        )
+        .collect()
+    )
+    rows = sorted(((r["source"], float(r["s"])) for r in stats))
+    w = {src: 1.0 / float(len(rows)) for src, _ in rows}
+    for _ in range(10):
+        num = 0.0
+        den = 0.0
+        for src, s in rows:  # source-sorted sequential folds
+            num += w[src] * s
+            den += w[src]
+        m = num / den
+        w = {src: w[src] * (1.0 + 0.1 * (s - m)) for src, s in rows}
+    z = 0.0
+    for src, _ in rows:
+        z += w[src]
+    out = [(src, round(s, 9), round(w[src] / z, 9)) for src, s in rows]
+    return spark.createDataFrame(
+        out, "source string, score double, weight double"
+    )
