@@ -1210,3 +1210,172 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         ledger, "batch int, n_batch bigint, ks_stat double"
     )
+
+
+@register(
+    "q_stream_countmin",
+    # identical oracle surface to q_countmin_sketch: cell-wise addition
+    # of per-micro-batch sketches IS the global sketch (the mergeability
+    # law CMS exists for), so the streamed-and-merged estimates must
+    # equal the batch-computed ones VALUE-exactly
+    oracle="""
+    WITH seeds(i, a, b) AS (
+      VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+             (2, 3266489917, 31), (3, 668265263, 127)
+    ), hashed AS (
+      SELECT e.user_id, s.i,
+             CAST(((CAST(e.user_id AS HUGEINT) * s.a + s.b) % 2147483647)
+                  % 64 AS BIGINT) AS bucket
+      FROM events e CROSS JOIN seeds s
+    ), sketch AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hashed GROUP BY i, bucket
+    ), truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id
+    ), probes AS (
+      SELECT t.user_id, t.true_n, s.i,
+             CAST(((CAST(t.user_id AS HUGEINT) * sd.a + sd.b)
+                   % 2147483647) % 64 AS BIGINT) AS bucket
+      FROM truth t CROSS JOIN seeds sd
+      JOIN seeds s ON s.i = sd.i
+    ), est AS (
+      SELECT p.user_id, p.true_n, MIN(sk.c) AS est
+      FROM probes p JOIN sketch sk
+        ON sk.i = p.i AND sk.bucket = p.bucket
+      GROUP BY p.user_id, p.true_n
+    )
+    SELECT user_id, true_n, est, TRUE AS over_ok
+    FROM est WHERE user_id < 50
+    """,
+    doc="STREAMING count-min sketch: the events stream arrives as three "
+        "deterministic micro-batches (staged files, maxFilesPerTrigger="
+        "1); foreachBatch computes each batch's 4x64 sketch under the "
+        "same Knuth arithmetic hashes as q_countmin_sketch and merges "
+        "it into the running sketch by CELL-WISE ADDITION — the "
+        "mergeability law that makes CMS the streaming frequency "
+        "structure (no growing state: 256 counters forever, restart = "
+        "re-add). The final merged estimates are VALUE-equal to the "
+        "batch sketch over the whole stream, which is exactly what the "
+        "oracle computes — the merge identity is the checked fact. "
+        "Point probes are capped at user_id < 50 for the fixture.",
+    tags=("streaming", "sketch", "frequency"),
+)
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .profiling import _CMS_P, _CMS_ROWS, _CMS_W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    stage = tempfile.mkdtemp(prefix="cms_stage_")
+    ck = tempfile.mkdtemp(prefix="cms_ck_")
+    seeds = [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)]
+
+    def bucket(x, a: int, b: int):
+        return F.pmod(
+            F.pmod(
+                x.cast("decimal(20,0)") * F.lit(a).cast("decimal(10,0)")
+                + F.lit(b).cast("decimal(10,0)"),
+                F.lit(_CMS_P).cast("decimal(20,0)"),
+            ).cast("bigint"),
+            F.lit(_CMS_W),
+        )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            bucket(F.col("user_id"), a, b).alias("bucket"),
+                        )
+                        for i, a, b in seeds
+                    ]
+                )
+            ).alias("h"),
+        ).select("h.i", "h.bucket")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 3 == k).select("user_id")
+        tmp = tempfile.mkdtemp(prefix="cms_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    merged: dict[tuple[int, int], int] = {}
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            # per-batch sketch is <= 256 rows — the bounded artifact;
+            # cell-wise addition is the CMS merge operation
+            for r in (
+                hashed(bdf).groupBy("i", "bucket").count().collect()
+            ):
+                key = (int(r["i"]), int(r["bucket"]))
+                merged[key] = merged.get(key, 0) + int(r["count"])
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    sketch = spark.createDataFrame(
+        [(i, b, c) for (i, b), c in sorted(merged.items())],
+        "i int, bucket bigint, c bigint",
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    probes = truth.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(F.col("user_id"), a, b).alias("bucket"),
+                    )
+                    for i, a, b in seeds
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "true_n", "h.i", "h.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.select(
+        "user_id", "true_n", "est",
+        (F.col("est") >= F.col("true_n")).alias("over_ok"),
+    )
