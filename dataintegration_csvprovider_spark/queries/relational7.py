@@ -428,3 +428,54 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.median(F.abs(F.col("value") - F.col("m"))).alias("mad"),
         )
     )
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_id < 2000 GROUP BY event_type
+    """,
+    doc="XML data-source roundtrip (Spark 4 NATIVE XML, the Databricks "
+        "spark-xml donation — no external package): an events slice "
+        "written as element-per-row XML (rowTag) and read back with "
+        "schema inference, then aggregated — ids, types, and decimal-"
+        "summed values survive the text format exactly, so the "
+        "parquet-sourced oracle matches bit-for-bit. Completes the "
+        "format matrix alongside CSV / JSONL / ORC / parquet / raw "
+        "text: the last ingestion format an integration engine meets "
+        "in the wild. Timestamps are serialized as ISO strings for the "
+        "roundtrip; the aggregate reads only the typed columns.",
+    tags=("source", "xml"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    try:
+        ev.write.format("xml").option("rootTag", "events").option(
+            "rowTag", "event"
+        ).mode("overwrite").save(d)
+        back = spark.read.format("xml").option("rowTag", "event").load(d)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.min("event_id").cast("bigint").alias("min_id"),
+                F.max("event_id").cast("bigint").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
