@@ -239,6 +239,54 @@ class Engine:
 
         return _pl(threshold, num_perm=num_perm, **kwargs)
 
+    @staticmethod
+    def exact_substring_dedup(df, **kwargs):
+        from .operators.dedup import exact_substring_dedup as _esd
+
+        return _esd(df, **kwargs)
+
+    @staticmethod
+    def exact_substring_decontaminate(train, eval_df, **kwargs):
+        from .operators.dedup import exact_substring_decontaminate as _esc
+
+        return _esc(train, eval_df, **kwargs)
+
+    @staticmethod
+    def apportion_mixture(df, weights, total, **kwargs):
+        from .operators.sampling import apportion_mixture as _am
+
+        return _am(df, weights, total, **kwargs)
+
+    @staticmethod
+    def token_balanced_shards(df, id_col, weight_col, n_shards):
+        from .operators.scale import token_balanced_shards as _tbs
+
+        return _tbs(df, id_col, weight_col, n_shards)
+
+    @staticmethod
+    def connected_components_stats(edges, src="src", dst="dst", max_iter=25):
+        from .operators.components import connected_components_stats as _ccs
+
+        return _ccs(edges, src=src, dst=dst, max_iter=max_iter)
+
+    @staticmethod
+    def grouped_pca_summary(df, group_col, vec_col="embedding", k=2):
+        from .operators.linalg import grouped_pca_summary as _gps
+
+        return _gps(df, group_col=group_col, vec_col=vec_col, k=k)
+
+    @staticmethod
+    def bm25_scores(docs):
+        from .queries.textmining import _bm25_scores_docs as _bm
+
+        return _bm(docs)
+
+    @staticmethod
+    def chi2_drift(docs, src_a="src1", src_b="src2"):
+        from .queries.profiling import chi2_drift_docs as _cd
+
+        return _cd(docs, src_a, src_b)
+
     # -- JSONL source/sink -------------------------------------------------
     def read_jsonl(
         self, source: JsonlSource, table: str, **kwargs

@@ -637,3 +637,51 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "true_n", "est",
         (F.col("est") >= F.col("true_n")).alias("over_ok"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), mn AS (SELECT MIN(class_size) AS k_anonymity FROM classes)
+    SELECT c.c_mktsegment, c.c_nationkey, c.class_size,
+           c.class_size < 5 AS violates_k5,
+           m.k_anonymity
+    FROM classes c CROSS JOIN mn m
+    WHERE c.class_size < 5 OR c.class_size = m.k_anonymity
+    """,
+    doc="k-anonymity audit over the (mktsegment, nationkey) quasi-"
+        "identifier: every equivalence class smaller than k=5 — rows a "
+        "linkage attack could single out, the classes a release would "
+        "have to suppress or generalize — plus the dataset's achieved "
+        "k (the global minimum class size, echoed on every returned "
+        "row). The governance pre-check a training-data platform runs "
+        "before shipping user-derived tables. One group-keyed count "
+        "with map-side combine + a 1-row minimum broadcast; class "
+        "cardinality is bounded by the quasi-identifier domain, never "
+        "the data.",
+    tags=("profiling", "governance", "privacy"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    mn = classes.agg(F.min("class_size").alias("k_anonymity"))
+    return (
+        classes.crossJoin(F.broadcast(mn))
+        .filter(
+            (F.col("class_size") < 5)
+            | (F.col("class_size") == F.col("k_anonymity"))
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            (F.col("class_size") < 5).alias("violates_k5"),
+            "k_anonymity",
+        )
+    )
