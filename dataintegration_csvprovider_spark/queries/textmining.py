@@ -462,7 +462,13 @@ def _bm25_scores_docs(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     n_docs = int(stats["n"])
-    avgdl = int(stats["tot"]) / int(stats["n"])  # IEEE double division
+    if n_docs == 0:
+        # empty-input tolerance (registry convention): empty scores, not
+        # a ZeroDivisionError on avgdl
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id bigint, score double"
+        )
+    avgdl = int(stats["tot"]) / n_docs  # IEEE double division
     terms = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),

@@ -129,3 +129,20 @@ def test_curation_pipeline_full_manifest_laws(spark, qs):
     for (a1, b1, n1), (a2, _b2, _n2) in zip(spans, spans[1:]):
         assert b1 < a2
     assert sum(n for _, _, n in spans) <= 200  # the apportionment budget
+
+
+def test_round6_cores_tolerate_empty_inputs(spark):
+    """Registry convention: empty sources must yield empty results, not
+    crashes (bm25 previously divided by zero computing avgdl)."""
+    from dataintegration_csvprovider_spark.queries.profiling import (
+        chi2_drift_docs,
+    )
+    from dataintegration_csvprovider_spark.queries.textmining import (
+        _bm25_scores_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert _bm25_scores_docs(docs).count() == 0
+    assert chi2_drift_docs(docs).count() == 0
