@@ -1047,3 +1047,107 @@ def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "source string, score double, weight double"
     )
+
+
+@register(
+    "q_incremental_covariance",
+    # the oracle is the FULL recompute over all rows; the Spark side
+    # merges per-slice decimal moment tables by ADDITION — exact-decimal
+    # sufficient statistics are associative, so base + delta must equal
+    # the full pass bit-for-bit (same law q_incremental_agg pins for
+    # decimal partial sums, here lifted to second moments / covariance)
+    oracle="""
+    WITH v AS (
+      SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+             AS mean_i,
+           ROUND(CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+             AS mean_j,
+           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                         * CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
+                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)), 9)
+             AS cov
+    FROM v, range(8) t(i), range(8) u(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+    doc="INCREMENTALLY-MAINTAINED covariance (dims 0-7 upper triangle): "
+        "the corpus splits into a base (vec_id % 5 != 0) and a delta "
+        "batch (vec_id % 5 == 0); each slice aggregates its decimal "
+        "sufficient statistics (n, per-dim sums, per-pair product "
+        "sums) SEPARATELY and the covariance comes from their cell-"
+        "wise SUM — the daily-delta maintenance story for the linalg "
+        "family: yesterday's moment table + today's batch, never a "
+        "full rescan. Decimal addition is exact and associative, so "
+        "the merged result equals the oracle's full recompute "
+        "bit-for-bit (divisions and the 9-decimal report happen only "
+        "AFTER the merge, per the covariance conventions). Scale: two "
+        "slice aggregates with map-side combine; the merge is one "
+        "1-row + 1-row addition.",
+    tags=("mlprep", "linalg", "incremental"),
+)
+def q_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = 8
+    dec = "decimal(28,12)"
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+    def moments(df: DataFrame) -> DataFrame:
+        x = [F.col("embedding")[k].cast("double") for k in range(d)]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for k in range(d):
+            aggs.append(F.sum(x[k].cast(dec)).alias(f"s{k}"))
+        for k in range(d):
+            for l in range(k, d):
+                aggs.append(
+                    F.sum((x[k] * x[l]).cast(dec)).alias(f"g{k}_{l}")
+                )
+        return df.agg(*aggs)
+
+    base = moments(emb.filter(F.col("vec_id") % 5 != 0))
+    delta = moments(emb.filter(F.col("vec_id") % 5 == 0))
+    ren = lambda df, p: df.select(  # noqa: E731
+        *[F.col(c).alias(f"{p}{c}") for c in df.columns]
+    )
+    m = ren(base, "b_").crossJoin(F.broadcast(ren(delta, "d_")))
+    # merge = cell-wise decimal addition; NULL slice sums (empty slice)
+    # coalesce to 0 so an empty delta is the identity
+    zero = F.lit(0).cast(dec)
+    tot = lambda c: F.coalesce(F.col(f"b_{c}"), zero) + F.coalesce(  # noqa: E731
+        F.col(f"d_{c}"), zero
+    )
+    # n must exist BEFORE the projection that divides by it: defining it
+    # as an alias in the same select would make the struct expressions
+    # lateral-column references, which Spark's analyzer rejects under
+    # generators
+    m = m.withColumn("n", F.col("b_n") + F.col("d_n"))
+    rows = []
+    for k in range(d):
+        for l in range(k, d):
+            mean_k = tot(f"s{k}").cast("double") / F.col("n")
+            mean_l = tot(f"s{l}").cast("double") / F.col("n")
+            cov = tot(f"g{k}_{l}").cast("double") / F.col("n") - mean_k * mean_l
+            rows.append(
+                F.struct(
+                    F.lit(k).cast("int").alias("i"),
+                    F.lit(l).cast("int").alias("j"),
+                    F.round(mean_k, 9).alias("mean_i"),
+                    F.round(mean_l, 9).alias("mean_j"),
+                    F.round(cov, 9).alias("cov"),
+                )
+            )
+    merged = m.select("n", F.explode(F.array(*rows)).alias("g"))
+    return merged.select(
+        "g.i", "g.j", F.col("n").cast("bigint").alias("n"),
+        "g.mean_i", "g.mean_j", "g.cov",
+    )
