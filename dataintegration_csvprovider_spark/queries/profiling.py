@@ -685,3 +685,56 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_anonymity",
         )
     )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l_distinct
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), mn AS (SELECT MIN(l_distinct) AS l_diversity FROM classes)
+    SELECT c.c_mktsegment, c.c_nationkey, c.class_size, c.l_distinct,
+           c.l_distinct < 3 AS violates_l3,
+           m.l_diversity
+    FROM classes c CROSS JOIN mn m
+    WHERE c.l_distinct < 3 OR c.l_distinct = m.l_diversity
+    """,
+    doc="l-diversity audit, the k-anonymity companion (q_k_anonymity "
+        "pins class SIZES; this pins what an attacker learns INSIDE a "
+        "class): for each (mktsegment, nationkey) equivalence class, "
+        "the number of DISTINCT sensitive values (account-balance "
+        "bucketed to 1000s) — a class can be large yet still leak if "
+        "every member shares one sensitive value. Flags classes below "
+        "l=3 and echoes the dataset's achieved l. Same shape: one "
+        "group count-distinct with map-side partials + a 1-row "
+        "minimum broadcast.",
+    tags=("profiling", "governance", "privacy"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).cast("bigint").alias("l_distinct"),
+    )
+    mn = classes.agg(F.min("l_distinct").alias("l_diversity"))
+    return (
+        classes.crossJoin(F.broadcast(mn))
+        .filter(
+            (F.col("l_distinct") < 3)
+            | (F.col("l_distinct") == F.col("l_diversity"))
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") < 3).alias("violates_l3"),
+            "l_diversity",
+        )
+    )

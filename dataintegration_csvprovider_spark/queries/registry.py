@@ -150,6 +150,7 @@ _GRADE_FIRST = [
     "q_xml_roundtrip",
     "q_k_anonymity",
     "q_incremental_covariance",
+    "q_l_diversity",
     # ---- queries whose code changed in round 6 (advisor fixes / plan
     # rewrites): re-grade so the driver confirms the change is neutral.
     # These spill past position 50 (never-graded additions outrank

@@ -62,6 +62,7 @@ NLJ_OK = {
     "q_dedup_minhash_full",  # 1x1x1-row crossJoin of gate-count aggregates (r6 gate form)
     "q_k_anonymity",  # single-row global-minimum aggregate broadcast cross
     "q_incremental_covariance",  # 1x1-row crossJoin merging base+delta moment rows
+    "q_l_diversity",  # single-row global-minimum aggregate broadcast cross
     "q_skew_stats",  # single-row top-k aggregate broadcast cross
     "q_lm_quality_score",  # single-row vocab-size aggregate broadcast cross
     "q_dsir_importance",  # single-row (N_raw, N_tgt, V) totals broadcast cross
