@@ -126,6 +126,12 @@ HEADLINE = (
     # q_exact_substring_dedup) — same Σdf² reasoning as
     # q_curation_keep_best above. The production swap for its pair
     # stage is the LSH path benched via q_split_lsh_summary.
+    # round-6 late additions: RAG sliding-window chunking (narrow,
+    # zero-shuffle), Hellinger drift (two term counts + one join), and
+    # the t-closeness EMD audit (one scan + bounded-cardinality grid)
+    "q_chunk_sliding",
+    "q_drift_hellinger",
+    "q_t_closeness",
 )
 
 
@@ -194,6 +200,15 @@ def main() -> None:
     # (0.98x), the three flagged queries back at r4 levels (1.32/1.25/
     # 0.40s vs r4 1.34/1.37/0.36s) — ambient load during the r5 driver
     # bench, not a plan change. Benches must run alone.
+    # Noise-band measurement (late round 6): THREE isolated runs of the
+    # IDENTICAL tree within 35 minutes totalled 69.7 / 62.2 / 68.7s —
+    # a ±12% run-to-run band on this shared 32-thread VM, concentrated
+    # in the sub-second queries where fixed overhead dominates
+    # (q_union, q_rollup, q_window_running swing 1.0-1.6x with zero
+    # code change). Min-of-3 on the 52 r5-common queries: 56.2s vs
+    # r5's 57.2s (0.98x). Any cross-round delta inside ~15% is machine
+    # state, not a plan change; only per-query deltas that persist
+    # across min-of-N isolated runs warrant a plan bisect.
     import gc
 
     timings: dict[str, float] = {}

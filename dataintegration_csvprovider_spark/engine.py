@@ -287,6 +287,18 @@ class Engine:
 
         return _cd(docs, src_a, src_b)
 
+    @staticmethod
+    def hellinger_drift(docs, src_a="src1", src_b="src2"):
+        from .queries.profiling import hellinger_drift_docs as _hd
+
+        return _hd(docs, src_a, src_b)
+
+    @staticmethod
+    def sliding_token_chunks(df, id_col="doc_id", text_col="text", **kwargs):
+        from .operators.textstats import sliding_token_chunks as _stc
+
+        return _stc(df, id_col=id_col, text_col=text_col, **kwargs)
+
     # -- JSONL source/sink -------------------------------------------------
     def read_jsonl(
         self, source: JsonlSource, table: str, **kwargs

@@ -719,3 +719,54 @@ def quality_ensemble_rank(
         F.col(f"pr_{score_cols[0]}"),
     ) / F.lit(float(len(score_cols)))
     return out.withColumn("ensemble_score", mean_expr.cast("double"))
+
+
+def sliding_token_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style sliding-window chunking: cut each document's token
+    stream into overlapping chunks of ``window`` tokens every ``stride``
+    tokens (overlap = window - stride), the standard retrieval-index
+    prep step (LangChain/LlamaIndex text splitters; fixed-size variant).
+
+    Pure array expressions — split once, ``posexplode`` over the
+    per-doc start sequence (ceil(n/stride) rows per doc, never a
+    token-level explode), ``slice`` per chunk. A narrow per-row
+    transform: no shuffle, no UDF, whole-stage codegen'd; at 100 TB it
+    pipelines with the scan and the output is written partition-local.
+    Chunk boundaries are token-index-deterministic, so re-chunking a
+    grown corpus only touches new documents.
+
+    Returns (id, chunk_idx, chunk_start, chunk_n_tokens, chunk_text);
+    documents with no tokens produce no chunks. The tail chunk may be
+    shorter than ``window`` (it clamps at the document end).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    with_toks = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    exploded = with_toks.select(
+        id_col,
+        "__toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        ).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_start") + 1, F.lit(window)
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("chunk_n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -4081,3 +4081,46 @@ def q_multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("int").alias("bin"),
         F.col("n_pixels").cast("bigint").alias("n_pixels"),
     )
+
+
+@register(
+    "q_chunk_sliding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), st AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, len(toks) - 1, 24)) AS chunk_start
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 32))
+                AS BIGINT) AS chunk_n_tokens,
+           array_to_string(
+             list_slice(toks, chunk_start + 1, chunk_start + 32), ' ')
+             AS chunk_text
+    FROM st
+    """,
+    doc="Sliding-window document chunking for retrieval indexing "
+        "(operators/textstats.py sliding_token_chunks): 32-token "
+        "chunks every 24 tokens (8-token overlap so no sentence "
+        "straddles a hard cut unseen) — the third member of the "
+        "chunking family (q_sequence_packing: greedy whole-doc bins; "
+        "q_concat_chunk_packing: corpus-concat fixed blocks; this: "
+        "per-doc overlapping windows, the RAG-index prep). Split once, "
+        "posexplode the ~n/stride start offsets, slice per chunk: a "
+        "narrow codegen'd transform with no shuffle and no UDF, full "
+        "value oracle including the reconstructed chunk text.",
+    tags=("text", "chunking", "llm"),
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import sliding_token_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_token_chunks(
+        docs, id_col="doc_id", text_col="text", window=32, stride=24
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .registry import register
@@ -737,4 +738,253 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") < 3).alias("violates_l3"),
             "l_diversity",
         )
+    )
+
+
+@register(
+    "q_t_closeness",
+    oracle="""
+    WITH bux AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey, b
+    ), dom AS (SELECT DISTINCT b FROM bux),
+    gtot AS (
+      SELECT b, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM bux GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS m
+      FROM bux
+    ), classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(SUM(cnt) AS BIGINT) AS class_size
+      FROM bux GROUP BY c_mktsegment, c_nationkey
+    ), grid AS (
+      SELECT c.c_mktsegment, c.c_nationkey, c.class_size, d.b,
+             COALESCE(x.cnt, 0) AS cnt, g.gcnt, t.n_total, t.m
+      FROM classes c CROSS JOIN dom d
+      LEFT JOIN bux x ON x.c_mktsegment = c.c_mktsegment
+        AND x.c_nationkey = c.c_nationkey AND x.b = d.b
+      JOIN gtot g ON g.b = d.b
+      CROSS JOIN tot t
+    ), cum AS (
+      SELECT c_mktsegment, c_nationkey, class_size, n_total, m,
+             SUM(cnt * n_total - gcnt * class_size)
+               OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM grid
+    ), num AS (
+      SELECT c_mktsegment, c_nationkey, class_size, n_total, m,
+             CAST(SUM(ABS(cum)) AS BIGINT) AS scaled
+      FROM cum GROUP BY c_mktsegment, c_nationkey, class_size, n_total, m
+    ), emd AS (
+      SELECT c_mktsegment, c_nationkey, class_size,
+             round(CAST(scaled AS DOUBLE)
+                   / CAST(class_size * n_total * (m - 1) AS DOUBLE),
+                   9) AS t_emd
+      FROM num
+    ), mx AS (SELECT MAX(t_emd) AS t_max FROM emd)
+    SELECT e.c_mktsegment, e.c_nationkey, e.class_size, e.t_emd,
+           e.t_emd > 0.2 AS violates_t02, m.t_max
+    FROM emd e CROSS JOIN mx m
+    WHERE e.t_emd > 0.2 OR e.t_emd = m.t_max
+    """,
+    doc="t-closeness audit completing the privacy trio (q_k_anonymity: "
+        "class sizes; q_l_diversity: distinct sensitive values; this: "
+        "how far each class's sensitive DISTRIBUTION sits from the "
+        "global one): per (mktsegment, nationkey) equivalence class, "
+        "the Earth-Mover's Distance between the class's and the "
+        "corpus-wide account-balance-bucket distributions over the "
+        "ORDERED bucket domain (Li et al. 2007, the ordered-attribute "
+        "EMD = mean |CDF difference|). The whole statistic is computed "
+        "on INTEGERS — cum_i = sum_{j<=i}(cnt_j*n_total - "
+        "gcnt_j*class_size) is the common-denominator-scaled CDF gap — "
+        "with ONE final double division, so both engines see identical "
+        "IEEE values. Shape: one (class,bucket) count, a broadcast "
+        "bucket-domain cross join (domain bounded, never data-scaled), "
+        "per-class windows partitioned on the class key, a 1-row "
+        "totals/max broadcast. Flags classes above t=0.2 and echoes "
+        "the dataset's worst t.",
+    tags=("profiling", "governance", "privacy"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # (class, bucket) counts: the ONLY pass over the data. Persisted
+    # because four bounded aggregates (domain, global hist, totals,
+    # class sizes) derive from it — without the persist each one
+    # re-scans the fact table; with it the table is scanned once and
+    # everything downstream runs on #classes x #buckets rows.
+    bux = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).persist()
+    dom = bux.select("b").distinct()
+    glob = bux.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+    tot = bux.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count_distinct("b").cast("bigint").alias("m"),
+    )
+    classes = bux.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").cast("bigint").alias("class_size")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(dom))
+        .join(bux, ["c_mktsegment", "c_nationkey", "b"], "left")
+        .join(F.broadcast(glob), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "b",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "gcnt",
+            "n_total",
+            "m",
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        "n_total",
+        "m",
+        F.sum(
+            F.col("cnt") * F.col("n_total") - F.col("gcnt") * F.col("class_size")
+        ).over(w).alias("cum"),
+    )
+    num = cum.groupBy(
+        "c_mktsegment", "c_nationkey", "class_size", "n_total", "m"
+    ).agg(F.sum(F.abs(F.col("cum"))).cast("bigint").alias("scaled"))
+    emd = num.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        F.round(
+            F.col("scaled").cast("double")
+            / (
+                F.col("class_size") * F.col("n_total") * (F.col("m") - 1)
+            ).cast("double"),
+            9,
+        ).alias("t_emd"),
+    )
+    mx = emd.agg(F.max("t_emd").alias("t_max"))
+    return (
+        emd.crossJoin(F.broadcast(mx))
+        .filter((F.col("t_emd") > 0.2) | (F.col("t_emd") == F.col("t_max")))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "t_emd",
+            (F.col("t_emd") > 0.2).alias("violates_t02"),
+            "t_max",
+        )
+    )
+
+
+@register(
+    "q_drift_hellinger",
+    oracle="""
+    WITH a AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS term
+            FROM documents WHERE source = 'src1')
+      GROUP BY term),
+    b AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS term
+            FROM documents WHERE source = 'src2')
+      GROUP BY term),
+    j AS (
+      SELECT COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.term = b.term),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+             CAST(SUM(cb) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(sqrt(CAST(ca * cb AS DOUBLE))
+                           AS DECIMAL(28,12))) AS DOUBLE) AS sg
+      FROM j)
+    SELECT n_terms, n1, n2,
+           round(sg / sqrt(CAST(n1 * n2 AS DOUBLE)), 9) AS bhattacharyya,
+           round(sqrt(GREATEST(CAST(0 AS DOUBLE),
+                               1 - sg / sqrt(CAST(n1 * n2 AS DOUBLE)))), 9)
+             AS hellinger
+    FROM agg WHERE n_terms > 0
+    """,
+    doc="Hellinger drift between the word distributions of two corpus "
+        "slices (src1 vs src2) — the bounded-[0,1] member of the drift "
+        "family (tvd: L1; ks: sup-CDF; chi2: variance-weighted L2; "
+        "this: geometric/Bhattacharyya affinity). Engine-exact without "
+        "the no-ln workaround because sqrt IS IEEE-754 "
+        "correctly-rounded on both engines: per-term sqrt(ca*cb) of "
+        "exact integer counts is bit-identical, the sum folds through "
+        "DECIMAL(28,12) (order-independent), and BC = sum / "
+        "sqrt(n1*n2) is one deterministic division — so H = "
+        "sqrt(1 - BC) gets a full value oracle where a KL/PSI "
+        "statistic could not. Same shape as q_drift_chi2: two "
+        "map-side-combinable term counts, one term-keyed full outer "
+        "join, a single-row aggregate.",
+    tags=("profiling", "drift", "text"),
+)
+def q_drift_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hellinger_drift_docs(load_table(spark, sf_dir, "documents"))
+
+
+def hellinger_drift_docs(
+    docs: DataFrame, src_a: str = "src1", src_b: str = "src2"
+) -> DataFrame:
+    """Core of q_drift_hellinger over an in-memory documents frame —
+    the chi2_drift_docs companion with the same two-count/one-join
+    shape (also exposed on the Engine facade)."""
+
+    def _counts(src: str, alias: str) -> DataFrame:
+        return (
+            docs.filter(F.col("source") == src)
+            .select(
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                    "term"
+                )
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    j = (
+        _counts(src_a, "ca")
+        .join(_counts(src_b, "cb"), "term", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    agg = j.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(
+            F.sqrt((F.col("ca") * F.col("cb")).cast("double")).cast(
+                "decimal(28,12)"
+            )
+        ).cast("double").alias("sg"),
+    ).filter(F.col("n_terms") > 0)  # empty corpus => empty result
+    bc = F.col("sg") / F.sqrt((F.col("n1") * F.col("n2")).cast("double"))
+    return agg.select(
+        "n_terms",
+        "n1",
+        "n2",
+        F.round(bc, 9).alias("bhattacharyya"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 9
+        ).alias("hellinger"),
     )

@@ -136,6 +136,7 @@ def test_round6_cores_tolerate_empty_inputs(spark):
     crashes (bm25 previously divided by zero computing avgdl)."""
     from dataintegration_csvprovider_spark.queries.profiling import (
         chi2_drift_docs,
+        hellinger_drift_docs,
     )
     from dataintegration_csvprovider_spark.queries.textmining import (
         _bm25_scores_docs,
@@ -146,3 +147,84 @@ def test_round6_cores_tolerate_empty_inputs(spark):
     )
     assert _bm25_scores_docs(docs).count() == 0
     assert chi2_drift_docs(docs).count() == 0
+    assert hellinger_drift_docs(docs).count() == 0
+
+
+def test_t_closeness_bounds_and_max_echo(spark, qs):
+    rows = qs["q_t_closeness"](spark, SF).collect()
+    assert rows, "no class attained the max => impossible"
+    t_max = rows[0].t_max
+    for r in rows:
+        # ordered-EMD is a normalized mean |CDF gap|: always in [0, 1]
+        assert 0.0 <= r.t_emd <= 1.0
+        assert r.t_max == t_max
+        assert r.t_emd <= t_max
+        assert r.violates_t02 == (r.t_emd > 0.2)
+    assert any(r.t_emd == t_max for r in rows)
+
+
+def test_drift_hellinger_bounds_and_self_identity(spark, qs):
+    r = qs["q_drift_hellinger"](spark, SF).collect()[0]
+    assert 0.0 <= r.bhattacharyya <= 1.0
+    assert 0.0 <= r.hellinger <= 1.0
+    assert r.n_terms >= max(1, r.n1 > 0, r.n2 > 0)
+    # self-drift sanity: comparing a slice against itself gives BC = 1,
+    # H = 0 exactly (per-term sqrt(c*c) = c sums to n; sqrt(n*n) = n)
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.queries.profiling import (
+        hellinger_drift_docs,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    both = docs.withColumn("source", F.lit("src1")).unionByName(
+        docs.withColumn("source", F.lit("src2"))
+    )
+    s = hellinger_drift_docs(both).collect()[0]
+    assert s.bhattacharyya == 1.0
+    assert s.hellinger == 0.0
+
+
+def test_chunk_sliding_reconstruction_and_geometry(spark, qs):
+    from dataintegration_csvprovider_spark.catalog import load_table
+
+    out = qs["q_chunk_sliding"](spark, SF)
+    rows = out.collect()
+    docs = {
+        r.doc_id: [t for t in r.text.split(" ") if t != ""]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in docs.items():
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        # geometry: starts advance by the stride, idx dense from 0
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.chunk_start == i * 24
+            want = toks[c.chunk_start : c.chunk_start + 32]
+            assert c.chunk_text == " ".join(want)
+            assert c.chunk_n_tokens == len(want)
+        # coverage: every token index falls inside >= 1 chunk
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.chunk_start, c.chunk_start + c.chunk_n_tokens))
+        assert covered == set(range(len(toks)))
+
+
+def test_sliding_chunks_empty_and_validation(spark):
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        sliding_token_chunks,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert sliding_token_chunks(empty).count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    assert sliding_token_chunks(blank).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sliding_token_chunks(empty, window=0)

@@ -71,6 +71,7 @@ NLJ_OK = {
     "q_contrastive_pairs",  # same corpus-size broadcast via negative_samples
     "q_time_decay_agg",  # single-row max-date bounds broadcast cross
     "q_zipf_coverage",  # single-row total-tokens broadcast cross
+    "q_t_closeness",  # bounded bucket-domain cross + 1-row totals/max broadcasts
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
