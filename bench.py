@@ -132,6 +132,9 @@ HEADLINE = (
     "q_chunk_sliding",
     "q_drift_hellinger",
     "q_t_closeness",
+    # manual runtime filter: bitmap build + 1-row broadcast + 3-probe
+    # expression scan — the I/O-pruning discipline, value-replayed oracle
+    "q_bloom_semijoin",
 )
 
 

@@ -288,6 +288,12 @@ class Engine:
         return _cd(docs, src_a, src_b)
 
     @staticmethod
+    def bloom_semijoin(fact, keys, fact_key, key_col, m_bits=65536):
+        from .operators.scale import bloom_semijoin as _bsj
+
+        return _bsj(fact, keys, fact_key, key_col, m_bits=m_bits)
+
+    @staticmethod
     def hellinger_drift(docs, src_a="src1", src_b="src2"):
         from .queries.profiling import hellinger_drift_docs as _hd
 

@@ -501,3 +501,111 @@ def ks_two_sample(
             F.max("n_b").alias("n_b"),
         )
     )
+
+
+#: Bloom-filter constants: 2^31-1 prime + Knuth-style multiplicative
+#: hash rows (same arithmetic-hash discipline as the count-min sketch in
+#: queries/profiling.py) so an external engine can replay the filter
+#: bit-for-bit — xxhash64 would be faster but has no cross-engine twin.
+_BLOOM_P = 2147483647
+_BLOOM_HASHES = ((2654435761, 1), (2246822519, 7), (3266489917, 31))
+
+
+def _bloom_positions(key: Column, m_bits: int) -> list[Column]:
+    # pre-reduce mod P so red * C stays under 2^63 for any bigint key
+    red = F.pmod(key.cast("long"), F.lit(_BLOOM_P))
+    return [
+        F.pmod(red * F.lit(c) + F.lit(d), F.lit(_BLOOM_P)) % F.lit(m_bits)
+        for c, d in _BLOOM_HASHES
+    ]
+
+
+#: single-bit masks 1<<0 .. 1<<31 as a literal array — pyspark's
+#: F.shiftleft only accepts a Python int shift amount, so a column-typed
+#: bit index is resolved by lookup instead (element_at is 1-based)
+def _bit_mask(bit: Column) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(1 << i).cast("long") for i in range(32)]),
+        (bit + F.lit(1)).cast("int"),
+    )
+
+
+def bloom_flag(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    key_col: str,
+    m_bits: int = 65536,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Annotate ``fact`` with a Bloom-filter membership flag for
+    ``keys[key_col]`` — the manual form of the runtime filter Spark's
+    optimizer injects for selective joins (InjectRuntimeFilter), useful
+    when the build side is computed in a separate job or must be reused
+    across queries.
+
+    The filter is k=3 Knuth arithmetic hashes over an ``m_bits`` bitmap
+    stored as 32-bit words: the build side is one keyed ``bit_or``
+    aggregate (at most m_bits/32 rows, independent of key count), packed
+    into a single map row and broadcast; the probe is three
+    ``element_at`` + mask expressions per fact row — no shuffle, no UDF,
+    whole-stage codegen'd. No false negatives by construction; the
+    false-positive rate is ~(1 - e^(-3n/m))^3, so size m_bits ≳ 10x the
+    key count. At 100 TB the flag's point is I/O: filter before the wide
+    columns are touched (or feed a partition pruner), then remove the
+    few false positives with the exact join the caller was going to run
+    anyway.
+
+    Keys may be any integral type (negative-safe via pmod); NULL fact
+    keys get flag false.
+    """
+    if m_bits % 32 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    bits = keys.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits))
+        ).alias("pos")
+    )
+    words = bits.groupBy(
+        F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word")
+    ).agg(
+        F.bit_or(_bit_mask(F.pmod(F.col("pos"), F.lit(32)))).alias("w")
+    )
+    bf = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("w")))
+        ).alias("__bf")
+    )
+    cond = F.lit(True)
+    for p in _bloom_positions(F.col(fact_key), m_bits):
+        word = F.floor(p / F.lit(32)).cast("long")
+        mask = _bit_mask(F.pmod(p, F.lit(32)))
+        got = F.coalesce(
+            F.element_at(F.col("__bf"), word), F.lit(0).cast("long")
+        )
+        cond = cond & (got.bitwiseAND(mask) == mask)
+    return (
+        fact.crossJoin(F.broadcast(bf))
+        .withColumn(flag_col, F.coalesce(cond, F.lit(False)))
+        .drop("__bf")
+    )
+
+
+def bloom_semijoin(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    key_col: str,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """Bloom-pruned semi-join: cheap bitmap pre-filter (bloom_flag) then
+    the exact broadcast semi-join to drop false positives — result
+    identical to ``fact SEMI JOIN keys``, but at scale the bitmap
+    rejects the bulk of non-matching rows before the join (and before
+    wide-column materialization)."""
+    flagged = bloom_flag(fact, keys, fact_key, key_col, m_bits=m_bits)
+    pruned = flagged.filter(F.col("bloom_pass")).drop("bloom_pass")
+    dim = keys.select(F.col(key_col).alias("__bloom_k")).distinct()
+    return pruned.join(
+        F.broadcast(dim), F.col(fact_key) == F.col("__bloom_k"), "left_semi"
+    )

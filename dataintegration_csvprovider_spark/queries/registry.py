@@ -165,6 +165,7 @@ _GRADE_FIRST = [
     "q_t_closeness",
     "q_drift_hellinger",
     "q_chunk_sliding",
+    "q_bloom_semijoin",
 ]
 
 

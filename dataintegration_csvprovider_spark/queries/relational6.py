@@ -629,3 +629,133 @@ def q_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "q_bloom_semijoin",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+      SELECT ((c_custkey % 2147483647) * 2654435761 + 1)
+               % 2147483647 % 65536 AS pos FROM dim
+      UNION ALL
+      SELECT ((c_custkey % 2147483647) * 2246822519 + 7)
+               % 2147483647 % 65536 FROM dim
+      UNION ALL
+      SELECT ((c_custkey % 2147483647) * 3266489917 + 31)
+               % 2147483647 % 65536 FROM dim
+    ), words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS w
+      FROM bits GROUP BY pos // 32
+    ), probe AS (
+      SELECT o.o_totalprice,
+             d.c_custkey IS NOT NULL AS is_member,
+             ((o.o_custkey % 2147483647) * 2654435761 + 1)
+               % 2147483647 % 65536 AS p1,
+             ((o.o_custkey % 2147483647) * 2246822519 + 7)
+               % 2147483647 % 65536 AS p2,
+             ((o.o_custkey % 2147483647) * 3266489917 + 31)
+               % 2147483647 % 65536 AS p3
+      FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+    ), checked AS (
+      SELECT o_totalprice, is_member,
+             ((COALESCE(w1.w, 0) & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT)))
+                = (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT)))
+             AND
+             ((COALESCE(w2.w, 0) & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT)))
+                = (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT)))
+             AND
+             ((COALESCE(w3.w, 0) & (CAST(1 AS BIGINT) << CAST(p3 % 32 AS INT)))
+                = (CAST(1 AS BIGINT) << CAST(p3 % 32 AS INT)))
+               AS bloom_pass
+      FROM probe p
+      LEFT JOIN words w1 ON w1.word = p.p1 // 32
+      LEFT JOIN words w2 ON w2.word = p.p2 // 32
+      LEFT JOIN words w3 ON w3.word = p.p3 // 32
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+             CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+             CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+             CAST(SUM(CASE WHEN is_member
+                           THEN CAST(o_totalprice AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS member_revenue
+      FROM checked
+    )
+    SELECT n_fact, n_bloom_pass, n_exact, n_false_neg, member_revenue,
+           round(CAST(n_bloom_pass AS DOUBLE) / CAST(n_fact AS DOUBLE), 9)
+             AS selectivity
+    FROM agg
+    """,
+    doc="Bloom-pruned semi-join audit (operators/scale.py bloom_flag / "
+        "bloom_semijoin): the manual form of Spark's injected runtime "
+        "filter — BUILDING-segment customer keys build a 65536-bit "
+        "bitmap (k=3 Knuth arithmetic hashes, one bit_or aggregate of "
+        "at most m/32 words), packed into a single broadcast map row; "
+        "every order probes it with three element_at+mask expressions "
+        "(no shuffle, no UDF). The audit proves the contract the 100 TB "
+        "path relies on: n_false_neg = 0 (a Bloom filter never drops a "
+        "true match — the flagged row count bounds the exact semi-join "
+        "from above), plus the realized selectivity and the "
+        "exact-decimal member revenue. The arithmetic hashes let DuckDB "
+        "replay the ENTIRE filter bit-for-bit, so bitmap, probe flags "
+        "and counts are all value-checked, not just the final join.",
+    tags=("join", "scale", "bloom"),
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import bloom_flag
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    flagged = bloom_flag(orders, dim, "o_custkey", "c_custkey")
+    member = (
+        flagged.join(
+            F.broadcast(dim.withColumnRenamed("c_custkey", "__k")),
+            F.col("o_custkey") == F.col("__k"),
+            "left",
+        )
+        .withColumn("is_member", F.col("__k").isNotNull())
+        .drop("__k")
+    )
+    agg = member.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fact"),
+        F.sum(F.col("bloom_pass").cast("bigint")).cast("bigint").alias(
+            "n_bloom_pass"
+        ),
+        F.sum(F.col("is_member").cast("bigint")).cast("bigint").alias(
+            "n_exact"
+        ),
+        F.sum(
+            (F.col("is_member") & ~F.col("bloom_pass")).cast("bigint")
+        ).cast("bigint").alias("n_false_neg"),
+        F.sum(
+            F.when(
+                F.col("is_member"),
+                F.col("o_totalprice").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).cast("double").alias("member_revenue"),
+    )
+    return agg.select(
+        "n_fact",
+        "n_bloom_pass",
+        "n_exact",
+        "n_false_neg",
+        "member_revenue",
+        F.round(
+            F.col("n_bloom_pass").cast("double")
+            / F.col("n_fact").cast("double"),
+            9,
+        ).alias("selectivity"),
+    )

@@ -228,3 +228,39 @@ def test_sliding_chunks_empty_and_validation(spark):
 
     with _pt.raises(ValueError):
         sliding_token_chunks(empty, window=0)
+
+
+def test_bloom_semijoin_contract(spark, qs):
+    r = qs["q_bloom_semijoin"](spark, SF).collect()[0]
+    # the load-bearing Bloom law: NEVER a false negative, so the bloom
+    # pass-count bounds the exact semi-join from above
+    assert r.n_false_neg == 0
+    assert r.n_exact <= r.n_bloom_pass <= r.n_fact
+    assert 0.0 < r.selectivity <= 1.0
+
+
+def test_bloom_flag_operator_laws(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        bloom_flag,
+        bloom_semijoin,
+    )
+
+    keys = spark.range(0, 200).selectExpr("id * 7 AS k")  # members
+    fact = spark.range(0, 3000).selectExpr("id AS fk")
+    flagged = bloom_flag(fact, keys, "fk", "k", m_bits=4096)
+    rows = {r.fk: r.bloom_pass for r in flagged.collect()}
+    members = {i * 7 for i in range(200)}
+    # no false negatives ever
+    assert all(rows[m] for m in members if m < 3000)
+    # with 600 bits set of 4096 the filter must reject most non-members
+    fp = sum(1 for k, p in rows.items() if p and k not in members)
+    non_members = 3000 - len([m for m in members if m < 3000])
+    assert fp / non_members < 0.5
+    # the composed semi-join is EXACT (false positives removed)
+    got = {r.fk for r in bloom_semijoin(fact, keys, "fk", "k", m_bits=4096).collect()}
+    assert got == {m for m in members if m < 3000}
+    # validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom_flag(fact, keys, "fk", "k", m_bits=100)

@@ -72,6 +72,7 @@ NLJ_OK = {
     "q_time_decay_agg",  # single-row max-date bounds broadcast cross
     "q_zipf_coverage",  # single-row total-tokens broadcast cross
     "q_t_closeness",  # bounded bucket-domain cross + 1-row totals/max broadcasts
+    "q_bloom_semijoin",  # single-row bloom-bitmap broadcast cross (the probe)
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
