@@ -559,6 +559,16 @@ def bloom_flag(
     Keys may be any integral type (negative-safe via pmod); NULL fact
     keys get flag false.
     """
+    words = bloom_words(keys, key_col, m_bits)
+    return bloom_flag_from_words(fact, words, fact_key, m_bits, flag_col)
+
+
+def bloom_words(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """Build side of the Bloom filter: the (word, w) bitmap table — one
+    keyed ``bit_or`` aggregate, at most m_bits/32 rows regardless of key
+    count. Word tables built on key SLICES merge to the whole-set table
+    by cell-wise bitwise OR (the Bloom merge law, the streaming /
+    multi-job build path)."""
     if m_bits % 32 != 0 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 32")
     bits = keys.select(
@@ -566,11 +576,25 @@ def bloom_flag(
             F.array(*_bloom_positions(F.col(key_col), m_bits))
         ).alias("pos")
     )
-    words = bits.groupBy(
+    return bits.groupBy(
         F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word")
     ).agg(
         F.bit_or(_bit_mask(F.pmod(F.col("pos"), F.lit(32)))).alias("w")
     )
+
+
+def bloom_flag_from_words(
+    fact: DataFrame,
+    words: DataFrame,
+    fact_key: str,
+    m_bits: int,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Probe side: flag ``fact`` rows against a prebuilt (word, w)
+    bitmap table (from :func:`bloom_words` or an OR-merge of slice
+    tables)."""
+    if m_bits % 32 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
     bf = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("word"), F.col("w")))

@@ -166,6 +166,7 @@ _GRADE_FIRST = [
     "q_drift_hellinger",
     "q_chunk_sliding",
     "q_bloom_semijoin",
+    "q_stream_bloom_filter",
 ]
 
 

@@ -631,9 +631,11 @@ def q_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
-@register(
-    "q_bloom_semijoin",
-    oracle="""
+#: full bit-for-bit replay of the Bloom build + probe + audit — shared
+#: by q_bloom_semijoin and its streaming twin q_stream_bloom_filter
+#: (whose OR-merged filter is value-equal to the batch one, so the same
+#: oracle checks both)
+BLOOM_AUDIT_ORACLE = """
     WITH dim AS (
       SELECT DISTINCT c_custkey FROM customer
       WHERE c_mktsegment = 'BUILDING'
@@ -693,33 +695,25 @@ def q_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n_bloom_pass AS DOUBLE) / CAST(n_fact AS DOUBLE), 9)
              AS selectivity
     FROM agg
-    """,
-    doc="Bloom-pruned semi-join audit (operators/scale.py bloom_flag / "
-        "bloom_semijoin): the manual form of Spark's injected runtime "
-        "filter — BUILDING-segment customer keys build a 65536-bit "
-        "bitmap (k=3 Knuth arithmetic hashes, one bit_or aggregate of "
-        "at most m/32 words), packed into a single broadcast map row; "
-        "every order probes it with three element_at+mask expressions "
-        "(no shuffle, no UDF). The audit proves the contract the 100 TB "
-        "path relies on: n_false_neg = 0 (a Bloom filter never drops a "
-        "true match — the flagged row count bounds the exact semi-join "
-        "from above), plus the realized selectivity and the "
-        "exact-decimal member revenue. The arithmetic hashes let DuckDB "
-        "replay the ENTIRE filter bit-for-bit, so bitmap, probe flags "
-        "and counts are all value-checked, not just the final join.",
-    tags=("join", "scale", "bloom"),
-)
-def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import bloom_flag
+"""
 
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    dim = (
-        cust.filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-        .distinct()
-    )
-    flagged = bloom_flag(orders, dim, "o_custkey", "c_custkey")
+
+def bloom_audit_frame(
+    orders: DataFrame, dim: DataFrame, words: DataFrame | None = None,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """The Bloom audit aggregate shared by the batch and streaming
+    queries: flag every order against the filter (built from ``dim``,
+    or probed against a prebuilt/merged ``words`` table), mark exact
+    membership with one broadcast join, and reduce to the single audit
+    row (counts, the false-negative check, member revenue,
+    selectivity)."""
+    from ..operators.scale import bloom_flag, bloom_flag_from_words
+
+    if words is None:
+        flagged = bloom_flag(orders, dim, "o_custkey", "c_custkey", m_bits)
+    else:
+        flagged = bloom_flag_from_words(orders, words, "o_custkey", m_bits)
     member = (
         flagged.join(
             F.broadcast(dim.withColumnRenamed("c_custkey", "__k")),
@@ -759,3 +753,32 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("selectivity"),
     )
+
+
+@register(
+    "q_bloom_semijoin",
+    oracle=BLOOM_AUDIT_ORACLE,
+    doc="Bloom-pruned semi-join audit (operators/scale.py bloom_flag / "
+        "bloom_semijoin): the manual form of Spark's injected runtime "
+        "filter — BUILDING-segment customer keys build a 65536-bit "
+        "bitmap (k=3 Knuth arithmetic hashes, one bit_or aggregate of "
+        "at most m/32 words), packed into a single broadcast map row; "
+        "every order probes it with three element_at+mask expressions "
+        "(no shuffle, no UDF). The audit proves the contract the 100 TB "
+        "path relies on: n_false_neg = 0 (a Bloom filter never drops a "
+        "true match — the flagged row count bounds the exact semi-join "
+        "from above), plus the realized selectivity and the "
+        "exact-decimal member revenue. The arithmetic hashes let DuckDB "
+        "replay the ENTIRE filter bit-for-bit, so bitmap, probe flags "
+        "and counts are all value-checked, not just the final join.",
+    tags=("join", "scale", "bloom"),
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    return bloom_audit_frame(orders, dim)

@@ -1379,3 +1379,112 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "true_n", "est",
         (F.col("est") >= F.col("true_n")).alias("over_ok"),
     )
+
+
+@register(
+    "q_stream_bloom_filter",
+    # identical oracle surface to q_bloom_semijoin: word tables built on
+    # key SLICES merge to the whole-set table by cell-wise bitwise OR
+    # (the Bloom merge law), so the stream-merged filter's audit row is
+    # VALUE-equal to the batch one — the merge identity is the checked
+    # fact, exactly the q_stream_countmin pattern with OR for +.
+    oracle=None,  # set below to the shared BLOOM_AUDIT_ORACLE
+    doc="STREAMING Bloom-filter build: the BUILDING-segment customer "
+        "keys arrive as three deterministic micro-batches (staged "
+        "files, maxFilesPerTrigger=1); foreachBatch builds each "
+        "batch's (word, w) bitmap table under the same Knuth "
+        "arithmetic hashes as q_bloom_semijoin (at most m/32 = 2048 "
+        "rows per batch, the bounded artifact) and merges it into the "
+        "running filter by CELL-WISE BITWISE OR — no growing state: "
+        "one bitmap forever, restart = re-OR, the property that makes "
+        "Bloom filters buildable incrementally while a dimension "
+        "table streams in. The merged filter then runs the SAME "
+        "order-probe audit as the batch query, and because OR-merge "
+        "of slice tables IS the whole-set table, the audit row is "
+        "value-equal to q_bloom_semijoin's — which is exactly what "
+        "the shared oracle computes.",
+    tags=("streaming", "join", "bloom"),
+)
+def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.scale import bloom_words
+    from .relational6 import bloom_audit_frame
+
+    m_bits = 65536
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+
+    stage = tempfile.mkdtemp(prefix="bloom_stage_")
+    ck = tempfile.mkdtemp(prefix="bloom_ck_")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        df = dim.filter(F.col("c_custkey") % 3 == k)
+        tmp = tempfile.mkdtemp(prefix="bloom_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    merged: dict[int, int] = {}
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            # per-batch word table is <= m/32 rows — the bounded
+            # artifact; bitwise OR is the Bloom merge operation
+            for r in bloom_words(bdf, "c_custkey", m_bits).collect():
+                w = int(r["word"])
+                merged[w] = merged.get(w, 0) | int(r["w"])
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    words = spark.createDataFrame(
+        sorted(merged.items()), "word long, w long"
+    )
+    return bloom_audit_frame(orders, dim, words=words, m_bits=m_bits)
+
+
+# attach the shared oracle (defined next to the batch query): the
+# streaming merge must reproduce the batch filter bit-for-bit, so the
+# SAME SQL replay grades both
+def _attach_bloom_oracle() -> None:
+    from .relational6 import BLOOM_AUDIT_ORACLE
+    from .registry import _REGISTRY
+
+    _REGISTRY["q_stream_bloom_filter"].oracle = BLOOM_AUDIT_ORACLE
+
+
+_attach_bloom_oracle()

@@ -264,3 +264,12 @@ def test_bloom_flag_operator_laws(spark):
 
     with _pt.raises(ValueError):
         bloom_flag(fact, keys, "fk", "k", m_bits=100)
+
+
+def test_stream_bloom_merge_equals_batch(spark, qs):
+    """Bloom merge law: OR-merged per-micro-batch filters must be
+    VALUE-equal to the batch filter, so the two audit rows match."""
+    batch = qs["q_bloom_semijoin"](spark, SF).collect()[0].asDict()
+    streamed = qs["q_stream_bloom_filter"](spark, SF).collect()[0].asDict()
+    assert streamed == batch
+    assert streamed["n_false_neg"] == 0
