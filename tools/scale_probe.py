@@ -358,6 +358,47 @@ def probe_prefixsum(spark, path: str) -> dict[str, float]:
     return secs
 
 
+def probe_filters(spark, path: str) -> dict[str, float]:
+    """Round-6 filters/chunking family: RAG sliding-window chunking (a
+    narrow zero-shuffle transform — must be exactly linear), Hellinger
+    drift (two term counts + one term-keyed join — linear in tokens),
+    and the Bloom probe against a CONSTANT key set (three element_at
+    expressions per row — linear in fact rows, the runtime-filter
+    regime: the dimension does not grow with the fact table)."""
+    from dataintegration_csvprovider_spark.operators.scale import (
+        bloom_flag,
+    )
+    from dataintegration_csvprovider_spark.operators.textstats import (
+        sliding_token_chunks,
+    )
+    from dataintegration_csvprovider_spark.queries.profiling import (
+        hellinger_drift_docs,
+    )
+
+    docs = spark.read.parquet(path)
+    # constant dim: copy-0 ids only, so the filter is identical at every
+    # multiplier and only the probed fact side grows
+    keys = (
+        docs.filter(
+            (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 7 == 0)
+        ).select("doc_id")
+    )
+    ops = {
+        "chunk_sliding": lambda d: sliding_token_chunks(d),
+        "hellinger_drift": lambda d: hellinger_drift_docs(d),
+        "bloom_probe": lambda d: bloom_flag(
+            d, keys, "doc_id", "doc_id"
+        ),
+    }
+    secs: dict[str, float] = {}
+    for name, fn in ops.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        _force(fn(docs))
+        secs[name] = round(time.monotonic() - t0, 3)
+    return secs
+
+
 def probe_ops(spark, path: str) -> dict[str, float]:
     docs = spark.read.parquet(path)
     ops = {
@@ -382,7 +423,7 @@ def main() -> None:
     ap.add_argument(
         "--family",
         choices=["dedup", "similarity", "graph", "curation", "prefixsum",
-                 "retrieval"],
+                 "retrieval", "filters"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -396,6 +437,7 @@ def main() -> None:
         "curation": (build_scaled, probe_curation),
         "prefixsum": (build_scaled, probe_prefixsum),
         "retrieval": (build_scaled, probe_retrieval),
+        "filters": (build_scaled, probe_filters),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
