@@ -988,3 +988,161 @@ def hellinger_drift_docs(
             F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 9
         ).alias("hellinger"),
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS w
+      FROM documents
+    ), cum AS (
+      SELECT lang, n_chars,
+             SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM t
+    ), tot AS (
+      SELECT lang, CAST(SUM(w) AS BIGINT) AS total_w,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM t GROUP BY lang
+    )
+    SELECT c.lang, t2.n_docs, t2.total_w,
+           CAST(MIN(c.n_chars) AS BIGINT) AS wmedian
+    FROM cum c JOIN tot t2 ON c.lang = t2.lang
+    WHERE 2 * c.cw >= t2.total_w
+    GROUP BY c.lang, t2.n_docs, t2.total_w
+    """,
+    doc="Per-group WEIGHTED median (token-weighted median document "
+        "length per language): the robust location statistic a "
+        "curation report wants when documents contribute unequally — "
+        "the median token, not the median document. Exact by "
+        "construction: one per-group cumulative weight window "
+        "(partitioned on the group key, never global), a 1-row-per-"
+        "group totals broadcast, and the crossing row 2*cum >= total "
+        "recovered as MIN(value) over the qualifying suffix (values "
+        "are non-decreasing along the window order, so the suffix "
+        "minimum IS the first crossing) — all integer arithmetic, no "
+        "percentile approximation. Ties broken by doc_id for a "
+        "deterministic cumulative order; the reported value is "
+        "tie-invariant anyway.",
+    tags=("profiling", "stats", "window"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).cast("bigint").alias("w"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = t.select("lang", "n_chars", F.sum("w").over(win).alias("cw"))
+    tot = t.groupBy("lang").agg(
+        F.sum("w").cast("bigint").alias("total_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "lang")
+        .filter(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("lang", "n_docs", "total_w")
+        .agg(F.min("n_chars").cast("bigint").alias("wmedian"))
+        .select("lang", "n_docs", "total_w", "wmedian")
+    )
+
+
+@register(
+    "q_rater_agreement",
+    oracle="""
+    WITH t AS (
+      SELECT (n_chars >= 200) AS a,
+             (len(list_filter(string_split(text, ' '), x -> x <> ''))
+              >= 40) AS b
+      FROM documents
+    ), cells AS (
+      SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n11,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t
+    )
+    SELECT n11, n10, n01, n00, n,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS po,
+           round(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 9) AS pe,
+           round(CAST(n * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                 / CAST(n * n
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) AS DOUBLE), 9)
+             AS kappa
+    FROM cells WHERE n > 0
+    """,
+    doc="Cohen's kappa between two binary quality raters (the "
+        "char-length filter vs the token-count filter) — the agreement-"
+        "beyond-chance diagnostic a curation pipeline runs before "
+        "trusting a cheap filter as a proxy for an expensive one "
+        "(Cohen 1960). Computed EXACTLY on the 2x2 confusion counts: "
+        "kappa = (N*(n11+n00) - SUM marginal products) / (N^2 - SUM "
+        "marginal products) is one integer-arithmetic identity with a "
+        "single final division, so both engines see the same IEEE "
+        "double (no intermediate proportions). One single-scan "
+        "aggregate with map-side partials — the confusion table is "
+        "four counters at any corpus size.",
+    tags=("profiling", "quality", "agg"),
+)
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.col("n_chars") >= 200
+    b = (
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        )
+        >= 40
+    )
+    cells = docs.select(
+        a.alias("a"), b.alias("b")
+    ).agg(
+        F.sum((F.col("a") & F.col("b")).cast("bigint")).cast("bigint").alias("n11"),
+        F.sum((F.col("a") & ~F.col("b")).cast("bigint")).cast("bigint").alias("n10"),
+        F.sum((~F.col("a") & F.col("b")).cast("bigint")).cast("bigint").alias("n01"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("bigint")).cast("bigint").alias("n00"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).filter(F.col("n") > 0)
+    marg = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "n",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double")
+            / F.col("n").cast("double"),
+            9,
+        ).alias("po"),
+        F.round(
+            marg.cast("double") / (F.col("n") * F.col("n")).cast("double"), 9
+        ).alias("pe"),
+        F.round(
+            (F.col("n") * (F.col("n11") + F.col("n00")) - marg).cast("double")
+            / (F.col("n") * F.col("n") - marg).cast("double"),
+            9,
+        ).alias("kappa"),
+    )

@@ -167,6 +167,8 @@ _GRADE_FIRST = [
     "q_chunk_sliding",
     "q_bloom_semijoin",
     "q_stream_bloom_filter",
+    "q_weighted_median",
+    "q_rater_agreement",
 ]
 
 

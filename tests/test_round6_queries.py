@@ -273,3 +273,36 @@ def test_stream_bloom_merge_equals_batch(spark, qs):
     streamed = qs["q_stream_bloom_filter"](spark, SF).collect()[0].asDict()
     assert streamed == batch
     assert streamed["n_false_neg"] == 0
+
+
+def test_weighted_median_is_true_weighted_median(spark, qs):
+    from dataintegration_csvprovider_spark.catalog import load_table
+
+    got = {r.lang: r for r in qs["q_weighted_median"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").collect()
+    per_lang: dict[str, list] = {}
+    for d in docs:
+        w = len([t for t in d.text.split(" ") if t])
+        per_lang.setdefault(d.lang, []).append((d.n_chars, d.doc_id, w))
+    for lang, rows in per_lang.items():
+        rows.sort()
+        total = sum(w for _, _, w in rows)
+        cw = 0
+        for v, _, w in rows:
+            cw += w
+            if 2 * cw >= total:
+                expect = v
+                break
+        r = got[lang]
+        assert r.wmedian == expect
+        assert r.total_w == total
+        assert r.n_docs == len(rows)
+
+
+def test_rater_agreement_identities(spark, qs):
+    r = qs["q_rater_agreement"](spark, SF).collect()[0]
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+    assert -1.0 <= r.kappa <= 1.0
+    assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+    # kappa sign law: agreement above chance iff po > pe
+    assert (r.kappa > 0) == (r.po > r.pe)
