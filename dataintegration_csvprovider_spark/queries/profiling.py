@@ -1146,3 +1146,89 @@ def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kappa"),
     )
+
+
+#: Benford first-digit expectations log10(1 + 1/d): ONE table of literal
+#: strings feeds BOTH the Spark plan and the SQL oracle, so the parsed
+#: doubles are bit-identical on the two engines (decimal->double parse
+#: is correctly rounded in both).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN CAST({v} AS DOUBLE)" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM digits GROUP BY digit
+    ), fr AS (
+      SELECT digit, n,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs
+      FROM counts
+    )
+    SELECT digit, n, round(obs, 9) AS obs_frac,
+           {_BENFORD_SQL_CASE} AS benford_frac,
+           round(abs(obs - {_BENFORD_SQL_CASE}), 9) AS abs_dev,
+           abs(obs - {_BENFORD_SQL_CASE}) > 0.02 AS flagged
+    FROM fr
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+        "classic anomaly screen for financial feeds (Newcomb 1881, "
+        "Benford 1938; naturally-generated multi-magnitude amounts "
+        "follow P(d) = log10(1+1/d), fabricated or constrained ones "
+        "usually don't). First digits extracted via integer-floor -> "
+        "string (no log10 on the data path, so no libm boundary "
+        "divergence); the nine expected frequencies are pinned literal "
+        "constants shared verbatim by the Spark plan and the oracle. "
+        "One group-keyed count + a 9-row window for the total: "
+        "auditing 100 TB costs one scan with map-side partials. The "
+        "synthetic fixture's uniform-ish prices rightly FLAG large "
+        "deviations — the audit detecting non-Benford data is the "
+        "feature.",
+    tags=("profiling", "quality", "agg"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # 9-row input: the no-partition window is bounded by the digit
+    # domain, never by the data
+    total = F.sum("n").over(Window.partitionBy())
+    exp = F.lit(None).cast("double")
+    for d, v in reversed(_BENFORD.items()):
+        exp = F.when(F.col("digit") == str(d), F.lit(float(v))).otherwise(exp)
+    obs = F.col("n").cast("double") / total.cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        F.round(obs, 9).alias("obs_frac"),
+        exp.alias("benford_frac"),
+        F.round(F.abs(obs - exp), 9).alias("abs_dev"),
+        (F.abs(obs - exp) > 0.02).alias("flagged"),
+    )

@@ -169,6 +169,7 @@ _GRADE_FIRST = [
     "q_stream_bloom_filter",
     "q_weighted_median",
     "q_rater_agreement",
+    "q_benford_audit",
 ]
 
 

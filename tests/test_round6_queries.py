@@ -306,3 +306,14 @@ def test_rater_agreement_identities(spark, qs):
     assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
     # kappa sign law: agreement above chance iff po > pe
     assert (r.kappa > 0) == (r.po > r.pe)
+
+
+def test_benford_audit_fractions_sum_to_one(spark, qs):
+    rows = qs["q_benford_audit"](spark, SF).collect()
+    assert {r.digit for r in rows} <= {str(d) for d in range(1, 10)}
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-6
+    import math
+
+    for r in rows:
+        assert abs(r.benford_frac - math.log10(1 + 1 / int(r.digit))) < 1e-15
+        assert r.flagged == (r.abs_dev > 0.02)
