@@ -159,8 +159,8 @@ _GRADE_FIRST = [
     # but already sit in the never-graded head above.)
     "q_rolling_corr",
     "q_last_touch_attribution",
-    # ---- late round-6 additions (spill past the 50-name window; all
-    # three hash-verified by the local replica at sf0.001/0.01/0.1 —
+    # ---- late round-6 additions (spill past the 50-name window; every
+    # one hash-verified by the local replica at sf0.001/0.01/0.1 —
     # they head the round-7 grading rotation).
     "q_t_closeness",
     "q_drift_hellinger",
