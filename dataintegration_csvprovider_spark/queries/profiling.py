@@ -1232,3 +1232,78 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(obs - exp), 9).alias("abs_dev"),
         (F.abs(obs - exp) > 0.02).alias("flagged"),
     )
+
+
+@register(
+    "q_lorenz_gini",
+    oracle="""
+    WITH pos AS (
+      SELECT c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,6)) AS x,
+             c_custkey
+      FROM customer WHERE c_acctbal > 0
+    ), ranked AS (
+      SELECT c_mktsegment, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY x, c_custkey) AS BIGINT)
+               AS i
+      FROM pos
+    ), agg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(i * x) AS six
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           CAST(sx AS DOUBLE) AS total_balance,
+           round((2 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1)
+                    * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS gini
+    FROM agg
+    """,
+    doc="Per-segment Gini concentration of positive account balances — "
+        "the Lorenz-curve inequality audit (how concentrated is the "
+        "balance mass within each market segment), via the exact rank "
+        "formula G = (2*SUM(i*x_(i)) - (n+1)*SUM(x)) / (n*SUM(x)) over "
+        "the ascending sort. Everything before the ONE final division "
+        "is exact: ranks are integers (custkey tie-break), balances "
+        "and the rank-weighted sum fold through DECIMAL(18,6)/(28,6) "
+        "(order-independent), so both engines divide identical values. "
+        "One group-partitioned ROW_NUMBER window + one grouped "
+        "aggregate — the window shuffles on the segment key, never a "
+        "global sort. Companion to q_skew_stats (key-frequency skew) "
+        "and q_zipf_coverage (token mass): this one measures VALUE "
+        "mass concentration.",
+    tags=("profiling", "stats", "window"),
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,6)").alias("x"),
+        "c_custkey",
+    )
+    win = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = pos.select(
+        "c_mktsegment",
+        "x",
+        F.row_number().over(win).cast("bigint").alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        sx_d.alias("total_balance"),
+        F.round(
+            (2 * F.col("six").cast("double") - (n_d + 1) * sx_d)
+            / (n_d * sx_d),
+            9,
+        ).alias("gini"),
+    )

@@ -170,6 +170,7 @@ _GRADE_FIRST = [
     "q_weighted_median",
     "q_rater_agreement",
     "q_benford_audit",
+    "q_lorenz_gini",
 ]
 
 

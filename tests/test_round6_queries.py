@@ -317,3 +317,26 @@ def test_benford_audit_fractions_sum_to_one(spark, qs):
     for r in rows:
         assert abs(r.benford_frac - math.log10(1 + 1 / int(r.digit))) < 1e-15
         assert r.flagged == (r.abs_dev > 0.02)
+
+
+def test_lorenz_gini_matches_bruteforce(spark, qs):
+    from dataintegration_csvprovider_spark.catalog import load_table
+
+    got = {r.c_mktsegment: r for r in qs["q_lorenz_gini"](spark, SF).collect()}
+    rows = load_table(spark, SF, "customer").collect()
+    per_seg: dict[str, list] = {}
+    for c in rows:
+        if c.c_acctbal > 0:
+            per_seg.setdefault(c.c_mktsegment, []).append(
+                (c.c_acctbal, c.c_custkey)
+            )
+    for seg, xs in per_seg.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        expect = (2 * six - (n + 1) * sx) / (n * sx)
+        r = got[seg]
+        assert r.n == n
+        assert abs(r.gini - expect) < 1e-6
+        assert 0.0 <= r.gini < 1.0
