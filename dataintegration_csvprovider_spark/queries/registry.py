@@ -171,6 +171,7 @@ _GRADE_FIRST = [
     "q_rater_agreement",
     "q_benford_audit",
     "q_lorenz_gini",
+    "q_markov_transitions",
 ]
 
 

@@ -643,3 +643,63 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 9).alias("z"),
         )
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n, t.row_total,
+           round(CAST(p.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 9)
+             AS prob
+    FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+    """,
+    doc="First-order Markov transition matrix over per-user event-type "
+        "sequences — the behavioral-sequence summary that feeds "
+        "next-action models and synthetic-session generators. Pairs "
+        "come from ONE user-partitioned LAG window (ties broken by "
+        "event_id for a deterministic sequence), then a (from, to) "
+        "keyed count with map-side partials; row-normalizing "
+        "probabilities joins the #states-row totals (bounded by the "
+        "event-type domain, broadcast). Counts are exact integers and "
+        "each probability is one integer division, so both engines "
+        "see identical doubles. The transition matrix is #states^2 "
+        "rows at ANY corpus size — the per-user window shuffles on "
+        "user_id, never a global sort.",
+    tags=("timeseries", "sequence", "window"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(win).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        F.round(
+            F.col("n").cast("double") / F.col("row_total").cast("double"), 9
+        ).alias("prob"),
+    )

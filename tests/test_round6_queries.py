@@ -340,3 +340,16 @@ def test_lorenz_gini_matches_bruteforce(spark, qs):
         assert r.n == n
         assert abs(r.gini - expect) < 1e-6
         assert 0.0 <= r.gini < 1.0
+
+
+def test_markov_transitions_rows_are_distributions(spark, qs):
+    rows = qs["q_markov_transitions"](spark, SF).collect()
+    assert rows
+    per_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.prob <= 1.0
+        assert r.n <= r.row_total
+        per_prev[r.prev_type] = per_prev.get(r.prev_type, 0.0) + r.prob
+    # each row of the matrix is a probability distribution
+    for prev, s in per_prev.items():
+        assert abs(s - 1.0) < 1e-6, (prev, s)
