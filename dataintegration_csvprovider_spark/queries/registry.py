@@ -172,6 +172,7 @@ _GRADE_FIRST = [
     "q_benford_audit",
     "q_lorenz_gini",
     "q_markov_transitions",
+    "q_burstiness",
 ]
 
 

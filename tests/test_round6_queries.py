@@ -353,3 +353,35 @@ def test_markov_transitions_rows_are_distributions(spark, qs):
     # each row of the matrix is a probability distribution
     for prev, s in per_prev.items():
         assert abs(s - 1.0) < 1e-6, (prev, s)
+
+
+def test_burstiness_bounds_and_moment_parity(spark, qs):
+    import statistics
+
+    from dataintegration_csvprovider_spark.catalog import load_table
+
+    got = {r.user_id: r for r in qs["q_burstiness"](spark, SF).collect()}
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id)
+            for r in load_table(spark, SF, "events")
+            .filter(F.col("user_id") < 30)
+            .collect()
+        )
+    )
+    per_user: dict[int, list] = {}
+    for uid, ts, eid in ev:
+        per_user.setdefault(uid, []).append(ts)
+    for uid, tss in per_user.items():
+        gaps = [
+            (b - a).total_seconds() * 1e6
+            for a, b in zip(tss, tss[1:])
+        ]
+        if len(gaps) < 2:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert -1.0 <= r.burstiness <= 1.0
+        assert r.n_gaps == len(gaps)
+        assert abs(r.mean_gap_us - statistics.mean(gaps)) < 0.5
+        assert abs(r.std_gap_us - statistics.pstdev(gaps)) < 1.0
