@@ -29,6 +29,21 @@ Cross-engine determinism rules (so order-insensitive value hashes match):
   into a decimal accumulator, report the output at fixed precision
   (``ROUND(x, 9)``; 6 for deep-decay sums) on BOTH sides — see
   q_embedding_covariance / q_time_decay_agg.
+- ``ROUND(x, 9)`` is only engine-stable while the 9th fractional digit
+  sits ABOVE the double ulp: for |x| ≳ 2^35 the requested digits are
+  sub-ulp and the two engines' renderings diverge. Report
+  large-magnitude statistics at coarser precision (q_burstiness gap
+  stats: 3 decimals at 1e10-microsecond magnitudes).
+- DuckDB multiplies DECIMAL(width<=18) pairs in int64 and overflows at
+  products >= 2^63; cast operands to DECIMAL(19,0) (or wider) to force
+  int128 on both engines — product width 38 is the shared maximum.
+- sqrt IS IEEE-754 correctly rounded on both engines (unlike ln/exp/
+  pow), so sqrt-of-exact-integers statistics (Hellinger, standard
+  deviations) can carry full value oracles where log-based ones
+  (KL, PSI, perplexity) cannot — those use the no-ln rational forms.
+- pyspark's ``F.shiftleft`` accepts only a literal shift amount; a
+  column-typed bit index needs an ``element_at`` literal-array lookup
+  (operators/scale.py ``_bit_mask``).
 """
 
 from __future__ import annotations
