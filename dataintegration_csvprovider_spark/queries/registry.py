@@ -92,27 +92,58 @@ def register(
 
 
 #: Names surfaced first to the driver's correctness gate (which grades a
-#: 50-name prefix of the registry per round; confirmed 50 in r1-r5).
-#: Round-6 window: positions 1-34 are the ONLY registry names that have
-#: never received a driver verdict (the round-5 capability tier —
-#: ExactSubstr family, linalg/PCA, DSIR, drift, PPR, curation ops —
-#: plus the kNN-variant/grouped-PCA rows-only spillovers, all of which
-#: now carry gate-form pinned-constants oracles, see round-6 work).
-#: Positions 35-39 re-grade the five names whose only driver rows are
-#: ``no_oracle`` (the rows-only dedup family + q_stratified_sample),
-#: which this round were converted to asserted-invariant gate queries
-#: with full SQL oracles, so the driver can finally hash-check them.
-#: The remaining slots carry round-6 additions. After this window every
-#: registry name has a full driver verdict and zero ``oracle=None``
-#: entries remain in the registry.
+#: 50-name prefix of the registry per round; confirmed 50 in r1-r7).
+#: Round-8 window: positions 1-18 are the ONLY registry names that have
+#: never received a driver verdict (the late round-6 additions that
+#: spilled past the static r6/r7 windows: privacy trio, CMS/Bloom
+#: streaming twins, stats tier, q_xml_roundtrip, q_chunk_sliding,
+#: q_domain_reweight, q_drift_hellinger, q_incremental_covariance —
+#: all hash-verified by the local oracle replica at sf0.001/0.01/0.1
+#: in rounds 6, 7 AND 8). Next come the round-8 additions (mergeable
+#: quantile sketch family + incremental curation), then re-grades of
+#: every query whose code changed this round (gate-cardinality pinning
+#: and the q_weighted_median distributed-cumsum rewrite — the latter
+#: already sits in the never-graded head). After this window every
+#: registry name has a driver verdict.
 _GRADE_FIRST = [
-    # ---- 34 never-driver-graded names (round-5 tier + spillovers)
+    # ---- 18 never-driver-graded names (late round-6 spillovers)
+    "q_t_closeness",
+    "q_drift_hellinger",
+    "q_chunk_sliding",
+    "q_bloom_semijoin",
+    "q_stream_bloom_filter",
+    "q_weighted_median",
+    "q_rater_agreement",
+    "q_benford_audit",
+    "q_lorenz_gini",
+    "q_markov_transitions",
+    "q_burstiness",
+    "q_countmin_sketch",
+    "q_domain_reweight",
+    "q_stream_countmin",
+    "q_xml_roundtrip",
+    "q_k_anonymity",
+    "q_incremental_covariance",
+    "q_l_diversity",
+    # ---- round-8 additions (mergeable quantile sketches + composites)
+    # (uncommented as each lands this round)
+    # ---- round-8 re-grades: gate-form queries whose oracles now pin a
+    # deterministic cardinality column (n_pairs/n_rows) so an emptied
+    # pair emitter can no longer pass vacuously (round-7 verdict item 3).
+    "q_dedup_minhash",
+    "q_dedup_minhash_full",
+    "q_dedup_simhash",
+    "q_embedding_neardup_ivf",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_stratified_sample",
+    "q_grouped_pca",
+    "q_pca_project",
+    # ---- prior windows (r6 head), retained for stable ordering
     "q_exact_substring_dedup",
     "q_exact_substring_decontaminate",
     "q_stream_decontaminate",
     "q_embedding_covariance",
-    "q_pca_project",
-    "q_grouped_pca",
     "q_dsir_importance",
     "q_filter_funnel",
     "q_corpus_datacard",
@@ -139,15 +170,6 @@ _GRADE_FIRST = [
     "q_personalized_pagerank",
     "q_label_centroid_similarity",
     "q_time_decay_agg",
-    "q_knn_ivf",
-    "q_knn_lsh",
-    # ---- 5 names whose only driver rows are no_oracle, now gate-form
-    "q_dedup_minhash",
-    "q_dedup_minhash_full",
-    "q_dedup_simhash",
-    "q_embedding_neardup_ivf",
-    "q_stratified_sample",
-    # ---- round-6 additions
     "q_curation_pipeline_full",
     "q_components_zipf_gate",
     "q_bm25_topk",
@@ -159,35 +181,8 @@ _GRADE_FIRST = [
     "q_position_attribution",
     "q_seasonal_anomaly",
     "q_bm25_batch",
-    "q_countmin_sketch",
-    "q_domain_reweight",
-    "q_stream_countmin",
-    "q_xml_roundtrip",
-    "q_k_anonymity",
-    "q_incremental_covariance",
-    "q_l_diversity",
-    # ---- queries whose code changed in round 6 (advisor fixes / plan
-    # rewrites): re-grade so the driver confirms the change is neutral.
-    # These spill past position 50 (never-graded additions outrank
-    # re-grades); both are already hash-verified by the local replica at
-    # all three SFs. (q_negative_sampling / q_filter_funnel also changed
-    # but already sit in the never-graded head above.)
     "q_rolling_corr",
     "q_last_touch_attribution",
-    # ---- late round-6 additions (spill past the 50-name window; every
-    # one hash-verified by the local replica at sf0.001/0.01/0.1 —
-    # they head the round-7 grading rotation).
-    "q_t_closeness",
-    "q_drift_hellinger",
-    "q_chunk_sliding",
-    "q_bloom_semijoin",
-    "q_stream_bloom_filter",
-    "q_weighted_median",
-    "q_rater_agreement",
-    "q_benford_audit",
-    "q_lorenz_gini",
-    "q_markov_transitions",
-    "q_burstiness",
 ]
 
 
