@@ -199,6 +199,89 @@ def distributed_cumsum(
     )
 
 
+def grouped_distributed_cumsum(
+    df: DataFrame,
+    group_col: str | list[str],
+    order_col: str | list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum of ``value_col`` ordered by ``order_col``
+    within each ``group_col`` group, WITHOUT partitioning a window on the
+    group key — the fix for the low-cardinality-group anti-pattern where
+    ``Window.partitionBy(group)`` funnels corpus/|groups| rows through one
+    task (a handful of languages over a 100 TB corpus = a handful of
+    straggler tasks).
+
+    Same two-phase prefix-sum shape as :func:`distributed_cumsum`, with
+    the group key leading the range-partition order so every group is
+    contiguous across partitions:
+
+    1. range-partition on ``(*group_cols, *order_cols)`` — rows of one
+       group occupy a contiguous run of partitions, split across as many
+       partitions as the group's size demands (a 10-billion-row language
+       spreads over thousands of tasks instead of one);
+    2. local running sum per ``(partition, group)`` via a
+       ``partitionBy(pid, *group_cols)`` window — partition-parallel and
+       safe because each partition holds whole-group slices in order;
+    3. per-``(partition, group)`` totals become per-group EXCLUSIVE
+       prefix offsets via a tiny window over the totals relation itself
+       (``partitionBy(group).orderBy(pid)`` — at most ``num_partitions``
+       rows per group, so no single-task funnel), then join back on
+       ``(pid, *group_cols)``.
+
+    Unlike the global variant nothing is collected to the driver, so the
+    group count may scale with the data (per-user groups are fine). The
+    offsets relation has at most ``num_partitions + n_groups`` rows
+    (each group adds rows only for the partitions it touches); AQE
+    broadcasts it when small.
+
+    ``value_col`` must be integer-typed and non-null; the
+    ``(*group_cols, *order_cols)`` tuple must be unique for a
+    deterministic result. The range partitioning is pinned with an eager
+    ``localCheckpoint`` for the same two-evaluation reason documented in
+    :func:`distributed_cumsum`.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = (
+        df.repartitionByRange(
+            n, *[F.col(c) for c in group_cols + order_cols]
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.sum(value_col).alias("__tot"))
+        .withColumn("__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)))
+        .drop("__tot")
+    )
+    out = local.join(offsets, ["__pid", *group_cols])
+    return (
+        out.withColumn(
+            out_col, (F.col("__local_cum") + F.col("__off")).cast("bigint")
+        )
+        .drop("__pid", "__local_cum", "__off")
+    )
+
+
 def explain_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle Exchange — the
     assertion helper for shuffle-free-join tests."""

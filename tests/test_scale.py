@@ -375,6 +375,80 @@ def test_distributed_cumsum_multi_value(spark):
         distributed_cumsum(df, "k", ["a", "b"], ["ca"])
 
 
+def test_grouped_distributed_cumsum_matches_window(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        grouped_distributed_cumsum,
+    )
+
+    # 3 low-cardinality groups of uneven size — the exact shape where a
+    # Window.partitionBy(group) funnels whole groups through one task
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("k"),
+        ((F.col("id") % 97) + 1).alias("v"),
+    )
+    got = {
+        (r.g, r.k): r.c
+        for r in grouped_distributed_cumsum(
+            df, "g", "k", "v", "c", num_partitions=16
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.g, r.k): r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_distributed_cumsum_group_spans_partitions(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        grouped_distributed_cumsum,
+    )
+
+    # ONE group over many range partitions: per-(group, partition)
+    # offsets must chain across every partition the group touches
+    df = spark.range(0, 4000).select(
+        F.lit("only").alias("g"), F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    out = grouped_distributed_cumsum(
+        df, "g", "k", "v", "c", num_partitions=32
+    ).collect()
+    assert {r.k: r.c for r in out} == {i: i + 1 for i in range(4000)}
+
+
+def test_grouped_distributed_cumsum_multi_order_cols(spark):
+    from dataintegration_csvprovider_spark.operators.scale import (
+        grouped_distributed_cumsum,
+    )
+
+    # ties in the first order col broken by the second (the weighted-
+    # median shape: order by (n_chars, doc_id) within lang)
+    rows = [(i % 2, (i * 3) % 7, i, 1 + i % 4) for i in range(500)]
+    df = spark.createDataFrame(rows, "g long, a long, id long, v long")
+    got = {
+        (r.g, r.a, r.id): r.c
+        for r in grouped_distributed_cumsum(
+            df, "g", ["a", "id"], "v", "c", num_partitions=8
+        ).collect()
+    }
+    want: dict = {}
+    for g in (0, 1):
+        run = 0
+        for _, a, i, v in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (r[1], r[2])
+        ):
+            run += v
+            want[(g, a, i)] = run
+    assert got == want
+
+
 def test_ks_two_sample_known_values(spark):
     from dataintegration_csvprovider_spark.operators.scale import (
         ks_two_sample,
