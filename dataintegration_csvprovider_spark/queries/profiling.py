@@ -1018,18 +1018,23 @@ def hellinger_drift_docs(
         "length per language): the robust location statistic a "
         "curation report wants when documents contribute unequally — "
         "the median token, not the median document. Exact by "
-        "construction: one per-group cumulative weight window "
-        "(partitioned on the group key, never global), a 1-row-per-"
-        "group totals broadcast, and the crossing row 2*cum >= total "
-        "recovered as MIN(value) over the qualifying suffix (values "
-        "are non-decreasing along the window order, so the suffix "
-        "minimum IS the first crossing) — all integer arithmetic, no "
-        "percentile approximation. Ties broken by doc_id for a "
-        "deterministic cumulative order; the reported value is "
-        "tie-invariant anyway.",
+        "construction: the per-language cumulative weight rides "
+        "scale.grouped_distributed_cumsum — a range shuffle on "
+        "(lang, n_chars, doc_id) with per-(lang, partition) offsets — "
+        "NOT a Window.partitionBy(lang), which with a handful of "
+        "languages would funnel corpus/|langs| rows through single "
+        "tasks at 100x. A 1-row-per-group totals broadcast then "
+        "recovers the crossing row 2*cum >= total as MIN(value) over "
+        "the qualifying suffix (values are non-decreasing along the "
+        "cumulative order, so the suffix minimum IS the first "
+        "crossing) — all integer arithmetic, no percentile "
+        "approximation. Ties broken by doc_id for a deterministic "
+        "cumulative order; the reported value is tie-invariant anyway.",
     tags=("profiling", "stats", "window"),
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import grouped_distributed_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "lang",
@@ -1039,12 +1044,9 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda x: x != F.lit(""))
         ).cast("bigint").alias("w"),
     )
-    win = (
-        Window.partitionBy("lang")
-        .orderBy("n_chars", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = t.select("lang", "n_chars", F.sum("w").over(win).alias("cw"))
+    cum = grouped_distributed_cumsum(
+        t, "lang", ["n_chars", "doc_id"], "w", "cw"
+    ).select("lang", "n_chars", "cw")
     tot = t.groupBy("lang").agg(
         F.sum("w").cast("bigint").alias("total_w"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
