@@ -153,8 +153,15 @@ def _b(c) -> F.Column:  # type: ignore[name-defined]
     # at sf0.01/0.001), pairs are canonical (a < b) and distinct, and
     # the signature-overlap estimate honors the threshold. Recall vs the
     # exact truth is pinned separately by q_dedup_quality_gate (>= 0.8).
+    # n_pairs hash-pins the CARDINALITY of the scored pair set (seed-
+    # deterministic per fixture, keyed on the fixture's SUM(n_chars)
+    # since sf0.001/sf0.01 share a row count), so a silently-emptied
+    # emitter can no longer pass the min-gates vacuously.
     oracle="""
-    SELECT TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS est_range_ok,
+    SELECT CAST(CASE (SELECT SUM(n_chars) FROM documents)
+                WHEN 153156 THEN 28 WHEN 149174 THEN 25
+                WHEN 1485576 THEN 256 END AS BIGINT) AS n_pairs,
+           TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS est_range_ok,
            TRUE AS jaccard_floor_ok
     """,
     doc="Gate over MinHash(64)+LSH(16x4) near-dup pairs at est_jaccard "
@@ -168,6 +175,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup_pairs(docs, threshold=0.5)
     scored = _pair_exact_jaccard(docs, pairs, k=3)
     return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         _b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"),
         _b(F.count(F.lit(1)) == F.count_distinct(F.col("a"), F.col("b"))).alias(
             "distinct_ok"
@@ -190,9 +198,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emitted pair has both endpoints surviving); (2) every removed doc
     # was an endpoint of at least one pair (nothing vanishes without
     # evidence); (3) every unpaired doc survives (dedup never drops
-    # singletons).
+    # singletons). n_pairs/n_survivors hash-pin the cardinalities
+    # (seed-deterministic per fixture, keyed on SUM(n_chars) since
+    # sf0.001/sf0.01 share a row count): without them an emitter that
+    # silently empties satisfies all three laws vacuously.
     oracle="""
-    SELECT TRUE AS independent_set_ok, TRUE AS removed_connected_ok,
+    SELECT CAST(CASE (SELECT SUM(n_chars) FROM documents)
+                WHEN 153156 THEN 28 WHEN 149174 THEN 25
+                WHEN 1485576 THEN 256 END AS BIGINT) AS n_pairs,
+           CAST(CASE (SELECT SUM(n_chars) FROM documents)
+                WHEN 153156 THEN 476 WHEN 149174 THEN 476
+                WHEN 1485576 THEN 4756 END AS BIGINT) AS n_survivors,
+           TRUE AS independent_set_ok, TRUE AS removed_connected_ok,
            TRUE AS unpaired_survive_ok
     """,
     doc="Gate over full near-dedup (LSH pairs → connected components → "
@@ -221,11 +238,17 @@ def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         both_survive.agg(F.count(F.lit(1)).alias("n_both"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+        .crossJoin(
+            surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"))
+        )
         .crossJoin(
             removed_unconnected.agg(F.count(F.lit(1)).alias("n_orphan"))
         )
         .crossJoin(unpaired_dropped.agg(F.count(F.lit(1)).alias("n_lost")))
         .select(
+            "n_pairs",
+            "n_survivors",
             (F.col("n_both") == 0).alias("independent_set_ok"),
             (F.col("n_orphan") == 0).alias("removed_connected_ok"),
             (F.col("n_lost") == 0).alias("unpaired_survive_ok"),
@@ -244,9 +267,14 @@ def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1, 0.90-0.96 at sf0.01/0.001). Completeness is structural
     # (pigeonhole over max_hamming+1 chunks guarantees recall 1.0 in
     # simhash space) and quality-vs-truth recall is pinned by
-    # q_dedup_quality_gate.
+    # q_dedup_quality_gate. n_pairs hash-pins the scored-pair
+    # cardinality (seed-deterministic per fixture, keyed on
+    # SUM(n_chars)) so an emptied emitter can't pass vacuously.
     oracle="""
-    SELECT TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS hamming_range_ok,
+    SELECT CAST(CASE (SELECT SUM(n_chars) FROM documents)
+                WHEN 153156 THEN 25 WHEN 149174 THEN 23
+                WHEN 1485576 THEN 216 END AS BIGINT) AS n_pairs,
+           TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS hamming_range_ok,
            TRUE AS hamming_recompute_ok, TRUE AS jaccard_floor_ok
     """,
     doc="Gate over SimHash-64 (bigram features) near-dup pairs within "
@@ -271,6 +299,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
     scored = _pair_exact_jaccard(docs, rejoined, k=2)
     return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         _b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"),
         _b(F.count(F.lit(1)) == F.count_distinct(F.col("a"), F.col("b"))).alias(
             "distinct_ok"
@@ -320,8 +349,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not assumed). Distinct from q_embedding_neardup_trained, which
     # pins the explicit trained+2-probe config at threshold 0.25; this
     # gates the DEFAULT adaptive-centroid-count configuration at 0.3.
-    oracle="""
-    SELECT TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS ordered_ok
+    # n_exact is a TRUE cross-engine count (the exact cosine fold is
+    # bit-identical on both engines, proven by q_embedding_neardup's
+    # full value oracle): it pins the ground-truth pair cardinality so
+    # the recall gate can't pass vacuously when BOTH sides empty.
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    p AS (
+      SELECT {_duck_cos('a.embedding', 'b.embedding')} AS cosine
+      FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok,
+           TRUE AS precision_ok, TRUE AS ordered_ok
+    FROM p WHERE cosine >= 0.3
     """,
     doc="Gate over IVF-blocked embedding near-dup pairs (default "
         "adaptive k-means blocking, threshold 0.3, 1-in-5 sample): "
@@ -351,6 +390,7 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("n_false")))
         .crossJoin(ordered)
         .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
             (
                 (F.col("n_exact") == 0)
                 | (F.col("n_hit") >= 0.4 * F.col("n_exact"))
@@ -1694,9 +1734,21 @@ def q_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality against the exact bigram-Jaccard truth (which DuckDB *can*
     # compute, see q_dedup_ngram_jaccard) is a fixed fact the oracle pins:
     # recall and precision of the LSH pipeline both >= 0.8.
-    oracle="""
-    SELECT TRUE AS minhash_recall_ok, TRUE AS minhash_precision_ok,
+    # n_exact_pairs is a TRUE cross-engine count (the same brute-force
+    # CTE q_dedup_ngram_jaccard full-value-matches): it pins the
+    # ground-truth cardinality so the n_e==0 / n_a==0 escape hatches
+    # can't make an all-empty run pass vacuously.
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents),
+    p AS (
+      SELECT CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS minhash_recall_ok, TRUE AS minhash_precision_ok,
            TRUE AS simhash_recall_ok, TRUE AS simhash_precision_ok
+    FROM p WHERE jaccard >= 0.5
     """,
     doc="Dedup quality gate vs exact bigram Jaccard >= 0.5 pairs: "
         "MinHash(64)+LSH(16x4) recall/precision >= 0.8, SimHash-64 "
@@ -1733,7 +1785,11 @@ def q_dedup_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"{'minhash' if tag == 'mh' else 'simhash'}_precision_ok"),
         ]
 
-    return joined.select(*ok("mh", 0.8, 0.8), *ok("sh", 0.7, 0.9))
+    return joined.select(
+        F.col("n_e_mh").cast("bigint").alias("n_exact_pairs"),
+        *ok("mh", 0.8, 0.8),
+        *ok("sh", 0.7, 0.9),
+    )
 
 
 @register(

@@ -408,9 +408,14 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orthogonality observed through the data), and eigenvalues descend.
     # All four are asserted over the DISTRIBUTED projection output — the
     # full pca_fit -> pca_project path runs, the gate is one aggregate
-    # over it. Numpy parity lives in tests/test_linalg.py.
+    # over it. Numpy parity lives in tests/test_linalg.py. n_rows is a
+    # true cross-engine count of the projected corpus: it hash-pins
+    # that the projection actually covered every input row.
     oracle="""
-    SELECT CAST(i + 1 AS INT) AS comp, TRUE AS mean_zero_ok,
+    SELECT CAST(i + 1 AS INT) AS comp,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE embedding IS NOT NULL) AS n_rows,
+           TRUE AS mean_zero_ok,
            TRUE AS var_matches_ok, TRUE AS ortho_ok, TRUE AS desc_ok
     FROM range(4) t(i)
     """,
@@ -432,7 +437,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = pca_fit(emb, "embedding", k=k)
     ev = [float(v) for v in model["eigenvalues"]]
     proj = pca_project(emb, model, "embedding", out_col="pc")
-    aggs = []
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for r in range(k):
         aggs.append(F.avg(F.col("pc")[r]).alias(f"m{r}"))
         aggs.append(F.avg(F.col("pc")[r] * F.col("pc")[r]).alias(f"s{r}"))
@@ -457,6 +462,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             F.struct(
                 F.lit(r + 1).cast("int").alias("comp"),
+                F.col("n_rows").alias("n_rows"),
                 (F.abs(F.col(f"m{r}")) <= 1e-6).alias("mean_zero_ok"),
                 (F.abs(var_r - F.lit(ev[r])) <= tol).alias("var_matches_ok"),
                 (max_cross <= 1e-6).alias("ortho_ok"),
@@ -464,8 +470,8 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     exploded = stats.select(F.explode(F.array(*rows)).alias("g"))
-    return exploded.select("g.comp", "g.mean_zero_ok", "g.var_matches_ok",
-                           "g.ortho_ok", "g.desc_ok")
+    return exploded.select("g.comp", "g.n_rows", "g.mean_zero_ok",
+                           "g.var_matches_ok", "g.ortho_ok", "g.desc_ok")
 
 
 @register(
