@@ -1516,6 +1516,212 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_incremental",
+    # the round-8 composite: the curation chain run in INCREMENTAL mode
+    # against a corpus snapshot + an arriving delta, with a full SQL
+    # oracle replaying both passes. Semantics (append-only snapshot
+    # discipline, same as q_dedup_incremental): the snapshot's survivor
+    # set S is FROZEN; a delta doc is dropped if it near-dups any S
+    # survivor (cross pairs), then the remaining delta near-dedups
+    # within itself; the mixture quotas are re-apportioned over S∪A.
+    oracle="""
+    WITH RECURSIVE
+    base AS MATERIALIZED (
+      SELECT doc_id, lang, text,
+             source IN ('src0','src1','src2','src3','src4') AS is_delta,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i + 1])) AS grams
+      FROM documents WHERE n_chars >= 60
+    ), c AS MATERIALIZED (SELECT * FROM base WHERE NOT is_delta),
+    b AS MATERIALIZED (SELECT * FROM base WHERE is_delta),
+    cp AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM c x JOIN c y ON x.doc_id < y.doc_id
+      WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+            / (len(x.grams) + len(y.grams)
+               - len(list_intersect(x.grams, y.grams))) >= 0.7
+    ), ce AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+    creach(node, lab) AS (
+      SELECT DISTINCT a, a FROM ce
+      UNION
+      SELECT ce.b, r.lab FROM creach r JOIN ce ON ce.a = r.node
+    ), ccomp AS (SELECT node, MIN(lab) AS component FROM creach
+                 GROUP BY node),
+    s AS MATERIALIZED (
+      SELECT c.* FROM c LEFT JOIN ccomp ON c.doc_id = ccomp.node
+      WHERE ccomp.node IS NULL OR ccomp.node = ccomp.component
+    ), xhit AS (
+      SELECT DISTINCT b.doc_id FROM b JOIN s ON
+        CAST(len(list_intersect(b.grams, s.grams)) AS DOUBLE)
+        / (len(b.grams) + len(s.grams)
+           - len(list_intersect(b.grams, s.grams))) >= 0.7
+    ), bx AS MATERIALIZED (
+      SELECT b.* FROM b LEFT JOIN xhit USING (doc_id)
+      WHERE xhit.doc_id IS NULL
+    ), bp AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM bx x JOIN bx y ON x.doc_id < y.doc_id
+      WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+            / (len(x.grams) + len(y.grams)
+               - len(list_intersect(x.grams, y.grams))) >= 0.7
+    ), be AS (SELECT a, b FROM bp UNION SELECT b, a FROM bp),
+    breach(node, lab) AS (
+      SELECT DISTINCT a, a FROM be
+      UNION
+      SELECT be.b, r.lab FROM breach r JOIN be ON be.a = r.node
+    ), bcomp AS (SELECT node, MIN(lab) AS component FROM breach
+                 GROUP BY node),
+    a2 AS (
+      SELECT bx.* FROM bx LEFT JOIN bcomp ON bx.doc_id = bcomp.node
+      WHERE bcomp.node IS NULL OR bcomp.node = bcomp.component
+    ), merged AS (
+      SELECT doc_id, lang, n_tokens, FALSE AS added FROM s
+      UNION ALL
+      SELECT doc_id, lang, n_tokens, TRUE AS added FROM a2
+    ), counts AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN added THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_before,
+             CAST(SUM(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+             CAST(COUNT(*) AS BIGINT) AS n_after,
+             CAST(SUM(CASE WHEN added THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tokens_added
+      FROM merged GROUP BY lang
+    ), w AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('de', 0.125), ('zh', 0.125),
+                            ('fr', 0.125), ('es', 0.125)) AS t(lang, wt)
+    ), g AS (
+      SELECT c2.lang, c2.n_after,
+             CAST(wt AS DOUBLE) / 1.0 * 200.0 AS quota_raw
+      FROM counts c2 JOIN w USING (lang)
+    ), seats AS (
+      SELECT lang, n_after, CAST(FLOOR(quota_raw) AS BIGINT) AS base,
+             quota_raw - FLOOR(quota_raw) AS rem
+      FROM g
+    ), ranked AS (
+      SELECT lang, n_after, base, rem,
+             CAST(200 - SUM(base) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rn
+      FROM seats
+    ), quotas AS (
+      SELECT lang,
+             LEAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END,
+                   n_after) AS quota_after
+      FROM ranked
+    )
+    SELECT c3.lang, c3.n_before, c3.n_added, c3.n_after, c3.tokens_added,
+           CAST(q.quota_after AS BIGINT) AS quota_after
+    FROM counts c3 JOIN quotas q USING (lang)
+    """,
+    doc="INCREMENTAL curation composite: yesterday's snapshot survivors "
+        "S (quality funnel n_chars >= 60, exact bigram-Jaccard >= 0.7 "
+        "near-dedup + connected components, min-id representative — "
+        "the same oracle-grade chain as q_curation_pipeline_full) are "
+        "FROZEN; today's delta (sources src0-src4) pays ONLY delta-"
+        "scaled work: a cross near-dup probe against S (gram-keyed "
+        "Σ df_delta·df_snapshot join, operators/dedup.py "
+        "ngram_jaccard_cross_pairs — never snapshot×snapshot), then "
+        "within-delta dedup on the survivors of that probe, then a "
+        "re-apportionment of the 200-doc mixture quotas over S ∪ "
+        "accepted (largest remainder, operators/sampling.py "
+        "apportion_mixture). Output is the per-language manifest DIFF "
+        "(n_before / n_added / n_after / tokens_added / quota_after) a "
+        "daily ingestion job publishes. The snapshot pass is replayed "
+        "in-query because queries are self-contained (the same "
+        "discipline q_dedup_incremental uses for corpus signatures); a "
+        "production run persists S and the gram index once per "
+        "snapshot version, so the recurring cost is the delta terms "
+        "only. The oracle replays both passes in SQL end to end — a "
+        "full value check, not a gate.",
+    tags=("pipeline", "dedup", "curation", "incremental"),
+)
+def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        connected_components,
+        ngram_jaccard_cross_pairs,
+    )
+    from ..operators.sampling import apportion_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    funneled = docs.filter(F.col("n_chars") >= 60).withColumn(
+        "n_tokens",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).cast("bigint"),
+    )
+    delta_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    snap = funneled.filter(~F.col("source").isin(delta_srcs))
+    delta = funneled.filter(F.col("source").isin(delta_srcs))
+
+    # snapshot pass (persisted artifacts in production, replayed here)
+    cpairs = ngram_jaccard_pairs(snap, n=2, threshold=0.7)
+    ccomp = connected_components(cpairs)
+    cremoved = ccomp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    s = snap.join(cremoved, "doc_id", "left_anti")
+
+    # delta pass — the only recurring work, all delta-scaled
+    cross_hit = (
+        ngram_jaccard_cross_pairs(delta, s, n=2, threshold=0.7)
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+    )
+    bx = delta.join(cross_hit, "doc_id", "left_anti")
+    bpairs = ngram_jaccard_pairs(bx, n=2, threshold=0.7)
+    bcomp = connected_components(bpairs)
+    bremoved = bcomp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    accepted = bx.join(bremoved, "doc_id", "left_anti")
+
+    merged = s.select(
+        "doc_id", "lang", "n_tokens", F.lit(False).alias("added")
+    ).unionByName(
+        accepted.select(
+            "doc_id", "lang", "n_tokens", F.lit(True).alias("added")
+        )
+    )
+    counts = merged.groupBy("lang").agg(
+        F.sum((~F.col("added")).cast("bigint")).alias("n_before"),
+        F.sum(F.col("added").cast("bigint")).alias("n_added"),
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(
+            F.when(F.col("added"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).cast("bigint").alias("tokens_added"),
+    )
+    sel = apportion_mixture(
+        merged.select("doc_id", "lang", "n_tokens"),
+        weights={"en": 0.5, "de": 0.125, "zh": 0.125, "fr": 0.125,
+                 "es": 0.125},
+        total=200,
+        group_col="lang",
+        id_col="doc_id",
+        order_col="n_tokens",
+    )
+    quota = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("quota_after")
+    )
+    return counts.join(quota, "lang", "left").select(
+        "lang",
+        "n_before",
+        "n_added",
+        "n_after",
+        "tokens_added",
+        F.coalesce("quota_after", F.lit(0)).cast("bigint").alias(
+            "quota_after"
+        ),
+    )
+
+
+@register(
     "q_grouped_fit",
     oracle="""
     WITH t AS (
