@@ -135,6 +135,13 @@ HEADLINE = (
     # manual runtime filter: bitmap build + 1-row broadcast + 3-probe
     # expression scan — the I/O-pruning discipline, value-replayed oracle
     "q_bloom_semijoin",
+    # round-8: mergeable MRL quantile sketch — one mapInPandas pass +
+    # two-stage tree merge + one rank-audit aggregate over the raw data
+    "q_quantile_sketch",
+    # NOT q_curation_incremental: like q_curation_pipeline_full its
+    # cost is the oracle-grade exact bigram-Jaccard stages (within-
+    # snapshot, cross, within-delta), all benched standalone via
+    # q_dedup_ngram_jaccard; the production pair stage is the LSH path.
 )
 
 
@@ -212,6 +219,17 @@ def main() -> None:
     # r5's 57.2s (0.98x). Any cross-round delta inside ~15% is machine
     # state, not a plan change; only per-query deltas that persist
     # across min-of-N isolated runs warrant a plan bisect.
+    # Round-8 adjudication of the two r7 watch items (code unchanged
+    # since r6 in both): three SOLO fresh-JVM probes (min-of-2 each)
+    # measured q_dsir_importance 1.55/1.55/1.93s and q_split_lsh_summary
+    # 3.36/4.28/3.53s, while the same-day solo full-bench runs recorded
+    # 1.22-1.28s and 2.36-3.11s — per-query swings of 30-40% with zero
+    # source change, wider than the headline-total band because single
+    # queries don't average out scheduler/JIT state. VERDICT: noise,
+    # both. r7's q_dsir_importance 1.78s (vs r6 1.06s) sits inside the
+    # observed per-query swing; no plan bisect warranted. Cross-round
+    # comparisons should use bench-context numbers (this file), not
+    # fresh-JVM probes, which run ~25% hotter for warmup reasons.
     import gc
 
     timings: dict[str, float] = {}

@@ -126,18 +126,21 @@ _GRADE_FIRST = [
     "q_incremental_covariance",
     "q_l_diversity",
     # ---- round-8 additions (mergeable quantile sketches + composites)
-    # (uncommented as each lands this round)
+    "q_quantile_sketch",
+    "q_stream_quantile_sketch",
+    "q_curation_incremental",
     # ---- round-8 re-grades: gate-form queries whose oracles now pin a
-    # deterministic cardinality column (n_pairs/n_rows) so an emptied
-    # pair emitter can no longer pass vacuously (round-7 verdict item 3).
+    # deterministic cardinality column (n_pairs/n_exact/n_rows) so an
+    # emptied pair emitter can no longer pass vacuously (round-7 verdict
+    # item 3). q_knn_ivf/q_knn_lsh already pin n_rows=k; q_grouped_pca
+    # value-checks n per label; q_stratified_sample pins n_total and its
+    # frac_ok lower bound fails on an empty sample — those four were
+    # audited as already non-vacuous and left unchanged.
     "q_dedup_minhash",
     "q_dedup_minhash_full",
     "q_dedup_simhash",
     "q_embedding_neardup_ivf",
-    "q_knn_ivf",
-    "q_knn_lsh",
-    "q_stratified_sample",
-    "q_grouped_pca",
+    "q_dedup_quality_gate",
     "q_pca_project",
     # ---- prior windows (r6 head), retained for stable ordering
     "q_exact_substring_dedup",
