@@ -208,6 +208,102 @@ def quantile_sketch_rows(
     )
 
 
+_GROUPED_SCHEMA = "g_key string, level int, value double"
+
+
+def grouped_quantile_sketch_rows(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    k: int = MRL_K,
+    fanout: int = 16,
+) -> DataFrame:
+    """Per-group corpus sketches as ``(g_key, level, value)`` rows — the
+    datacard shape: one pass gives every domain/language/window its own
+    mergeable percentile summary.
+
+    Same build as :func:`quantile_sketch_rows` with the group key
+    carried through: the mapInPandas pass keeps one sketch per group
+    PRESENT IN THE PARTITION (memory O(groups_in_partition · k·log n) —
+    the same space any per-group summary pays), the tree merge runs
+    per ``(group, fan-in bucket)`` then per group, so a billion-row
+    group and a thousand-row group each get exactly the merge work
+    their size demands. ``group_col`` may be a column expression (e.g.
+    a window truncation); it is rendered to string for the key."""
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    src = df.select(
+        gcol.cast("string").alias("g_key"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("g_key").isNotNull())
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[str, dict[int, np.ndarray]] = {}
+        for pdf in batches:
+            for gk, grp in pdf.groupby("g_key"):
+                sketches[gk] = mrl_insert(
+                    sketches.get(gk, {}),
+                    grp["value"].to_numpy(dtype=np.float64),
+                    k,
+                )
+        frames = []
+        for gk, levels in sketches.items():
+            rows = _levels_to_rows(levels)
+            rows.insert(0, "g_key", gk)
+            frames.append(rows)
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {"g_key": pd.Series([], dtype="object"),
+                 "level": pd.Series([], dtype="int32"),
+                 "value": pd.Series([], dtype="float64")}
+            )
+        )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        gk = pdf["g_key"].iloc[0]
+        rows = _levels_to_rows(
+            mrl_compact(_rows_to_levels(pdf[["level", "value"]]), k)
+        )
+        rows.insert(0, "g_key", gk)
+        return rows
+
+    partial = src.mapInPandas(build, schema=_GROUPED_SCHEMA)
+    stage1 = (
+        partial.withColumn(
+            "b", F.pmod(F.spark_partition_id(), F.lit(fanout))
+        )
+        .groupBy("g_key", "b")
+        .applyInPandas(
+            lambda pdf: merge(pdf.drop(columns=["b"])),
+            schema=_GROUPED_SCHEMA,
+        )
+    )
+    return stage1.groupBy("g_key").applyInPandas(
+        merge, schema=_GROUPED_SCHEMA
+    )
+
+
+def collect_grouped_sketch(
+    sketch_rows: DataFrame,
+) -> dict[str, dict[int, np.ndarray]]:
+    """Materialize grouped sketch rows (bounded: n_groups · k·levels) as
+    {g_key: level→values}. The caller owns the boundedness argument for
+    its group count (a probe/report runs over a bounded group set)."""
+    acc: dict[str, dict[int, list[float]]] = {}
+    for r in sketch_rows.collect():
+        acc.setdefault(r["g_key"], {}).setdefault(
+            int(r["level"]), []
+        ).append(float(r["value"]))
+    return {
+        gk: {
+            lvl: np.sort(np.asarray(v, dtype=np.float64))
+            for lvl, v in levels.items()
+        }
+        for gk, levels in acc.items()
+    }
+
+
 def collect_sketch(sketch_rows: DataFrame) -> dict[int, np.ndarray]:
     """Materialize a sketch-rows DataFrame (a bounded artifact — at most
     k·levels rows by construction) into the level→values map."""

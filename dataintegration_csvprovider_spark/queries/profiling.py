@@ -727,6 +727,93 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quantile_sketch_grouped",
+    # per-group twin of q_quantile_sketch: every group's weight is a
+    # TRUE cross-engine COUNT pin (per-group conservation), rank error
+    # gated per (group, probe) — one build pass over the data, never a
+    # per-group job loop.
+    oracle="""
+    SELECT g.l_returnflag AS grp, CAST(t.q AS DOUBLE) AS q, g.n,
+           TRUE AS weight_ok, TRUE AS rank_ok
+    FROM (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY l_returnflag) g
+    CROSS JOIN (VALUES (0.01), (0.05), (0.25), (0.5), (0.75), (0.95),
+                       (0.99)) t(q)
+    """,
+    doc="GROUPED mergeable quantile sketches (operators/sketches.py "
+        "grouped_quantile_sketch_rows) over lineitem l_extendedprice "
+        "per l_returnflag — the datacard shape: one mapInPandas pass "
+        "gives every domain its own percentile summary, tree-merged "
+        "per (group, fan-in bucket) so each group pays merge work "
+        "proportional to its size. Gate per group: represented weight "
+        "== per-group COUNT(*) exactly (cross-engine pin) and rank "
+        "error <= 0.05 at 7 probes, audited in ONE wide conditional "
+        "aggregate over the raw data (no per-group jobs).",
+    tags=("profiling", "sketch", "quantile", "grouped"),
+)
+def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+        mrl_quantiles,
+        mrl_total_weight,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    values = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("value"),
+    )
+    sketches = collect_grouped_sketch(
+        grouped_quantile_sketch_rows(li, "l_returnflag", "l_extendedprice")
+    )
+    probes = list(_MRL_PROBES)
+    # one wide conditional aggregate: per (group, probe) le/lt counts
+    aggs = []
+    meta = []  # (grp, q, weight)
+    for gk in sorted(sketches):
+        levels = sketches[gk]
+        w = mrl_total_weight(levels)
+        i0 = len(meta)
+        aggs.append(
+            F.sum((F.col("grp") == gk).cast("bigint")).alias(f"n_{i0}")
+        )
+        for q, est in mrl_quantiles(levels, probes):
+            i = len(meta)
+            cond = F.col("grp") == gk
+            aggs.append(
+                F.sum(
+                    (cond & (F.col("value") <= est)).cast("bigint")
+                ).alias(f"le{i}")
+            )
+            aggs.append(
+                F.sum(
+                    (cond & (F.col("value") < est)).cast("bigint")
+                ).alias(f"lt{i}")
+            )
+            meta.append((gk, q, w, i0))
+    stats = values.agg(*aggs)
+    rows = []
+    for i, (gk, q, w, i0) in enumerate(meta):
+        n = F.col(f"n_{i0}")
+        rows.append(
+            F.struct(
+                F.lit(gk).alias("grp"),
+                F.lit(float(q)).alias("q"),
+                n.cast("bigint").alias("n"),
+                (F.lit(w) == n).alias("weight_ok"),
+                (
+                    (F.col(f"le{i}") >= (F.lit(q) - _MRL_EPS) * n)
+                    & (F.col(f"lt{i}") <= (F.lit(q) + _MRL_EPS) * n)
+                ).alias("rank_ok"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("g")).select(
+        "g.grp", "g.q", "g.n", "g.weight_ok", "g.rank_ok"
+    )
+
+
+@register(
     "q_k_anonymity",
     oracle="""
     WITH classes AS (

@@ -129,6 +129,8 @@ _GRADE_FIRST = [
     "q_quantile_sketch",
     "q_stream_quantile_sketch",
     "q_curation_incremental",
+    "q_quantile_sketch_grouped",
+    "q_stream_percentile_monitor",
     # ---- round-8 re-grades: gate-form queries whose oracles now pin a
     # deterministic cardinality column (n_pairs/n_exact/n_rows) so an
     # emptied pair emitter can no longer pass vacuously (round-7 verdict

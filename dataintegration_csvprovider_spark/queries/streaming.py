@@ -1480,6 +1480,148 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_percentile_monitor",
+    # the latency-dashboard composition of the round-8 sketch family:
+    # per-WINDOW mergeable percentile state maintained incrementally in
+    # foreachBatch (the q_stream_drift_monitor ledger pattern with a
+    # sketch instead of a statistic). Per-window weight is a TRUE
+    # cross-engine COUNT pin; estimates gated by rank error vs the
+    # whole-stream exact ranks.
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win,
+           CAST(t.q AS DOUBLE) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS weight_ok, TRUE AS rank_ok
+    FROM events CROSS JOIN (VALUES (0.5), (0.95), (0.99)) t(q)
+    WHERE value IS NOT NULL
+    GROUP BY 1, t.q
+    """,
+    doc="STREAMING per-window percentile monitor (p50/p95/p99 of the "
+        "events value by day): the stream arrives as three "
+        "deterministic micro-batches; foreachBatch builds each batch's "
+        "PER-WINDOW MRL sketches (operators/sketches.py "
+        "grouped_quantile_sketch_rows — bounded: windows x k x levels "
+        "rows) and collapse-merges them into the running per-window "
+        "ledger — O(windows x k log n) state however long the stream "
+        "runs, late data for any window folds in by the same merge, "
+        "restart = re-merge. The production latency-dashboard loop: "
+        "q_stream_drift_monitor's ledger pattern carrying a mergeable "
+        "sketch instead of a scalar. Weight == per-window COUNT "
+        "(cross-engine) and 0.05 rank error asserted per (window, "
+        "probe) against the whole stream.",
+    tags=("streaming", "sketch", "quantile", "monitor"),
+)
+def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import (
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+        mrl_merge,
+        mrl_quantiles,
+        mrl_total_weight,
+    )
+
+    probes = (0.5, 0.95, 0.99)
+    eps = 0.05
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "win"
+        ),
+        F.col("value").cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    stage = tempfile.mkdtemp(prefix="pmon_stage_")
+    ck = tempfile.mkdtemp(prefix="pmon_ck_")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 3 == k).select("win", "value")
+        tmp = tempfile.mkdtemp(prefix="pmon_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    ledger: dict[str, dict] = {}
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf, batch_id: int) -> None:
+            # per-batch per-window sketches: the bounded artifact the
+            # ledger ingests; collapse-merge is the + of the monitor
+            batch_sketches = collect_grouped_sketch(
+                grouped_quantile_sketch_rows(bdf, "win", "value")
+            )
+            for win, sk in batch_sketches.items():
+                ledger[win] = mrl_merge([ledger.get(win, {}), sk])
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    # audit: broadcast the (win, q, est) probe table, one join + one
+    # grouped aggregate over the raw stream data
+    probe_rows = []
+    for win in sorted(ledger):
+        w = mrl_total_weight(ledger[win])
+        for qq, est in mrl_quantiles(ledger[win], list(probes)):
+            probe_rows.append((win, float(qq), float(est), int(w)))
+    pdf = spark.createDataFrame(
+        probe_rows, "win string, q double, est double, w bigint"
+    )
+    joined = ev.select("win", "value").join(F.broadcast(pdf), "win")
+    return (
+        joined.groupBy("win", "q", "est", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("value") <= F.col("est")).cast("bigint")).alias(
+                "le"
+            ),
+            F.sum((F.col("value") < F.col("est")).cast("bigint")).alias(
+                "lt"
+            ),
+        )
+        .select(
+            "win",
+            "q",
+            "n",
+            (F.col("w") == F.col("n")).alias("weight_ok"),
+            (
+                (F.col("le") >= (F.col("q") - eps) * F.col("n"))
+                & (F.col("lt") <= (F.col("q") + eps) * F.col("n"))
+            ).alias("rank_ok"),
+        )
+    )
+
+
+@register(
     "q_stream_bloom_filter",
     # identical oracle surface to q_bloom_semijoin: word tables built on
     # key SLICES merge to the whole-set table by cell-wise bitwise OR

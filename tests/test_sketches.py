@@ -116,3 +116,45 @@ def test_distributed_build_skips_nulls(spark):
     )
     levels = collect_sketch(quantile_sketch_rows(df, "v"))
     assert mrl_total_weight(levels) == 500
+
+
+def test_grouped_build_per_group_laws(spark):
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+    )
+
+    # uneven groups: per-group weight exact, per-group rank bound holds
+    df = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 10 < 7, F.lit("big"))
+        .when(F.col("id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("g"),
+        ((F.col("id") * 2654435761) % 1_000_000).cast("double").alias("v"),
+    )
+    sketches = collect_grouped_sketch(
+        grouped_quantile_sketch_rows(df, "g", "v")
+    )
+    assert set(sketches) == {"big", "mid", "small"}
+    rows = df.collect()
+    for gk, expect in (("big", 21_000), ("mid", 6_000), ("small", 3_000)):
+        assert mrl_total_weight(sketches[gk]) == expect
+        data = np.array([r.v for r in rows if r.g == gk])
+        assert _rank_err(data, sketches[gk]) <= 0.05
+
+
+def test_grouped_build_null_group_and_value_skipped(spark):
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0), ("b", None)],
+        "g string, v double",
+    )
+    sketches = collect_grouped_sketch(
+        grouped_quantile_sketch_rows(df, "g", "v")
+    )
+    assert set(sketches) == {"a"}
+    assert mrl_total_weight(sketches["a"]) == 2
