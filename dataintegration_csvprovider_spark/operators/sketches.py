@@ -304,6 +304,106 @@ def collect_grouped_sketch(
     }
 
 
+# --------------------------------------------------------------------------
+# KMV / theta sketch — distinct counting WITH set operations
+# --------------------------------------------------------------------------
+# k-minimum-values sketch (Bar-Yossef et al. 2002; set operations per the
+# theta-sketch framework, Dasgupta et al.) under the repo's Knuth
+# arithmetic hash convention (same constants as the count-min rows), so
+# the ENTIRE sketch, its merge, and every estimate are replayed exactly
+# by the DuckDB oracle — the same value-check class as q_countmin_sketch,
+# unlike the gate-form HLL. What KMV adds over HLL: a theta sketch
+# supports INTERSECTION estimates (join-size / overlap estimation), which
+# union-only HLL cannot.
+#
+# Laws (all deterministic):
+# - merge is LOSSLESS vs rebuild: the k smallest of (KMV(A) ∪ KMV(B))
+#   equal the k smallest of hashes(A ∪ B), because any union top-k value
+#   is in its own set's top-k. Merge order never matters.
+# - estimate: exact |hashes| when the sketch is not full, else
+#   (k-1) · P / h_(k) — all-integer inputs, one double division.
+# - intersection: θ = min(θ_A, θ_B); est = |S_A ∩ S_B ∩ [0, θ)| · P / θ.
+#   When both sketches are exact θ = P and the formula degrades to the
+#   exact overlap count (h < P always holds).
+
+KMV_P = 2147483647  # 2^31 - 1, prime (shared with the CMS rows)
+KMV_A = 2654435761
+KMV_B = 1
+KMV_K = 64
+
+
+def kmv_hash_expr(col):
+    """Knuth arithmetic hash into [0, P): decimal(20,0) multiply keeps
+    the product exact far past bigint overflow (CMS convention)."""
+    return F.pmod(
+        col.cast("decimal(20,0)") * F.lit(KMV_A).cast("decimal(10,0)")
+        + F.lit(KMV_B).cast("decimal(10,0)"),
+        F.lit(KMV_P).cast("decimal(20,0)"),
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = KMV_K
+) -> tuple[list[int], int]:
+    """Build the sketch: (k smallest distinct hashes sorted asc,
+    distinct-hash count). The k-smallest fetch is a TakeOrdered (per-
+    partition top-k, no global sort); both driver artifacts are bounded
+    (k rows + one scalar). Production persists the distinct-hash
+    relation once when both are needed."""
+    hashed = df.select(
+        kmv_hash_expr(F.col(key_col)).alias("h")
+    ).filter(F.col("h").isNotNull()).distinct()
+    hashed = hashed.localCheckpoint(eager=True)  # one evaluation, two reads
+    n = hashed.count()
+    smallest = [int(r["h"]) for r in hashed.orderBy("h").limit(k).collect()]
+    return smallest, n
+
+
+def kmv_merge(
+    sketches: Iterable[tuple[list[int], int]], k: int = KMV_K
+) -> tuple[list[int], int]:
+    """Merge sketches: k smallest of the value union. The count slot of
+    a merged sketch is |value union| (== the true distinct-hash count
+    whenever it is below k, i.e. whenever every input was exact)."""
+    vals: set[int] = set()
+    for s, _ in sketches:
+        vals.update(s)
+    merged = sorted(vals)
+    return merged[:k], len(merged)
+
+
+def kmv_estimate(sketch: list[int], n_hashes: int, k: int = KMV_K) -> float:
+    """Distinct-count estimate: exact below capacity, (k-1)·P/θ else."""
+    if n_hashes < k:
+        return float(n_hashes)
+    return (k - 1) * float(KMV_P) / float(sketch[k - 1])
+
+
+def kmv_theta(sketch: list[int], n_hashes: int, k: int = KMV_K) -> int:
+    return sketch[k - 1] if n_hashes >= k else KMV_P
+
+
+def kmv_intersect_estimate(
+    a: tuple[list[int], int], b: tuple[list[int], int], k: int = KMV_K
+) -> float:
+    """Theta-sketch intersection: overlap of the retained sets below the
+    common θ, scaled by P/θ. Exact when both sketches are exact."""
+    theta = min(kmv_theta(*a, k), kmv_theta(*b, k))
+    common = sum(1 for h in set(a[0]) & set(b[0]) if h < theta)
+    return common * float(KMV_P) / float(theta)
+
+
+def kmv_difference_estimate(
+    a: tuple[list[int], int], b: tuple[list[int], int], k: int = KMV_K
+) -> float:
+    """Theta-sketch A-NOT-B: retained values of A below the common θ
+    that B's sketch does not contain, scaled by P/θ. Exact when both
+    sketches are exact (θ = P retains everything)."""
+    theta = min(kmv_theta(*a, k), kmv_theta(*b, k))
+    only = sum(1 for h in set(a[0]) - set(b[0]) if h < theta)
+    return only * float(KMV_P) / float(theta)
+
+
 def collect_sketch(sketch_rows: DataFrame) -> dict[int, np.ndarray]:
     """Materialize a sketch-rows DataFrame (a bounded artifact — at most
     k·levels rows by construction) into the level→values map."""

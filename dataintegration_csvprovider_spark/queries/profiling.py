@@ -814,6 +814,146 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmv_sketch",
+    # KMV/theta sketch under the CMS arithmetic-hash convention: the
+    # sketch, the merge, and EVERY estimate are value-replayed by the
+    # oracle (the q_countmin_sketch check class, not a gate). The
+    # union row exercises the lossless merge law (k smallest of the
+    # two k-sets == k smallest of the full hash union); the intersect
+    # row is the capability HLL lacks — join-size estimation: how many
+    # BUILDING customers ever ordered, estimated from two 64-value
+    # sketches instead of a join; a_not_b completes the theta set
+    # algebra (customers who ordered but are not BUILDING).
+    oracle="""
+    WITH ak AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    bk AS (SELECT DISTINCT c_custkey AS key FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+    ah AS (SELECT DISTINCT CAST((CAST(key AS HUGEINT) * 2654435761 + 1)
+                                % 2147483647 AS BIGINT) AS h FROM ak),
+    bh AS (SELECT DISTINCT CAST((CAST(key AS HUGEINT) * 2654435761 + 1)
+                                % 2147483647 AS BIGINT) AS h FROM bk),
+    uh AS (SELECT h FROM ah UNION SELECT h FROM bh),
+    sa AS (SELECT h FROM ah ORDER BY h LIMIT 64),
+    sb AS (SELECT h FROM bh ORDER BY h LIMIT 64),
+    su AS (SELECT h FROM uh ORDER BY h LIMIT 64),
+    ca AS (SELECT COUNT(*) AS n FROM ah),
+    cb AS (SELECT COUNT(*) AS n FROM bh),
+    cu AS (SELECT COUNT(*) AS n FROM uh),
+    ta AS (SELECT CASE WHEN (SELECT n FROM ca) >= 64
+                       THEN (SELECT MAX(h) FROM sa)
+                       ELSE 2147483647 END AS th),
+    tb AS (SELECT CASE WHEN (SELECT n FROM cb) >= 64
+                       THEN (SELECT MAX(h) FROM sb)
+                       ELSE 2147483647 END AS th),
+    ti AS (SELECT LEAST((SELECT th FROM ta), (SELECT th FROM tb)) AS th),
+    ic AS (SELECT COUNT(*) AS c FROM sa JOIN sb USING (h)
+           WHERE h < (SELECT th FROM ti)),
+    ea AS (SELECT COUNT(*) AS n FROM ak),
+    eb AS (SELECT COUNT(*) AS n FROM bk),
+    eu AS (SELECT COUNT(DISTINCT key) AS n FROM
+           (SELECT key FROM ak UNION ALL SELECT key FROM bk)),
+    ei AS (SELECT COUNT(*) AS n FROM ak JOIN bk USING (key)),
+    dc AS (SELECT COUNT(*) AS c FROM sa
+           WHERE h < (SELECT th FROM ti)
+             AND h NOT IN (SELECT h FROM sb))
+    SELECT 'a_not_b' AS scope,
+           CAST((SELECT n FROM ea) - (SELECT n FROM ei) AS BIGINT)
+             AS exact_distinct,
+           ROUND(CAST((SELECT c FROM dc) AS DOUBLE) * 2147483647
+                 / (SELECT th FROM ti), 9) AS est
+    UNION ALL
+    SELECT 'building' AS scope,
+           CAST((SELECT n FROM eb) AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN (SELECT n FROM cb) < 64
+                 THEN CAST((SELECT n FROM cb) AS DOUBLE)
+                 ELSE 63.0 * 2147483647 / (SELECT MAX(h) FROM sb) END, 9)
+             AS est
+    UNION ALL
+    SELECT 'intersect', CAST((SELECT n FROM ei) AS BIGINT),
+           ROUND(CAST((SELECT c FROM ic) AS DOUBLE) * 2147483647
+                 / (SELECT th FROM ti), 9)
+    UNION ALL
+    SELECT 'orders', CAST((SELECT n FROM ea) AS BIGINT),
+           ROUND(CASE WHEN (SELECT n FROM ca) < 64
+                 THEN CAST((SELECT n FROM ca) AS DOUBLE)
+                 ELSE 63.0 * 2147483647 / (SELECT MAX(h) FROM sa) END, 9)
+    UNION ALL
+    SELECT 'union', CAST((SELECT n FROM eu) AS BIGINT),
+           ROUND(CASE WHEN (SELECT n FROM cu) < 64
+                 THEN CAST((SELECT n FROM cu) AS DOUBLE)
+                 ELSE 63.0 * 2147483647 / (SELECT MAX(h) FROM su) END, 9)
+    """,
+    doc="KMV/theta sketch (operators/sketches.py, k=64, Knuth "
+        "arithmetic hash mod 2^31-1): distinct-count estimates for the "
+        "ordering custkeys, the BUILDING custkeys, their UNION (built "
+        "by the lossless sketch merge, never re-hashing the data) and "
+        "their INTERSECTION (theta overlap below the common threshold "
+        "— join-size estimation from two 64-value artifacts). Exact "
+        "distinct counts emitted alongside; every estimate is an "
+        "integer ratio both engines compute bit-identically. Scale "
+        "shape: per-side work is one distinct-hash shuffle + a "
+        "TakeOrdered top-k; set operations touch only the k-row "
+        "sketches.",
+    tags=("profiling", "sketch", "distinct", "cardinality"),
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        KMV_K,
+        KMV_P,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+        kmv_theta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ak = orders.select(F.col("o_custkey").alias("key")).distinct()
+    bk = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    sa = kmv_sketch(ak, "key")
+    sb = kmv_sketch(bk, "key")
+    su = kmv_merge([sa, sb])
+    ea = ak.count()
+    eb = bk.count()
+    eu = ak.union(bk).distinct().count()
+    ei = ak.join(bk, "key").count()
+
+    def frac(sketch: tuple[list[int], int]) -> tuple[float, int]:
+        vals, n = sketch
+        if n < KMV_K:
+            return float(n), 1
+        return 63.0 * KMV_P, vals[KMV_K - 1]
+
+    theta_i = min(kmv_theta(*sa), kmv_theta(*sb))
+    common = sum(1 for h in set(sa[0]) & set(sb[0]) if h < theta_i)
+    only_a = sum(1 for h in set(sa[0]) - set(sb[0]) if h < theta_i)
+    rows = [
+        ("a_not_b", ea - ei, float(only_a) * KMV_P, theta_i),
+        ("building", eb, *frac(sb)),
+        ("intersect", ei, float(common) * KMV_P, theta_i),
+        ("orders", ea, *frac(sa)),
+        ("union", eu, *frac(su)),
+    ]
+    # sanity: the python estimators agree with the emitted fractions
+    from ..operators.sketches import kmv_difference_estimate
+
+    assert kmv_estimate(*sa) == rows[3][2] / rows[3][3]
+    assert kmv_intersect_estimate(sa, sb) == rows[2][2] / rows[2][3]
+    assert kmv_difference_estimate(sa, sb) == rows[0][2] / rows[0][3]
+    out = spark.createDataFrame(
+        rows, "scope string, exact_distinct long, num double, den long"
+    )
+    return out.select(
+        "scope",
+        "exact_distinct",
+        F.round(F.col("num") / F.col("den"), 9).alias("est"),
+    )
+
+
+@register(
     "q_k_anonymity",
     oracle="""
     WITH classes AS (

@@ -131,6 +131,8 @@ _GRADE_FIRST = [
     "q_curation_incremental",
     "q_quantile_sketch_grouped",
     "q_stream_percentile_monitor",
+    "q_kmv_sketch",
+    "q_stream_kmv",
     # ---- round-8 re-grades: gate-form queries whose oracles now pin a
     # deterministic cardinality column (n_pairs/n_exact/n_rows) so an
     # emptied pair emitter can no longer pass vacuously (round-7 verdict

@@ -1622,6 +1622,113 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_kmv",
+    # the KMV merge is LOSSLESS (k smallest of the per-batch k-sets ==
+    # k smallest of the whole stream's hashes), so the stream-merged
+    # estimate is VALUE-equal to the batch sketch — the merge identity
+    # is the checked fact, exactly the q_stream_countmin pattern with
+    # k-smallest-union for +.
+    oracle="""
+    WITH ak AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    ah AS (SELECT DISTINCT CAST((CAST(key AS HUGEINT) * 2654435761 + 1)
+                                % 2147483647 AS BIGINT) AS h FROM ak),
+    sa AS (SELECT h FROM ah ORDER BY h LIMIT 64),
+    ca AS (SELECT COUNT(*) AS n FROM ah),
+    ea AS (SELECT COUNT(*) AS n FROM ak)
+    SELECT 'orders_stream' AS scope,
+           CAST((SELECT n FROM ea) AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN (SELECT n FROM ca) < 64
+                 THEN CAST((SELECT n FROM ca) AS DOUBLE)
+                 ELSE 63.0 * 2147483647 / (SELECT MAX(h) FROM sa) END, 9)
+             AS est
+    """,
+    doc="STREAMING KMV distinct-count: the orders custkey stream "
+        "arrives as three deterministic micro-batches; foreachBatch "
+        "builds each batch's 64-value KMV sketch (the bounded "
+        "artifact) and merges it into the running sketch by "
+        "k-smallest-of-union — constant state forever, restart = "
+        "re-merge, and the merge is LOSSLESS so the final estimate "
+        "value-equals the whole-stream batch sketch, which is exactly "
+        "what the oracle replays. Completes the sketch family's "
+        "streaming twins (CMS add / Bloom OR / MRL collapse / KMV "
+        "k-smallest).",
+    tags=("streaming", "sketch", "distinct"),
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import KMV_K, KMV_P, kmv_merge, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("key")
+    )
+    stage = tempfile.mkdtemp(prefix="kmv_stage_")
+    ck = tempfile.mkdtemp(prefix="kmv_ck_")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = orders.filter(F.col("o_orderkey") % 3 == k).select("key")
+        tmp = tempfile.mkdtemp(prefix="kmv_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    merged: list = [([], 0)]
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf, batch_id: int) -> None:
+            merged[0] = kmv_merge([merged[0], kmv_sketch(bdf, "key")])
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+    exact = orders.select("key").distinct().count()
+    vals, n = merged[0]
+    if n < KMV_K:
+        num, den = float(n), 1
+    else:
+        num, den = 63.0 * KMV_P, vals[KMV_K - 1]
+    out = spark.createDataFrame(
+        [("orders_stream", exact, num, den)],
+        "scope string, exact_distinct long, num double, den long",
+    )
+    return out.select(
+        "scope",
+        "exact_distinct",
+        F.round(F.col("num") / F.col("den"), 9).alias("est"),
+    )
+
+
+@register(
     "q_stream_bloom_filter",
     # identical oracle surface to q_bloom_semijoin: word tables built on
     # key SLICES merge to the whole-set table by cell-wise bitwise OR

@@ -143,6 +143,87 @@ def test_grouped_build_per_group_laws(spark):
         assert _rank_err(data, sketches[gk]) <= 0.05
 
 
+def _kmv_hash(x: int) -> int:
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        KMV_A,
+        KMV_B,
+        KMV_P,
+    )
+
+    return (x * KMV_A + KMV_B) % KMV_P
+
+
+def _kmv_build(keys, k=None):
+    from dataintegration_csvprovider_spark.operators.sketches import KMV_K
+
+    k = k or KMV_K
+    hashes = sorted({_kmv_hash(x) for x in keys})
+    return hashes[:k], len(hashes)
+
+
+def test_kmv_merge_lossless_vs_rebuild():
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    keys = list(range(1, 5001))
+    whole = _kmv_build(keys)
+    for n_parts in (2, 3, 7):
+        parts = [keys[i::n_parts] for i in range(n_parts)]
+        merged = kmv_merge([_kmv_build(p) for p in parts])
+        # the k-set is identical, so the estimate is VALUE-equal
+        assert merged[0] == whole[0]
+        assert kmv_estimate(*merged) == kmv_estimate(*whole)
+
+
+def test_kmv_exact_below_capacity():
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+    )
+
+    a = _kmv_build(range(1, 31))
+    b = _kmv_build(range(21, 51))
+    assert kmv_estimate(*a) == 30.0
+    assert kmv_estimate(*b) == 30.0
+    # both exact -> theta = P -> intersection/difference estimates are
+    # the exact overlap counts (assuming no hash collisions among 50)
+    assert kmv_intersect_estimate(a, b) == 10.0
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        kmv_difference_estimate,
+    )
+
+    assert kmv_difference_estimate(a, b) == 20.0
+    assert kmv_difference_estimate(b, a) == 20.0
+
+
+def test_kmv_estimate_accuracy():
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+    )
+
+    a = _kmv_build(range(1, 10_001))
+    b = _kmv_build(range(5_001, 15_001))
+    # k=64 -> ~1/8 relative error; assert a loose 3-sigma-ish band
+    assert abs(kmv_estimate(*a) - 10_000) / 10_000 < 0.4
+    est_i = kmv_intersect_estimate(a, b)
+    assert 0 < est_i < 15_000  # overlap 5k: rough positivity/scale check
+
+
+def test_kmv_spark_build_matches_model(spark):
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    df = spark.range(1, 2001).select(F.col("id").alias("key"))
+    vals, n = kmv_sketch(df, "key")
+    model_vals, model_n = _kmv_build(range(1, 2001))
+    assert vals == model_vals
+    assert n == model_n
+
+
 def test_grouped_build_null_group_and_value_skipped(spark):
     from dataintegration_csvprovider_spark.operators.sketches import (
         collect_grouped_sketch,
