@@ -94,3 +94,26 @@ def test_mapping_pipeline_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_median_has_no_group_keyed_cumulative_window(spark):
+    # round-8 regression guard: the per-language cumulative weight must
+    # ride the grouped distributed prefix sum, NOT a window partitioned
+    # solely on the low-cardinality lang key (which funnels
+    # corpus/|langs| rows through one task at scale). The only
+    # lang-partitioned window allowed is the tiny per-(lang, partition)
+    # OFFSETS window, which also orders by __pid.
+    plan = _plan(spark, "q_weighted_median")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    for spec in specs:
+        head = spec.split(",")[0].strip()
+        if head.startswith("lang"):
+            # offsets window over the per-(pid, lang) totals relation:
+            # ordered by __pid, bounded by the partition count per lang
+            assert "__pid" in spec
+        elif head.startswith("__pid"):
+            pass  # local cumsum window, partition-parallel
+    # and the data-scaled window must include the physical partition id
+    assert any(s.split(",")[0].strip().startswith("__pid") for s in specs)
