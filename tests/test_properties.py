@@ -645,3 +645,79 @@ def test_span_corruption_reconstructs_original(
             for i in range(len(ws))
             if (i // span_words) % mask_every == mask_every - 1
         )
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e12,
+            max_value=1e12,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=3000,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_mrl_sketch_laws_property(values, n_parts):
+    """For ARBITRARY float multisets and split shapes: total represented
+    weight is exactly n under any partitioning, and every quantile
+    estimate's rank interval sits within the 0.05 gate the registry
+    queries assert (k=256 >> these sizes, so most runs are exact — the
+    law must hold in both the exact and the collapsed regime)."""
+    import numpy as np
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        mrl_insert,
+        mrl_merge,
+        mrl_quantiles,
+        mrl_total_weight,
+    )
+
+    data = np.asarray(values, dtype=np.float64)
+    parts = np.array_split(data, n_parts)
+    # small k forces collapses even on hypothesis-sized inputs
+    merged = mrl_merge(
+        [mrl_insert({}, p, k=16) for p in parts if len(p)], k=16
+    )
+    assert mrl_total_weight(merged) == len(data)
+    exact = np.sort(data)
+    n = len(data)
+    for q, est in mrl_quantiles(merged, [0.25, 0.5, 0.9]):
+        lo = np.searchsorted(exact, est, side="left") / n
+        hi = np.searchsorted(exact, est, side="right") / n
+        # k=16 worst-case bound is looser than the registry's 0.05 at
+        # k=256; assert the analytic-order bound for the small k
+        assert max(q - hi, lo - q, 0.0) <= 0.35
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    st.sets(st.integers(min_value=1, max_value=10**9), min_size=1,
+            max_size=400),
+    st.integers(min_value=2, max_value=5),
+)
+def test_kmv_merge_equals_rebuild_property(keys, n_parts):
+    """KMV mergeability is LOSSLESS for arbitrary key sets and splits:
+    merging per-part sketches yields the identical k-set (and so the
+    identical estimate) as sketching the whole set."""
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        KMV_A,
+        KMV_B,
+        KMV_P,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    def build(ks, k=64):
+        hs = sorted({(x * KMV_A + KMV_B) % KMV_P for x in ks})
+        return hs[:k], len(hs)
+
+    keys = sorted(keys)
+    parts = [keys[i::n_parts] for i in range(n_parts)]
+    merged = kmv_merge([build(p) for p in parts if p])
+    whole = build(keys)
+    assert merged[0] == whole[0]
+    assert kmv_estimate(*merged) == kmv_estimate(*whole)
