@@ -1615,8 +1615,8 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT c3.lang, c3.n_before, c3.n_added, c3.n_after, c3.tokens_added,
-           CAST(q.quota_after AS BIGINT) AS quota_after
-    FROM counts c3 JOIN quotas q USING (lang)
+           CAST(COALESCE(q.quota_after, 0) AS BIGINT) AS quota_after
+    FROM counts c3 LEFT JOIN quotas q USING (lang)
     """,
     doc="INCREMENTAL curation composite: yesterday's snapshot survivors "
         "S (quality funnel n_chars >= 60, exact bigram-Jaccard >= 0.7 "

@@ -825,9 +825,10 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketches instead of a join; a_not_b completes the theta set
     # algebra (customers who ordered but are not BUILDING).
     oracle="""
-    WITH ak AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    WITH ak AS (SELECT DISTINCT o_custkey AS key FROM orders
+                WHERE o_custkey IS NOT NULL),
     bk AS (SELECT DISTINCT c_custkey AS key FROM customer
-           WHERE c_mktsegment = 'BUILDING'),
+           WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
     ah AS (SELECT DISTINCT CAST((CAST(key AS HUGEINT) * 2654435761 + 1)
                                 % 2147483647 AS BIGINT) AS h FROM ak),
     bh AS (SELECT DISTINCT CAST((CAST(key AS HUGEINT) * 2654435761 + 1)
@@ -909,10 +910,15 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    ak = orders.select(F.col("o_custkey").alias("key")).distinct()
+    # null keys are excluded from sketch AND exact counts on BOTH
+    # engines — the convention kmv_sketch's h-filter implies, pinned
+    # explicitly so a null-key fixture can't split the engines
+    ak = orders.select(F.col("o_custkey").alias("key")).filter(
+        F.col("key").isNotNull()
+    ).distinct()
     bk = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("key")
-    ).distinct()
+    ).filter(F.col("key").isNotNull()).distinct()
     sa = kmv_sketch(ak, "key")
     sb = kmv_sketch(bk, "key")
     su = kmv_merge([sa, sb])

@@ -1629,7 +1629,8 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the checked fact, exactly the q_stream_countmin pattern with
     # k-smallest-union for +.
     oracle="""
-    WITH ak AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    WITH ak AS (SELECT DISTINCT o_custkey AS key FROM orders
+                WHERE o_custkey IS NOT NULL),
     ah AS (SELECT DISTINCT CAST((CAST(key AS HUGEINT) * 2654435761 + 1)
                                 % 2147483647 AS BIGINT) AS h FROM ak),
     sa AS (SELECT h FROM ah ORDER BY h LIMIT 64),
@@ -1711,7 +1712,12 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
 
-    exact = orders.select("key").distinct().count()
+    # null keys excluded on both engines (kmv_sketch drops null hashes;
+    # the oracle's key CTE now pins the same convention)
+    exact = (
+        orders.select("key").filter(F.col("key").isNotNull())
+        .distinct().count()
+    )
     vals, n = merged[0]
     if n < KMV_K:
         num, den = float(n), 1

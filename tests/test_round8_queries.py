@@ -119,10 +119,24 @@ def test_curation_incremental_manifest_diff_laws(spark, qs):
         assert r.tokens_added >= 0
         assert 0 <= r.quota_after <= r.n_after
         total_quota += r.quota_after
-    # Hamilton quotas sum to min(budget, capped availability)
-    n_total = sum(r.n_after for r in rows)
-    assert total_quota == min(200, sum(min(r.n_after, 200) for r in rows)) \
-        or total_quota <= 200
+    # Hamilton quotas: replay the exact apportionment law from the
+    # query's weight map. quota_raw = wt*200 is integral for every
+    # weight here (100/25/25/25/25), so rem = 0, leftover = 0 and each
+    # weighted language's quota is exactly min(wt*200, n_after);
+    # unweighted languages get 0. No escape hatch: exact equality.
+    weights = {"en": 0.5, "de": 0.125, "zh": 0.125, "fr": 0.125,
+               "es": 0.125}
+    by_lang = {r.lang: r for r in rows}
+    expected_total = 0
+    for lang, r in by_lang.items():
+        want = (
+            min(int(weights[lang] * 200), r.n_after)
+            if lang in weights
+            else 0
+        )
+        assert r.quota_after == want, (lang, r.quota_after, want)
+        expected_total += want
+    assert total_quota == expected_total
     # the frozen-snapshot discipline: n_before equals yesterday's
     # survivor count, independent of the delta — recompute it directly
     docs = spark.read.parquet(f"{SF}/documents.parquet")
