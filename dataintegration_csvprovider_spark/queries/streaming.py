@@ -1501,12 +1501,13 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministic micro-batches; foreachBatch builds each batch's "
         "PER-WINDOW MRL sketches (operators/sketches.py "
         "grouped_quantile_sketch_rows — bounded: windows x k x levels "
-        "rows) and collapse-merges them into the running per-window "
-        "ledger — O(windows x k log n) state however long the stream "
-        "runs, late data for any window folds in by the same merge, "
-        "restart = re-merge. The production latency-dashboard loop: "
-        "q_stream_drift_monitor's ledger pattern carrying a mergeable "
-        "sketch instead of a scalar. Weight == per-window COUNT "
+        "rows) and collapse-merges them into a PERSISTED per-window "
+        "ledger (sketch_ledger_apply: generation-per-batch parquet, "
+        "_SUCCESS-committed, batch-id idempotent) — O(windows x k "
+        "log n) durable state however long the stream runs, late data "
+        "for any window folds in by the same merge, restart = re-merge "
+        "from the ledger (exercised end-to-end with a mid-stream crash "
+        "by q_stream_percentile_restart). Weight == per-window COUNT "
         "(cross-engine) and 0.05 rank error asserted per (window, "
         "probe) against the whole stream.",
     tags=("streaming", "sketch", "quantile", "monitor"),
@@ -1518,9 +1519,10 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import (
         collect_grouped_sketch,
         grouped_quantile_sketch_rows,
-        mrl_merge,
         mrl_quantiles,
         mrl_total_weight,
+        sketch_ledger_apply,
+        sketch_ledger_read,
     )
 
     probes = (0.5, 0.95, 0.99)
@@ -1534,6 +1536,8 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("value").isNotNull())
     stage = tempfile.mkdtemp(prefix="pmon_stage_")
     ck = tempfile.mkdtemp(prefix="pmon_ck_")
+    ledger_root = tempfile.mkdtemp(prefix="pmon_ledger_")
+    ledger_dir = ledger_root + "/ledger"
 
     def write_slice(k: int, name: str, mtime: int) -> None:
         import os as _os
@@ -1550,7 +1554,6 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         _os.utime(dst, (mtime, mtime))
 
-    ledger: dict[str, dict] = {}
     try:
         for k, (name, mt) in enumerate(
             (("a.parquet", 1_000_000_000),
@@ -1568,12 +1571,12 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def merge_batch(bdf, batch_id: int) -> None:
             # per-batch per-window sketches: the bounded artifact the
-            # ledger ingests; collapse-merge is the + of the monitor
+            # ledger ingests; collapse-merge is the + of the monitor,
+            # persisted as an idempotent batch-id generation commit
             batch_sketches = collect_grouped_sketch(
                 grouped_quantile_sketch_rows(bdf, "win", "value")
             )
-            for win, sk in batch_sketches.items():
-                ledger[win] = mrl_merge([ledger.get(win, {}), sk])
+            sketch_ledger_apply(spark, ledger_dir, batch_sketches, batch_id)
 
         q = (
             feed.writeStream.foreachBatch(merge_batch)
@@ -1582,9 +1585,11 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        ledger, _ = sketch_ledger_read(spark, ledger_dir)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(ledger_root, ignore_errors=True)
 
     # audit: broadcast the (win, q, est) probe table, one join + one
     # grouped aggregate over the raw stream data
@@ -1617,6 +1622,198 @@ def q_stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("le") >= (F.col("q") - eps) * F.col("n"))
                 & (F.col("lt") <= (F.col("q") + eps) * F.col("n"))
             ).alias("rank_ok"),
+        )
+    )
+
+
+@register(
+    "q_stream_percentile_restart",
+    # restart-proofness of the persisted percentile ledger, exercised
+    # for real: the monitor run is CRASHED after batch 2 of 3 commits
+    # its generation (a foreachBatch exception AFTER the ledger write —
+    # the worst-ordered failure, state ahead of the checkpoint), then
+    # restarted from the same checkpoint. The micro-batch engine
+    # re-delivers the uncommitted batch with the same id; the ledger's
+    # generation check SKIPS the re-merge (MRL merge is not idempotent
+    # — a double-fold would double the window's weight and fail the
+    # cross-engine weight pin), batch 3 folds in normally, and every
+    # (window, probe) estimate is pinned VALUE-EQUAL to an
+    # uninterrupted control run. n is a TRUE cross-engine COUNT pin so
+    # the gate cannot pass vacuously.
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win,
+           CAST(t.q AS DOUBLE) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS weight_ok, TRUE AS rank_ok,
+           TRUE AS restart_equal, TRUE AS redelivery_skipped
+    FROM events CROSS JOIN (VALUES (0.5), (0.95), (0.99)) t(q)
+    WHERE value IS NOT NULL
+    GROUP BY 1, t.q
+    """,
+    doc="Kill/restart discipline for the streaming percentile monitor "
+        "(q_stream_exactly_once applied to sketch state): the same "
+        "3-batch stream runs twice — once crashed by an injected "
+        "foreachBatch failure AFTER batch 2's ledger generation "
+        "commits but BEFORE its checkpoint offset commits, then "
+        "restarted from the checkpoint (same-id re-delivery is "
+        "detected by sketch_ledger_apply's generation comparison and "
+        "skipped; only batch 3 merges) — and once uninterrupted as "
+        "the control. Recovery reads ONLY the persisted ledger "
+        "(bounded: windows x k x levels rows), never raw history. "
+        "Emitted facts: per-(window, probe) estimate equality between "
+        "the crashed+restarted and control ledgers (exact — identical "
+        "per-batch sketches folded in identical order), the weight == "
+        "COUNT cross-engine pin, the 0.05 rank-error law, and that "
+        "exactly one re-delivery was skipped (batch id 1).",
+    tags=("streaming", "sketch", "quantile", "checkpoint"),
+)
+def q_stream_percentile_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.sketches import (
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+        mrl_quantiles,
+        mrl_total_weight,
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+
+    probes = (0.5, 0.95, 0.99)
+    eps = 0.05
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "win"
+        ),
+        F.col("value").cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    stage = tempfile.mkdtemp(prefix="prst_stage_")
+    roots = [tempfile.mkdtemp(prefix="prst_run_") for _ in range(2)]
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 3 == k).select("win", "value")
+        tmp = tempfile.mkdtemp(prefix="prst_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    skipped_batches: list[int] = []
+
+    def run_stream(root: str, crash_after_batch: int | None) -> None:
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        ledger_dir = f"{root}/ledger"
+
+        def merge_batch(bdf, batch_id: int) -> None:
+            batch_sketches = collect_grouped_sketch(
+                grouped_quantile_sketch_rows(bdf, "win", "value")
+            )
+            applied = sketch_ledger_apply(
+                spark, ledger_dir, batch_sketches, batch_id
+            )
+            if not applied:
+                skipped_batches.append(batch_id)
+            # the injected failure: state committed, offset not — the
+            # ordering that forces the restart down the skip path
+            if applied and batch_id == crash_after_batch:
+                raise RuntimeError("injected crash after ledger commit")
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if crash_after_batch is None:
+                raise  # only the injected crash is expected
+
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        # crashed run + restart from the same checkpoint
+        run_stream(roots[0], crash_after_batch=1)
+        run_stream(roots[0], crash_after_batch=None)
+        # uninterrupted control
+        run_stream(roots[1], crash_after_batch=None)
+        restarted, gen_a = sketch_ledger_read(spark, f"{roots[0]}/ledger")
+        control, gen_b = sketch_ledger_read(spark, f"{roots[1]}/ledger")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    # exactly one skipped re-delivery, and it was the crashed batch;
+    # both ledgers applied through the final batch id
+    redelivery_ok = skipped_batches == [1] and gen_a == gen_b == 2
+
+    probe_rows = []
+    for win in sorted(control):
+        w = mrl_total_weight(restarted[win])
+        ests_r = dict(mrl_quantiles(restarted[win], list(probes)))
+        ests_c = dict(mrl_quantiles(control[win], list(probes)))
+        for qq in probes:
+            probe_rows.append(
+                (
+                    win,
+                    float(qq),
+                    float(ests_r[qq]),
+                    int(w),
+                    bool(ests_r[qq] == ests_c[qq]),
+                )
+            )
+    pdf = spark.createDataFrame(
+        probe_rows,
+        "win string, q double, est double, w bigint, r_eq boolean",
+    )
+    joined = ev.select("win", "value").join(F.broadcast(pdf), "win")
+    return (
+        joined.groupBy("win", "q", "est", "w", "r_eq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("value") <= F.col("est")).cast("bigint")).alias(
+                "le"
+            ),
+            F.sum((F.col("value") < F.col("est")).cast("bigint")).alias(
+                "lt"
+            ),
+        )
+        .select(
+            "win",
+            "q",
+            "n",
+            (F.col("w") == F.col("n")).alias("weight_ok"),
+            (
+                (F.col("le") >= (F.col("q") - eps) * F.col("n"))
+                & (F.col("lt") <= (F.col("q") + eps) * F.col("n"))
+            ).alias("rank_ok"),
+            F.col("r_eq").alias("restart_equal"),
+            F.lit(bool(redelivery_ok)).alias("redelivery_skipped"),
         )
     )
 

@@ -239,3 +239,77 @@ def test_grouped_build_null_group_and_value_skipped(spark):
     )
     assert set(sketches) == {"a"}
     assert mrl_total_weight(sketches["a"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# persisted ledger protocol (round 9): crash safety, idempotence, pruning
+# ---------------------------------------------------------------------------
+
+
+def _np_levels(vals):
+    import numpy as np
+
+    return {0: np.asarray(vals, dtype=float)}
+
+
+def test_sketch_ledger_apply_idempotent_and_prunes(spark, tmp_path):
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    assert sketch_ledger_read(spark, ledger) == ({}, -1)
+
+    assert sketch_ledger_apply(spark, ledger, {"w": _np_levels([1.0])}, 0)
+    assert sketch_ledger_apply(spark, ledger, {"w": _np_levels([2.0])}, 1)
+    state, applied = sketch_ledger_read(spark, ledger)
+    assert applied == 1
+    assert mrl_total_weight(state["w"]) == 2
+
+    # same-id re-delivery (crash-after-commit): MUST be skipped —
+    # a re-merge would double the weight
+    assert not sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([2.0])}, 1
+    )
+    state, applied = sketch_ledger_read(spark, ledger)
+    assert applied == 1 and mrl_total_weight(state["w"]) == 2
+
+    # stale id (very late duplicate) also skipped
+    assert not sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([9.0])}, 0
+    )
+
+    # generations pruned to the newest two
+    import os
+
+    assert sketch_ledger_apply(spark, ledger, {"w": _np_levels([3.0])}, 2)
+    gens = sorted(d for d in os.listdir(ledger) if d.startswith("gen-"))
+    assert gens == ["gen-1", "gen-2"]
+
+
+def test_sketch_ledger_ignores_torn_generation(spark, tmp_path):
+    import os
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    assert sketch_ledger_apply(spark, ledger, {"w": _np_levels([1.0])}, 0)
+
+    # simulate a torn write: a newer generation directory with data
+    # but NO _SUCCESS marker — the reader must fall back to gen-0
+    torn = os.path.join(ledger, "gen-1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    state, applied = sketch_ledger_read(spark, ledger)
+    assert applied == 0
+    assert mrl_total_weight(state["w"]) == 1
+
+    # and the re-run of the batch that tore commits OVER the torn dir
+    assert sketch_ledger_apply(spark, ledger, {"w": _np_levels([5.0])}, 1)
+    state, applied = sketch_ledger_read(spark, ledger)
+    assert applied == 1 and mrl_total_weight(state["w"]) == 2
