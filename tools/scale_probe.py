@@ -399,6 +399,74 @@ def probe_filters(spark, path: str) -> dict[str, float]:
     return secs
 
 
+def probe_sketches(spark, path: str) -> dict[str, float]:
+    """Round-8 mergeable-sketch family: the design claim is that the
+    partition-parallel BUILD is the only data-scaled stage (expect
+    ~linear ratios) while MERGE and the persisted-ledger APPLY touch
+    only bounded artifacts (k·levels rows / 64 values — expect FLAT
+    ratios at any multiplier). This probe measures both halves instead
+    of asserting them."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        collect_grouped_sketch,
+        collect_sketch,
+        grouped_quantile_sketch_rows,
+        kmv_merge,
+        kmv_sketch,
+        mrl_merge,
+        quantile_sketch_rows,
+        sketch_ledger_apply,
+    )
+
+    docs = spark.read.parquet(path)
+    vals = docs.select("doc_id", F.col("n_chars").cast("double").alias("v"))
+
+    secs: dict[str, float] = {}
+
+    def timed(name, fn):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        fn()
+        secs[name] = round(time.monotonic() - t0, 3)
+
+    # data-scaled stages: expect ~linear growth
+    timed("mrl_build", lambda: _force(quantile_sketch_rows(vals, "v")))
+    timed(
+        "mrl_grouped_build",
+        lambda: _force(grouped_quantile_sketch_rows(docs, "lang", "n_chars")),
+    )
+    timed("kmv_build", lambda: kmv_sketch(vals, "doc_id"))
+
+    # bounded-artifact stages: inputs are k·levels rows / 64 values
+    # REGARDLESS of the data multiplier — expect flat ratios
+    half_a = collect_sketch(
+        quantile_sketch_rows(vals.filter(F.col("doc_id") % 2 == 0), "v")
+    )
+    half_b = collect_sketch(
+        quantile_sketch_rows(vals.filter(F.col("doc_id") % 2 == 1), "v")
+    )
+    timed("mrl_merge", lambda: mrl_merge([half_a, half_b]))
+    kmv_a = kmv_sketch(vals.filter(F.col("doc_id") % 2 == 0), "doc_id")
+    kmv_b = kmv_sketch(vals.filter(F.col("doc_id") % 2 == 1), "doc_id")
+    timed("kmv_merge", lambda: kmv_merge([kmv_a, kmv_b]))
+    batch = collect_grouped_sketch(
+        grouped_quantile_sketch_rows(docs, "lang", "n_chars")
+    )
+    ledger_root = _tempfile.mkdtemp(prefix="probe_ledger_")
+    try:
+        timed(
+            "ledger_apply",
+            lambda: sketch_ledger_apply(
+                spark, f"{ledger_root}/ledger", batch, 0
+            ),
+        )
+    finally:
+        _shutil.rmtree(ledger_root, ignore_errors=True)
+    return secs
+
+
 def probe_ops(spark, path: str) -> dict[str, float]:
     docs = spark.read.parquet(path)
     ops = {
@@ -423,7 +491,7 @@ def main() -> None:
     ap.add_argument(
         "--family",
         choices=["dedup", "similarity", "graph", "curation", "prefixsum",
-                 "retrieval", "filters"],
+                 "retrieval", "filters", "sketches"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -438,6 +506,7 @@ def main() -> None:
         "prefixsum": (build_scaled, probe_prefixsum),
         "retrieval": (build_scaled, probe_retrieval),
         "filters": (build_scaled, probe_filters),
+        "sketches": (build_scaled, probe_sketches),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
