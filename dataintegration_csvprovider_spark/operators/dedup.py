@@ -95,12 +95,22 @@ def _with_content(df: DataFrame, text_col: str, min_words: int = 1) -> DataFrame
     return df.filter(cond)
 
 
+def minhash_mix(i: int) -> tuple[int, int]:
+    """Deterministic odd 31-bit (multiplier, offset) for permutation
+    seed ``i`` — module-level so SQL oracles can inline the identical
+    constants and replay the signature matrix."""
+    a = ((0x9E3779B9 * (2 * i + 1)) & 0x7FFFFFFF) | 1
+    b = (0xBF58476D * (i + 1)) & 0x7FFFFFFF
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_size: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Add a ``signature`` array<bigint> column: for each of ``num_hashes``
     seeded hash functions, the min hash over the doc's shingles.
@@ -116,19 +126,32 @@ def minhash_signatures(
     overflow (ANSI mode throws on wrap). The mod p is essential: without
     it the map is monotone in h31 and every seed would pick the same
     min-shingle. All whole-stage codegen, no UDF; NULL text folds to a
-    NULL signature (dropped by the pair generators' content filter)."""
+    NULL signature (dropped by the pair generators' content filter).
 
-    # deterministic odd 31-bit multipliers/offsets per seed
-    def _mix(i: int) -> tuple[int, int]:
-        a = ((0x9E3779B9 * (2 * i + 1)) & 0x7FFFFFFF) | 1
-        b = (0xBF58476D * (i + 1)) & 0x7FFFFFFF
-        return a, b
+    ``base_hash`` picks the 31-bit shingle hash feeding the permutation
+    family: ``"xxhash64"`` (default — the fastest JVM path, no SQL
+    twin) or ``"md5"`` (first 16 hex chars of md5 parsed as uint64, mod
+    2^31-1 — bit-identical in DuckDB via
+    ``CAST('0x' || substring(md5(g),1,16) AS UBIGINT) % 2147483647``,
+    which lets an oracle replay the ENTIRE signature matrix, banding
+    and pair set cross-engine). Same signature laws either way; md5
+    costs one digest per shingle instead of one xxhash — fine for
+    gates and audits, measurably slower as the 100 TB default."""
 
-    a_lits = ",".join(str(_mix(i)[0]) for i in range(num_hashes))
-    b_lits = ",".join(str(_mix(i)[1]) for i in range(num_hashes))
+    a_lits = ",".join(str(minhash_mix(i)[0]) for i in range(num_hashes))
+    b_lits = ",".join(str(minhash_mix(i)[1]) for i in range(num_hashes))
+    if base_hash == "xxhash64":
+        h31 = "xxhash64(g) & 2147483647L"
+    elif base_hash == "md5":
+        h31 = (
+            "cast(pmod(cast(conv(substring(md5(g), 1, 16), 16, 10) "
+            "as decimal(20,0)), 2147483647) as bigint)"
+        )
+    else:
+        raise ValueError(f"unknown base_hash: {base_hash!r}")
     fold = f"""
     aggregate(
-      transform(__grams, g -> xxhash64(g) & 2147483647L),
+      transform(__grams, g -> {h31}),
       array_repeat(9223372036854775807L, {num_hashes}),
       (acc, h) -> zip_with(acc,
           zip_with(array({a_lits}), array({b_lits}),
@@ -222,6 +245,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     shingle_size: int = 3,
     num_bands: int = 16,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, est_jaccard): LSH candidates verified by
     exact signature overlap (fraction of equal minhash positions — an
@@ -233,6 +257,7 @@ def minhash_near_dup_pairs(
         id_col,
         num_hashes,
         shingle_size,
+        base_hash,
     )
     # signatures feed three plan branches (banding + both verify sides);
     # persist so the hash work runs once

@@ -38,10 +38,76 @@ from .registry import register
 
 # DuckDB fragments reused across oracles ------------------------------------
 
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2]))"
+)
+
+
 _DUCK_BIGRAMS = (
     "list_distinct(list_transform(range(1, len(string_split(text,' '))), "
     "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
 )
+
+# Full cross-engine replay of the md5-family MinHash(64)+LSH(16x4)
+# pipeline (round 9): the permutation constants are minhash_mix's, the
+# base hash is the md5-derived 31-bit hash both engines compute
+# bit-identically, bands compare the 4-value signature slice itself
+# (bucket-hash equality on the Spark side is slice equality modulo
+# xxhash64 collisions). Yields CTE `mh_pairs(a, b, est_jaccard)` — the
+# exact LSH pair set at est >= 0.5.
+def _minhash_perm_values() -> str:
+    from ..operators.dedup import minhash_mix
+
+    return ", ".join(
+        "({}, {}, {})".format(i, *minhash_mix(i)) for i in range(64)
+    )
+
+
+_DUCK_MINHASH_PAIRS = f"""
+    mh_perms(i, a, b) AS (VALUES {_minhash_perm_values()}),
+    mh_toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+        AND len(string_split(text, ' ')) >= 3
+    ),
+    mh_h AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             CAST(CAST(concat('0x', substring(md5(gram), 1, 16))
+                       AS UBIGINT) % 2147483647 AS BIGINT) AS hg
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+            FROM mh_toks)
+    ),
+    mh_sig AS MATERIALIZED (
+      SELECT doc_id, p.i, MIN((hg * p.a + p.b) % 2147483647) AS mh
+      FROM mh_h CROSS JOIN mh_perms p GROUP BY doc_id, p.i
+    ),
+    mh_bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS slc
+      FROM mh_sig GROUP BY doc_id, i // 4
+    ),
+    mh_cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM mh_bands x JOIN mh_bands y
+        ON x.band = y.band AND x.slc = y.slc AND x.doc_id < y.doc_id
+    ),
+    mh_pairs AS MATERIALIZED (
+      SELECT a, b, est_jaccard FROM (
+        SELECT c.a, c.b,
+               CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 64 AS est_jaccard
+        FROM mh_cand c
+        JOIN mh_sig sa ON sa.doc_id = c.a
+        JOIN mh_sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+        GROUP BY c.a, c.b) t
+      WHERE est_jaccard >= 0.5
+    )
+"""
 
 _DUCK_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
@@ -146,81 +212,89 @@ def _b(c) -> F.Column:  # type: ignore[name-defined]
 
 @register(
     "q_dedup_minhash",
-    # xxhash64 signatures have no DuckDB twin, but the pair set is
-    # deterministic under the fixed seed, so its INVARIANTS are a fixed
-    # fact the oracle pins: every emitted pair is a true near-dup (exact
-    # 3-shingle Jaccard >= 0.5 — measured min 0.80 at sf0.1, 0.89-0.90
-    # at sf0.01/0.001), pairs are canonical (a < b) and distinct, and
-    # the signature-overlap estimate honors the threshold. Recall vs the
-    # exact truth is pinned separately by q_dedup_quality_gate (>= 0.8).
-    # n_pairs hash-pins the CARDINALITY of the scored pair set (seed-
-    # deterministic per fixture, keyed on the fixture's SUM(n_chars)
-    # since sf0.001/sf0.01 share a row count), so a silently-emptied
-    # emitter can no longer pass the min-gates vacuously.
-    oracle="""
-    SELECT CAST(CASE (SELECT SUM(n_chars) FROM documents)
-                WHEN 153156 THEN 28 WHEN 149174 THEN 25
-                WHEN 1485576 THEN 256 END AS BIGINT) AS n_pairs,
-           TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS est_range_ok,
-           TRUE AS jaccard_floor_ok
+    # round 9: the fixture-constant CASE pins are retired — this is now
+    # a FULL cross-engine value replay. The md5 hash family
+    # (minhash_signatures base_hash="md5") is bit-identical in DuckDB,
+    # so the oracle recomputes the 64-hash signature matrix, the 16x4
+    # banding, the candidate join, the signature-overlap estimate AND
+    # the exact 3-shingle Jaccard verification, and the driver hashes
+    # the entire scored pair set. The xxhash64 production default's
+    # pair quality stays pinned by q_dedup_quality_gate (recall >= 0.8
+    # vs exact truth) and the structural laws of q_dedup_minhash_full.
+    oracle=f"""
+    WITH {_DUCK_MINHASH_PAIRS},
+    gr AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TRIGRAMS} AS grams FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+        AND len(string_split(text, ' ')) >= 3
+    )
+    SELECT p.a, p.b, p.est_jaccard,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+           / (len(ga.grams) + len(gb.grams)
+              - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+    FROM mh_pairs p
+    JOIN gr ga ON ga.doc_id = p.a
+    JOIN gr gb ON gb.doc_id = p.b
     """,
-    doc="Gate over MinHash(64)+LSH(16x4) near-dup pairs at est_jaccard "
-        ">= 0.5: canonical ordering, distinctness, estimate range, and "
-        "per-pair EXACT 3-shingle Jaccard >= 0.5 (precision; linear in "
-        "#pairs — the exact check never goes all-pairs).",
+    doc="MinHash(64)+LSH(16x4) near-dup pairs at est_jaccard >= 0.5 "
+        "under the md5 hash family, each pair verified with its EXACT "
+        "3-shingle Jaccard (linear in #pairs — the exact check never "
+        "goes all-pairs). Every signature, band, candidate and both "
+        "scores are value-replayed by the oracle end to end.",
     tags=("dedup", "minhash", "quality"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, base_hash="md5")
     scored = _pair_exact_jaccard(docs, pairs, k=3)
-    return scored.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        _b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"),
-        _b(F.count(F.lit(1)) == F.count_distinct(F.col("a"), F.col("b"))).alias(
-            "distinct_ok"
-        ),
-        _b(
-            F.min(
-                (F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") <= 1.0)
-            )
-        ).alias("est_range_ok"),
-        _b(F.min(F.col("jaccard") >= 0.5)).alias("jaccard_floor_ok"),
-    )
+    return scored.select("a", "b", "est_jaccard", "jaccard")
 
 
 @register(
     "q_dedup_minhash_full",
-    # the survivor set of LSH pairs -> connected components -> keep-one
-    # satisfies three structural laws REGARDLESS of the hash seed, and
-    # the oracle pins them: (1) survivors form an independent set in the
-    # candidate-pair graph (a component keeps exactly one member, so no
-    # emitted pair has both endpoints surviving); (2) every removed doc
-    # was an endpoint of at least one pair (nothing vanishes without
-    # evidence); (3) every unpaired doc survives (dedup never drops
-    # singletons). n_pairs/n_survivors hash-pin the cardinalities
-    # (seed-deterministic per fixture, keyed on SUM(n_chars) since
-    # sf0.001/sf0.01 share a row count): without them an emitter that
-    # silently empties satisfies all three laws vacuously.
-    oracle="""
-    SELECT CAST(CASE (SELECT SUM(n_chars) FROM documents)
-                WHEN 153156 THEN 28 WHEN 149174 THEN 25
-                WHEN 1485576 THEN 256 END AS BIGINT) AS n_pairs,
-           CAST(CASE (SELECT SUM(n_chars) FROM documents)
-                WHEN 153156 THEN 476 WHEN 149174 THEN 476
-                WHEN 1485576 THEN 4756 END AS BIGINT) AS n_survivors,
+    # round 9: the fixture-constant CASE pins are retired — the oracle
+    # REPLAYS the md5-family pair set (the q_dedup_minhash fragment),
+    # runs connected components as a recursive CTE and recomputes
+    # n_pairs and n_survivors from scratch. The structural laws —
+    # (1) survivors form an independent set in the pair graph, (2)
+    # every removed doc was a pair endpoint, (3) every unpaired doc
+    # survives — stay asserted Spark-side; with both cardinalities now
+    # cross-engine values, an emptied emitter can no longer satisfy
+    # them vacuously on ANY fixture, measured or not.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_PAIRS},
+    e AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component),
+    surv AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN losers l ON d.doc_id = l.node WHERE l.node IS NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM mh_pairs) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_survivors,
            TRUE AS independent_set_ok, TRUE AS removed_connected_ok,
            TRUE AS unpaired_survive_ok
     """,
-    doc="Gate over full near-dedup (LSH pairs → connected components → "
-        "min-id representative): independent-set / removed-connected / "
-        "singleton-survival laws asserted over the survivor set.",
+    doc="Full near-dedup (md5-family LSH pairs → connected components "
+        "→ min-id representative): independent-set / removed-connected "
+        "/ singleton-survival laws asserted over the survivor set, "
+        "with the pair and survivor cardinalities value-replayed by "
+        "the oracle's end-to-end recomputation.",
     tags=("dedup", "minhash", "quality"),
 )
 def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    surv = dedup_near_minhash(docs, threshold=0.5).select("doc_id")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    surv = dedup_near_minhash(
+        docs, threshold=0.5, base_hash="md5"
+    ).select("doc_id")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, base_hash="md5"
+    ).select("a", "b")
     both_survive = pairs.join(
         surv.withColumnRenamed("doc_id", "a"), "a", "left_semi"
     ).join(surv.withColumnRenamed("doc_id", "b"), "b", "left_semi")
@@ -2682,13 +2756,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_representative", F.col("vec_id") == F.col("cluster")
         )
     )
-
-
-_DUCK_TRIGRAMS = (
-    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
-    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
-    "|| ' ' || string_split(text,' ')[i+2]))"
-)
 
 
 @register(
