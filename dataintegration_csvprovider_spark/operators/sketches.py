@@ -534,3 +534,55 @@ def sketch_ledger_apply(
             ignore_errors=True,
         )
     return True
+
+
+def grouped_kmv_sketch_rows(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketches as ``(g_key, sketch array<bigint>,
+    n_hashes)`` rows — the datacard shape: one pass gives every
+    domain/language/source its own mergeable distinct-count sketch,
+    and because KMV is a theta sketch the PAIRWISE overlap /
+    containment matrix between groups falls out of the k-row
+    artifacts alone.
+
+    Scale shape: one distinct shuffle on (group, hash), then the
+    k-smallest are taken in two bounded phases — per-(group,
+    partition) local top-k (map-side collect_set is bounded by the
+    partition), then a per-group merge over <= k x n_partitions
+    values. No per-group global sort, no unbounded state; the merge
+    IS the KMV merge (k smallest of the union). n_hashes (the exact
+    distinct-hash count the estimator needs below capacity) rides the
+    same checkpointed distinct relation."""
+    hashed = (
+        df.select(
+            F.col(group_col).cast("string").alias("g_key"),
+            kmv_hash_expr(F.col(key_col)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull() & F.col("g_key").isNotNull())
+        .distinct()
+    )
+    hashed = hashed.localCheckpoint(eager=True)  # one eval, two reads
+    counts = hashed.groupBy("g_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes")
+    )
+    local = hashed.groupBy(
+        "g_key", F.spark_partition_id().alias("p")
+    ).agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("vals"))
+    merged = (
+        local.select("g_key", F.explode("vals").alias("h"))
+        .groupBy("g_key")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("sketch"))
+    )
+    return merged.join(counts, "g_key")
+
+
+def collect_grouped_kmv(
+    sketch_rows: DataFrame,
+) -> dict[str, tuple[list[int], int]]:
+    """Materialize grouped KMV rows (bounded: n_groups x (k+1) values)
+    as {g_key: (sorted k-smallest hashes, distinct-hash count)}."""
+    return {
+        r["g_key"]: ([int(v) for v in r["sketch"]], int(r["n_hashes"]))
+        for r in sketch_rows.collect()
+    }

@@ -960,6 +960,197 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmv_grouped",
+    # the datacard form of the theta sketch (round 9): every language
+    # gets its own KMV vocabulary sketch from ONE pass, and the
+    # pairwise overlap/containment matrix a mixture designer reads
+    # ("how much of de's vocabulary also appears in en?") falls out of
+    # the 64-value artifacts alone. The word key is the md5-derived
+    # 31-bit hash (bit-identical in DuckDB), the sketch hash the Knuth
+    # arithmetic family — so sketches, thetas, every estimate AND both
+    # containment ratios are value-replayed by the oracle, alongside
+    # exact distinct/overlap counts from the full key sets.
+    oracle="""
+    WITH wk AS MATERIALIZED (
+      SELECT DISTINCT lang,
+             CAST(CAST(concat('0x', substring(md5(word), 1, 16))
+                       AS UBIGINT) % 2147483647 AS BIGINT) AS wk
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''
+              AND lang IS NOT NULL)
+      WHERE word <> ''
+    ),
+    h AS MATERIALIZED (
+      SELECT DISTINCT lang,
+             CAST((CAST(wk AS HUGEINT) * 2654435761 + 1) % 2147483647
+                  AS BIGINT) AS h
+      FROM wk
+    ),
+    cnt AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY lang),
+    topk AS (
+      SELECT lang, h FROM (
+        SELECT lang, h,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM h) t
+      WHERE rn <= 64
+    ),
+    est AS (
+      SELECT c.lang, c.n,
+             CASE WHEN c.n >= 64 THEN m.h64 ELSE 2147483647 END AS theta,
+             CASE WHEN c.n < 64 THEN CAST(c.n AS DOUBLE)
+                  ELSE 63.0 * 2147483647 / m.h64 END AS est
+      FROM cnt c JOIN (SELECT lang, MAX(h) AS h64 FROM topk
+                       GROUP BY lang) m USING (lang)
+    ),
+    exl AS (SELECT lang, COUNT(*) AS n FROM wk GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS la, b.lang AS lb,
+             LEAST(a.theta, b.theta) AS theta,
+             a.est AS est_a, b.est AS est_b
+      FROM est a JOIN est b ON a.lang < b.lang
+    ),
+    common AS (
+      SELECT p.la, p.lb, COUNT(*) AS c
+      FROM pairs p
+      JOIN topk ta ON ta.lang = p.la
+      JOIN topk tb ON tb.lang = p.lb AND tb.h = ta.h
+      WHERE ta.h < p.theta
+      GROUP BY p.la, p.lb
+    ),
+    exi AS (
+      SELECT x.lang AS la, y.lang AS lb, COUNT(*) AS n
+      FROM wk x JOIN wk y ON x.wk = y.wk AND x.lang < y.lang
+      GROUP BY 1, 2
+    )
+    SELECT e.lang AS scope, 'label' AS kind,
+           CAST(x.n AS BIGINT) AS exact_distinct,
+           ROUND(e.est, 9) AS est,
+           CAST(NULL AS DOUBLE) AS cont_a, CAST(NULL AS DOUBLE) AS cont_b
+    FROM est e JOIN exl x USING (lang)
+    UNION ALL
+    SELECT p.la || '|' || p.lb, 'overlap',
+           CAST(COALESCE(x.n, 0) AS BIGINT),
+           ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) * 2147483647 / p.theta,
+                 9),
+           ROUND((CAST(COALESCE(c.c, 0) AS DOUBLE) * 2147483647 / p.theta)
+                 / p.est_a, 9),
+           ROUND((CAST(COALESCE(c.c, 0) AS DOUBLE) * 2147483647 / p.theta)
+                 / p.est_b, 9)
+    FROM pairs p
+    LEFT JOIN common c ON c.la = p.la AND c.lb = p.lb
+    LEFT JOIN exi x ON x.la = p.la AND x.lb = p.lb
+    """,
+    doc="GROUPED KMV/theta datacard (operators/sketches.py "
+        "grouped_kmv_sketch_rows): per-language vocabulary sketches — "
+        "one distinct shuffle, then two bounded k-smallest phases, no "
+        "per-group global sort — plus the full pairwise matrix: "
+        "distinct-vocabulary estimate per language, overlap estimate "
+        "and both containment directions per language pair, every one "
+        "computed from the 64-value artifacts and value-replayed by "
+        "the oracle next to the exact counts. The composition the "
+        "single-scope q_kmv_sketch builds toward: a mixture designer's "
+        "domain-overlap table at 100 TB costs one pass + k rows per "
+        "group.",
+    tags=("profiling", "sketch", "distinct", "cardinality", "datacard"),
+)
+def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        KMV_K,
+        KMV_P,
+        collect_grouped_kmv,
+        grouped_kmv_sketch_rows,
+        kmv_theta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(
+        (F.col("word") != "")
+        & F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    wk = words.select(
+        "lang",
+        F.expr(
+            "cast(pmod(cast(conv(substring(md5(word), 1, 16), 16, 10) "
+            "as decimal(20,0)), 2147483647) as bigint)"
+        ).alias("wk"),
+    ).distinct()
+    wk = wk.localCheckpoint(eager=True)  # sketches + exact counts share it
+
+    sketches = collect_grouped_kmv(grouped_kmv_sketch_rows(wk, "lang", "wk"))
+    exact_label = {
+        r["lang"]: r["n"]
+        for r in wk.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exact_pair = {
+        (r["la"], r["lb"]): r["n"]
+        for r in (
+            wk.select(F.col("lang").alias("la"), "wk")
+            .join(wk.select(F.col("lang").alias("lb"), "wk"), "wk")
+            .filter(F.col("la") < F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+
+    def est_nd(s: tuple[list[int], int]) -> tuple[float, int]:
+        vals, n = s
+        if n < KMV_K:
+            return float(n), 1
+        return 63.0 * KMV_P, vals[KMV_K - 1]
+
+    rows = []
+    labels = sorted(sketches)
+    for g in labels:
+        num, den = est_nd(sketches[g])
+        rows.append(
+            (g, "label", int(exact_label[g]), num, den, None, None, None,
+             None)
+        )
+    for i, ga in enumerate(labels):
+        for gb in labels[i + 1:]:
+            sa, sb = sketches[ga], sketches[gb]
+            theta = min(kmv_theta(*sa), kmv_theta(*sb))
+            common = sum(1 for hh in set(sa[0]) & set(sb[0]) if hh < theta)
+            a_num, a_den = est_nd(sa)
+            b_num, b_den = est_nd(sb)
+            rows.append(
+                (
+                    f"{ga}|{gb}",
+                    "overlap",
+                    int(exact_pair.get((ga, gb), 0)),
+                    float(common) * KMV_P,
+                    theta,
+                    a_num,
+                    a_den,
+                    b_num,
+                    b_den,
+                )
+            )
+    out = spark.createDataFrame(
+        rows,
+        "scope string, kind string, exact_distinct long, num double, "
+        "den long, a_num double, a_den long, b_num double, b_den long",
+    )
+    est = F.col("num") / F.col("den")
+    return out.select(
+        "scope",
+        "kind",
+        "exact_distinct",
+        F.round(est, 9).alias("est"),
+        F.round(est / (F.col("a_num") / F.col("a_den")), 9).alias("cont_a"),
+        F.round(est / (F.col("b_num") / F.col("b_den")), 9).alias("cont_b"),
+    )
+
+
+@register(
     "q_k_anonymity",
     oracle="""
     WITH classes AS (
