@@ -561,6 +561,128 @@ def q_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmv_join_planner",
+    # round 9: a sketch estimate that is USED, not just computed — the
+    # broadcast-vs-shuffle decision for each join is DERIVED from the
+    # dim side's KMV distinct estimate (<= 500 distinct keys ->
+    # broadcast, else shuffle_hash), and the chosen strategy is
+    # verified against the executed plan. The Knuth hash family means
+    # the oracle replays the sketch, the estimate AND the decision;
+    # the join aggregates are exact cross-engine facts; at sf0.01 the
+    # two cases land on opposite sides of the threshold so both
+    # branches execute.
+    oracle=f"""
+    WITH dim_a AS (SELECT * FROM customer
+                   WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+                     AND c_custkey IS NOT NULL),
+    dim_b AS (SELECT * FROM customer WHERE c_custkey IS NOT NULL),
+    ha AS (SELECT DISTINCT CAST((CAST(c_custkey AS HUGEINT) * 2654435761
+                                 + 1) % 2147483647 AS BIGINT) AS h
+           FROM dim_a),
+    hb AS (SELECT DISTINCT CAST((CAST(c_custkey AS HUGEINT) * 2654435761
+                                 + 1) % 2147483647 AS BIGINT) AS h
+           FROM dim_b),
+    ea AS (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE 63.0 * 2147483647 /
+                            (SELECT MAX(h) FROM
+                             (SELECT h FROM ha ORDER BY h LIMIT 64))
+                  END AS est FROM ha),
+    eb AS (SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE 63.0 * 2147483647 /
+                            (SELECT MAX(h) FROM
+                             (SELECT h FROM hb ORDER BY h LIMIT 64))
+                  END AS est FROM hb),
+    ja AS (SELECT COUNT(*) AS n_rows,
+                  {sql_dsum('o.o_totalprice')} AS total_price
+           FROM orders o JOIN dim_a d ON o.o_custkey = d.c_custkey),
+    jb AS (SELECT COUNT(*) AS n_rows,
+                  {sql_dsum('o.o_totalprice')} AS total_price
+           FROM orders o JOIN dim_b d ON o.o_custkey = d.c_custkey)
+    SELECT 'hot_building' AS which,
+           ROUND((SELECT est FROM ea), 9) AS est_distinct,
+           CASE WHEN (SELECT est FROM ea) <= 500 THEN 'broadcast'
+                ELSE 'shuffle_hash' END AS strategy,
+           TRUE AS hint_respected,
+           (SELECT CAST(n_rows AS BIGINT) FROM ja) AS n_rows,
+           (SELECT total_price FROM ja) AS total_price
+    UNION ALL
+    SELECT 'all_customers',
+           ROUND((SELECT est FROM eb), 9),
+           CASE WHEN (SELECT est FROM eb) <= 500 THEN 'broadcast'
+                ELSE 'shuffle_hash' END,
+           TRUE,
+           (SELECT CAST(n_rows AS BIGINT) FROM jb),
+           (SELECT total_price FROM jb)
+    """,
+    doc="KMV-driven join planning: the dim side's 64-value theta "
+        "sketch (one distinct-hash pass + TakeOrdered — the artifact "
+        "q_kmv_sketch grades) estimates its distinct-key count; the "
+        "estimate picks the join strategy (<= 500 -> broadcast hint, "
+        "else shuffle_hash) and the executed plan is checked for the "
+        "chosen join node. The 100 TB story: CBO statistics go stale "
+        "the moment a filter lands, but a sketch of the FILTERED dim "
+        "costs one cheap pass and prices the broadcast decision on "
+        "what will actually ship — the q_skew_stats companion on the "
+        "build-size axis. Estimate, decision and join results are all "
+        "value-replayed by the oracle.",
+    tags=("join", "scale", "plan", "sketch"),
+)
+def q_kmv_join_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import KMV_K, KMV_P, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    cases = {
+        "hot_building": cust.filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000)
+            & F.col("c_custkey").isNotNull()
+        ),
+        "all_customers": cust.filter(F.col("c_custkey").isNotNull()),
+    }
+
+    def run(which: str, dim: DataFrame) -> DataFrame:
+        vals, n = kmv_sketch(dim, "c_custkey")
+        if n < KMV_K:
+            num, den = float(n), 1
+        else:
+            num, den = 63.0 * KMV_P, vals[KMV_K - 1]
+        est = num / den
+        choice = "broadcast" if est <= 500 else "shuffle_hash"
+        marker = (
+            "BroadcastHashJoin" if choice == "broadcast"
+            else "ShuffledHashJoin"
+        )
+        agg = (
+            orders.join(
+                dim.hint(choice),
+                orders.o_custkey == dim.c_custkey,
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return agg.select(
+            F.lit(which).alias("which"),
+            F.round(F.lit(num) / F.lit(den), 9).alias("est_distinct"),
+            F.lit(choice).alias("strategy"),
+            F.lit(marker in plan).alias("hint_respected"),
+            "n_rows",
+            "total_price",
+        )
+
+    out = None
+    for which, dim in cases.items():
+        part = run(which, dim)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
     "q_runtime_bloom_filter",
     oracle=f"""
     SELECT o.o_orderstatus, COUNT(*) AS n_items,
