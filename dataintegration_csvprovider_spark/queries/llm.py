@@ -1929,6 +1929,119 @@ def q_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ivf_incremental",
+    # round 9 (verdict ambition item): incremental IVF maintenance —
+    # "train once per corpus version" completed with "know when to
+    # retrain". Yesterday's centroids are FROZEN (trained on the 80%
+    # snapshot, the persisted artifact); today's 20% delta pays only a
+    # broadcast map-side assignment (the daily job — no Lloyd
+    # iterations, no shuffle over the snapshot). Recall of the
+    # frozen+delta index is then measured against a fresh full retrain:
+    # recall drift is the retrain signal. Measured on the uniform-
+    # random fixtures (IVF's adversarial no-cluster case): incremental
+    # recall@10 0.5-0.6, retrained 0.9-1.0, drift 0.3-0.4 at all three
+    # SFs — so the floor (>= 0.4), the drift bound (<= 0.5) and the
+    # fired retrain signal (drift > 0.2) are deterministic pinned
+    # facts; n_snapshot/n_delta are true cross-engine counts so the
+    # gate cannot pass vacuously.
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 <> 0)
+                AS BIGINT) AS n_snapshot,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0)
+                AS BIGINT) AS n_delta,
+           TRUE AS all_delta_assigned, TRUE AS recall_floor_ok,
+           TRUE AS drift_bound_ok, TRUE AS retrain_recommended
+    """,
+    doc="Incremental IVF index maintenance: frozen snapshot centroids "
+        "+ map-side delta assignment vs a full retrain, recall@10 "
+        "drift measured against exact brute force and gated — the "
+        "q_curation_incremental discipline applied to ANN. The delta "
+        "job's plan touches only delta rows (one broadcast of 16 "
+        "centroids, no snapshot re-scan); the retrain exists in-query "
+        "only to price the drift.",
+    tags=("similarity", "ivf", "incremental", "quality"),
+)
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        _with_valid_vectors,
+        assign_ivf_partitions,
+        trained_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    snap = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    # frozen = the persisted corpus-version artifact; retrained = the
+    # fresh baseline the drift is priced against
+    frozen = trained_ivf_centroids(snap, k=16, n_iter=3).localCheckpoint(
+        eager=True
+    )
+    retrained = trained_ivf_centroids(emb, k=16, n_iter=3).localCheckpoint(
+        eager=True
+    )
+    q = _query_vec(spark, sf_dir)
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    exact = knn_bruteforce(emb, q, k=10).select("vec_id")
+
+    def probe(centroids: DataFrame, assigned: DataFrame) -> DataFrame:
+        probe_ids = [
+            r.centroid_id
+            for r in centroids.withColumn(
+                "__qsim", cosine_similarity_expr(F.col("centroid"), qcol)
+            )
+            .orderBy(F.col("__qsim").desc(), "centroid_id")
+            .limit(4)
+            .collect()
+        ]
+        return (
+            assigned.filter(F.col("centroid_id").isin(probe_ids))
+            .withColumn(
+                "cos", cosine_similarity_expr(F.col("embedding"), qcol)
+            )
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    # the incremental index: snapshot assignment (computed once per
+    # corpus version) + the delta's map-side assignment to the SAME
+    # frozen centers — the only recurring work
+    a_snap = assign_ivf_partitions(
+        _with_valid_vectors(snap, "embedding"), frozen
+    )
+    a_delta = assign_ivf_partitions(
+        _with_valid_vectors(delta, "embedding"), frozen
+    ).localCheckpoint(eager=True)
+    inc = probe(frozen, a_snap.unionByName(a_delta))
+    ret = probe(
+        retrained,
+        assign_ivf_partitions(_with_valid_vectors(emb, "embedding"),
+                              retrained),
+    )
+    r_inc = exact.join(inc, "vec_id", "left_semi").count() / 10.0
+    r_ret = exact.join(ret, "vec_id", "left_semi").count() / 10.0
+    drift = r_ret - r_inc
+    n_snap = snap.count()
+    n_delta = delta.count()
+    n_assigned = a_delta.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_snap,
+                n_delta,
+                bool(n_assigned == n_delta),
+                bool(r_inc >= 0.4),
+                bool(drift <= 0.5),
+                bool(drift > 0.2),
+            )
+        ],
+        "n_snapshot long, n_delta long, all_delta_assigned boolean, "
+        "recall_floor_ok boolean, drift_bound_ok boolean, "
+        "retrain_recommended boolean",
+    )
+
+
+@register(
     "q_pq_quality_gate",
     # PQ is approximate by design, but its quality on the fixed fixture
     # is deterministic (lowest-id seeds, first-min tie-breaks, decimal
