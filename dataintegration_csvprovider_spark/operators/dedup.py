@@ -469,11 +469,19 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int = 2,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash: per bit, the sign of the sum of ±1 votes from each
     feature hash. Features are word ``shingle_size``-grams — unigrams are
     too coarse when documents share a small vocabulary (every doc hashes
-    near every other); bigrams+ capture ordering."""
+    near every other); bigrams+ capture ordering.
+
+    ``base_hash``: ``"xxhash64"`` (default, fastest JVM path) or
+    ``"md5"`` — the 64 vote bits come from the first 16 hex chars of
+    md5, parsed as two 32-bit halves (bits 0-31 from chars 9-16, bits
+    32-63 from chars 1-8), which DuckDB parses identically via
+    ``CAST('0x' || substring(md5(g), ..) AS BIGINT)`` — the replayable
+    family an oracle can recompute fingerprint-for-fingerprint."""
     # single fold over the feature hashes: accumulate all 64 bit-votes in
     # one array pass, then assemble the sign bits. Written as a SQL HOF
     # expression because shiftright/shiftleft accept column-valued shift
@@ -482,21 +490,45 @@ def simhash(
     base = _spread(df.select(id_col, text_col)).withColumn(
         "__grams", word_shingles(F.col(text_col), shingle_size)
     )
-    fingerprint = F.expr(
-        """
-        aggregate(
-          transform(__grams, g -> xxhash64(g)),
-          array_repeat(0, 64),
-          (acc, h) -> zip_with(acc, sequence(0, 63),
-                               (a, i) -> a + CASE WHEN (shiftright(h, i) & 1) = 1
-                                              THEN 1 ELSE -1 END),
-          votes -> aggregate(
-            zip_with(votes, sequence(0, 63),
-                     (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
-            0L, (acc, x) -> acc + x)
+    if base_hash == "xxhash64":
+        fingerprint = F.expr(
+            """
+            aggregate(
+              transform(__grams, g -> xxhash64(g)),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                                   (a, i) -> a + CASE WHEN (shiftright(h, i) & 1) = 1
+                                                  THEN 1 ELSE -1 END),
+              votes -> aggregate(
+                zip_with(votes, sequence(0, 63),
+                         (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+                0L, (acc, x) -> acc + x)
+            )
+            """
         )
-        """
-    )
+    elif base_hash == "md5":
+        fingerprint = F.expr(
+            """
+            aggregate(
+              transform(__grams, g -> named_struct(
+                'hi', cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint),
+                'lo', cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint))),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                  (a, i) -> a + CASE WHEN (IF(i < 32,
+                                              shiftright(h.lo, i),
+                                              shiftright(h.hi, i - 32))
+                                           & 1) = 1
+                                 THEN 1 ELSE -1 END),
+              votes -> aggregate(
+                zip_with(votes, sequence(0, 63),
+                         (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+                0L, (acc, x) -> acc + x)
+            )
+            """
+        )
+    else:
+        raise ValueError(f"unknown base_hash: {base_hash!r}")
     # callers must pre-filter docs with no shingles (_with_content with
     # min_words) — an empty gram set would fold to fingerprint 0 here
     return base.withColumn("simhash", fingerprint).drop("__grams")
@@ -520,6 +552,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_size: int = 2,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming, blocked on
     ``max_hamming + 1`` bit chunks: at most ``max_hamming`` bits differ,
@@ -537,6 +570,7 @@ def simhash_near_dup_pairs(
         text_col,
         id_col,
         shingle_size,
+        base_hash,
     ).persist()
     chunks = F.array(
         *[

@@ -332,58 +332,87 @@ def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
-    # simhash values are hash-derived (no DuckDB twin), but the blocked
-    # join's output obeys pinnable laws: canonical distinct pairs within
-    # the hamming budget; the banded path's hamming agrees with a direct
-    # recomputation from per-doc fingerprints (catches wrong-key blocking
-    # without trusting the blocking); and every emitted pair is a true
-    # near-dup (exact bigram Jaccard >= 0.5 — measured min 0.82 at
-    # sf0.1, 0.90-0.96 at sf0.01/0.001). Completeness is structural
-    # (pigeonhole over max_hamming+1 chunks guarantees recall 1.0 in
-    # simhash space) and quality-vs-truth recall is pinned by
-    # q_dedup_quality_gate. n_pairs hash-pins the scored-pair
-    # cardinality (seed-deterministic per fixture, keyed on
-    # SUM(n_chars)) so an emptied emitter can't pass vacuously.
-    oracle="""
-    SELECT CAST(CASE (SELECT SUM(n_chars) FROM documents)
-                WHEN 153156 THEN 25 WHEN 149174 THEN 23
-                WHEN 1485576 THEN 216 END AS BIGINT) AS n_pairs,
-           TRUE AS ordered_ok, TRUE AS distinct_ok, TRUE AS hamming_range_ok,
-           TRUE AS hamming_recompute_ok, TRUE AS jaccard_floor_ok
+    # round 9: the last fixture-constant CASE pins retired — a FULL
+    # cross-engine value replay. Under the md5 hash family the 64 vote
+    # bits per feature come from md5's first 16 hex chars parsed as two
+    # 32-bit halves, which DuckDB computes bit-identically; the oracle
+    # rebuilds every fingerprint bit (sign of the ±1 vote sums), blocks
+    # on the same 7-chunk pigeonhole scheme (widths 10,9,9,9,9,9,9 from
+    # bit 0 up — _simhash_chunk_bounds), recomputes hamming per
+    # candidate and the exact bigram Jaccard per emitted pair, and the
+    # driver hashes the whole scored pair set. The xxhash64 production
+    # default's quality stays pinned by q_dedup_quality_gate.
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+        AND len(string_split(text, ' ')) >= 2
+    ),
+    hh AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(concat('0x', substring(m, 1, 8)) AS BIGINT) AS hi,
+             CAST(concat('0x', substring(m, 9, 8)) AS BIGINT) AS lo
+      FROM (SELECT doc_id, md5(gram) AS m
+            FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1]))) AS gram
+                  FROM toks))
+    ),
+    bits AS MATERIALIZED (
+      SELECT doc_id, r.i,
+             CASE WHEN SUM(CASE WHEN ((CASE WHEN r.i < 32
+                                            THEN lo >> r.i
+                                            ELSE hi >> (r.i - 32) END)
+                                      & 1) = 1
+                           THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+      GROUP BY doc_id, r.i
+    ),
+    ch AS (
+      SELECT doc_id,
+             CASE WHEN i < 10 THEN 0 ELSE ((i - 10) // 9) + 1 END AS c,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY i) AS pat
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM ch x JOIN ch y
+        ON x.c = y.c AND x.pat = y.pat AND x.doc_id < y.doc_id
+    ),
+    p AS (
+      SELECT a, b, hamming FROM (
+        SELECT c.a, c.b,
+               CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                    AS INT) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.a
+        JOIN bits bb ON bb.doc_id = c.b AND bb.i = ba.i
+        GROUP BY c.a, c.b) t
+      WHERE hamming <= 6
+    ),
+    gr AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+        AND len(string_split(text, ' ')) >= 2
+    )
+    SELECT p.a, p.b, p.hamming,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+           / (len(ga.grams) + len(gb.grams)
+              - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+    FROM p JOIN gr ga ON ga.doc_id = p.a JOIN gr gb ON gb.doc_id = p.b
     """,
-    doc="Gate over SimHash-64 (bigram features) near-dup pairs within "
-        "hamming distance 6: canonical ordering, distinctness, hamming "
-        "range + independent-path recomputation, per-pair exact bigram "
-        "Jaccard >= 0.5.",
+    doc="SimHash-64 (bigram features, md5 hash family) near-dup pairs "
+        "within hamming distance 6, each verified with its exact "
+        "bigram Jaccard. Fingerprints, chunk blocking, hamming and "
+        "both scores are value-replayed by the oracle end to end.",
     tags=("dedup", "simhash", "quality"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _with_content, simhash
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_dup_pairs(docs, max_hamming=6)
-    fps = simhash(_with_content(docs, "text", min_words=2), "text", "doc_id", 2)
-    rejoined = pairs.join(
-        fps.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")),
-        "a",
-    ).join(
-        fps.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")),
-        "b",
-    )
-    recomputed = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    scored = _pair_exact_jaccard(docs, rejoined, k=2)
-    return scored.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        _b(F.min(F.col("a") < F.col("b"))).alias("ordered_ok"),
-        _b(F.count(F.lit(1)) == F.count_distinct(F.col("a"), F.col("b"))).alias(
-            "distinct_ok"
-        ),
-        _b(
-            F.min((F.col("hamming") >= 0) & (F.col("hamming") <= 6))
-        ).alias("hamming_range_ok"),
-        _b(F.min(recomputed == F.col("hamming"))).alias("hamming_recompute_ok"),
-        _b(F.min(F.col("jaccard") >= 0.5)).alias("jaccard_floor_ok"),
-    )
+    pairs = simhash_near_dup_pairs(docs, max_hamming=6, base_hash="md5")
+    scored = _pair_exact_jaccard(docs, pairs, k=2)
+    return scored.select("a", "b", "hamming", "jaccard")
 
 
 @register(
