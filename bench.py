@@ -142,6 +142,20 @@ HEADLINE = (
     # cost is the oracle-grade exact bigram-Jaccard stages (within-
     # snapshot, cross, within-delta), all benched standalone via
     # q_dedup_ngram_jaccard; the production pair stage is the LSH path.
+    # round-9: the grouped-KMV datacard (one distinct shuffle + two
+    # bounded k-smallest phases + the driver-side pair matrix) and the
+    # sketch-driven join planner (two dim sketches + the two planned
+    # joins they gate).
+    "q_kmv_grouped",
+    "q_kmv_join_planner",
+    # NOT q_ivf_incremental: the query's cost is dominated by the full
+    # RETRAIN it runs only to price the recall drift (the verification
+    # harness); the recurring production path — map-side delta
+    # assignment against frozen broadcast centroids — is one narrow
+    # stage already represented by the IVF entries.
+    # NOT q_stream_percentile_restart: a crash/restart discipline
+    # harness (three checkpointed stream runs of fixed overhead); the
+    # monitor's per-batch sketch cost is benched via q_quantile_sketch.
 )
 
 
