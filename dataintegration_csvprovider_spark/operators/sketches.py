@@ -586,3 +586,16 @@ def collect_grouped_kmv(
         r["g_key"]: ([int(v) for v in r["sketch"]], int(r["n_hashes"]))
         for r in sketch_rows.collect()
     }
+
+
+def md5_hash31(col):
+    """md5-derived 31-bit hash of a string column — first 16 hex chars
+    parsed as uint64 mod 2^31-1. Bit-identical in DuckDB via
+    ``CAST('0x' || substring(md5(x),1,16) AS UBIGINT) % 2147483647``,
+    so every sketch built on it is oracle-replayable. Costs one digest
+    per value; the xxhash64 convention stays the production default."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)"),
+        F.lit(2147483647).cast("decimal(20,0)"),
+    ).cast("bigint")

@@ -1072,12 +1072,10 @@ def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("lang").isNotNull()
         & F.col("text").isNotNull()
     )
+    from ..operators.sketches import md5_hash31
+
     wk = words.select(
-        "lang",
-        F.expr(
-            "cast(pmod(cast(conv(substring(md5(word), 1, 16), 16, 10) "
-            "as decimal(20,0)), 2147483647) as bigint)"
-        ).alias("wk"),
+        "lang", md5_hash31("word").alias("wk")
     ).distinct()
     wk = wk.localCheckpoint(eager=True)  # sketches + exact counts share it
 
@@ -1148,6 +1146,221 @@ def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est / (F.col("a_num") / F.col("a_den")), 9).alias("cont_a"),
         F.round(est / (F.col("b_num") / F.col("b_den")), 9).alias("cont_b"),
     )
+
+
+@register(
+    "q_corpus_datacard_full",
+    # round 9: the one-stop mixture-designer table — the composition
+    # the sketch family exists for. One row per language: exact doc
+    # and token volume (cross-engine values), token-length percentile
+    # gates from the grouped MRL sketch (weight == n_docs pinned, 0.05
+    # rank law at p50/p95), and the vocabulary axis from the grouped
+    # KMV — distinct-vocab estimate plus overlap-with-en and
+    # containment-in-en, every estimate and ratio value-replayed by
+    # the oracle under the md5-31/Knuth hash chain. Everything rides
+    # TWO passes over the corpus (one for token counts + length
+    # sketches, one word-explode for vocabulary) and bounded
+    # artifacts; nothing driver-side scales with data.
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL
+    ),
+    tk AS (SELECT lang,
+                  len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS n_toks
+           FROM base),
+    ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+           FROM tk GROUP BY lang),
+    wk AS MATERIALIZED (
+      SELECT DISTINCT lang,
+             CAST(CAST(concat('0x', substring(md5(word), 1, 16))
+                       AS UBIGINT) % 2147483647 AS BIGINT) AS wk
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM base)
+      WHERE word <> ''
+    ),
+    h AS MATERIALIZED (
+      SELECT DISTINCT lang,
+             CAST((CAST(wk AS HUGEINT) * 2654435761 + 1) % 2147483647
+                  AS BIGINT) AS h
+      FROM wk),
+    cnt AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY lang),
+    topk AS (SELECT lang, h FROM (
+      SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h) t WHERE rn <= 64),
+    est AS (SELECT c.lang, c.n,
+                   CASE WHEN c.n >= 64 THEN m.h64
+                        ELSE 2147483647 END AS theta,
+                   CASE WHEN c.n < 64 THEN CAST(c.n AS DOUBLE)
+                        ELSE 63.0 * 2147483647 / m.h64 END AS est
+            FROM cnt c JOIN (SELECT lang, MAX(h) AS h64 FROM topk
+                             GROUP BY lang) m USING (lang)),
+    exl AS (SELECT lang, COUNT(*) AS n FROM wk GROUP BY lang),
+    en AS (SELECT theta FROM est WHERE lang = 'en'),
+    ov AS (
+      SELECT e.lang, LEAST(e.theta, (SELECT theta FROM en)) AS th,
+             (SELECT COUNT(*) FROM topk ta JOIN topk tb ON ta.h = tb.h
+              WHERE ta.lang = e.lang AND tb.lang = 'en'
+                AND ta.h < LEAST(e.theta, (SELECT theta FROM en))) AS c
+      FROM est e WHERE e.lang <> 'en')
+    SELECT e.lang, ex.n_docs, ex.total_tokens,
+           TRUE AS weight_ok, TRUE AS rank_ok_p50, TRUE AS rank_ok_p95,
+           CAST(x.n AS BIGINT) AS vocab_exact,
+           ROUND(e.est, 9) AS vocab_est,
+           CASE WHEN e.lang = 'en' THEN NULL
+                ELSE ROUND(CAST(o.c AS DOUBLE) * 2147483647 / o.th, 9)
+           END AS en_overlap_est,
+           CASE WHEN e.lang = 'en' THEN NULL
+                ELSE ROUND((CAST(o.c AS DOUBLE) * 2147483647 / o.th)
+                           / e.est, 9)
+           END AS en_containment
+    FROM est e
+    JOIN ex USING (lang) JOIN exl x USING (lang)
+    LEFT JOIN ov o ON o.lang = e.lang
+    """,
+    doc="FULL corpus datacard, one row per language: exact doc/token "
+        "volume, grouped-MRL token-length percentile gates (weight == "
+        "n_docs cross-engine, 0.05 rank law at p50/p95) and the "
+        "grouped-KMV vocabulary axis (distinct estimate, overlap with "
+        "en, containment in en — all value-replayed). The composition "
+        "query the round-8/9 sketch family builds toward: a datasheet "
+        "a mixture designer reads, priced at two corpus passes + "
+        "bounded artifacts at any scale.",
+    tags=("profiling", "sketch", "datacard", "pipeline"),
+)
+def q_corpus_datacard_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        KMV_K,
+        KMV_P,
+        collect_grouped_kmv,
+        collect_grouped_sketch,
+        grouped_kmv_sketch_rows,
+        grouped_quantile_sketch_rows,
+        kmv_theta,
+        md5_hash31,
+        mrl_quantiles,
+        mrl_total_weight,
+    )
+
+    eps = 0.05
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("double").alias("n_toks"),
+    )
+    ex = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).cast("bigint").alias(
+            "total_tokens"
+        ),
+    )
+    # token-length percentile gates from the grouped MRL sketches
+    sk = collect_grouped_sketch(
+        grouped_quantile_sketch_rows(toks, "lang", "n_toks")
+    )
+    probe_rows = []
+    for lang in sorted(sk):
+        w = mrl_total_weight(sk[lang])
+        for qq, est in mrl_quantiles(sk[lang], [0.5, 0.95]):
+            probe_rows.append((lang, float(qq), float(est), int(w)))
+    pdf = spark.createDataFrame(
+        probe_rows, "lang string, q double, est double, w bigint"
+    )
+    gates = (
+        toks.join(F.broadcast(pdf), "lang")
+        .groupBy("lang", "q", "est", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("n_toks") <= F.col("est")).cast("bigint")).alias(
+                "le"
+            ),
+            F.sum((F.col("n_toks") < F.col("est")).cast("bigint")).alias(
+                "lt"
+            ),
+        )
+        .select(
+            "lang",
+            "q",
+            (F.col("w") == F.col("n")).alias("wok"),
+            (
+                (F.col("le") >= (F.col("q") - eps) * F.col("n"))
+                & (F.col("lt") <= (F.col("q") + eps) * F.col("n"))
+            ).alias("rok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("wok").alias("weight_ok"),
+            F.min(F.when(F.col("q") == 0.5, F.col("rok"))).alias(
+                "rank_ok_p50"
+            ),
+            F.min(F.when(F.col("q") == 0.95, F.col("rok"))).alias(
+                "rank_ok_p95"
+            ),
+        )
+    )
+    # vocabulary axis: grouped KMV + overlap/containment vs en
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    wk = words.select("lang", md5_hash31("word").alias("wk")).distinct()
+    wk = wk.localCheckpoint(eager=True)
+    kmv = collect_grouped_kmv(grouped_kmv_sketch_rows(wk, "lang", "wk"))
+    vocab_exact = {
+        r["lang"]: r["n"]
+        for r in wk.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def est_nd(s: tuple[list[int], int]) -> tuple[float, int]:
+        vals, n = s
+        if n < KMV_K:
+            return float(n), 1
+        return 63.0 * KMV_P, vals[KMV_K - 1]
+
+    en = kmv["en"]
+    rows = []
+    for lang in sorted(kmv):
+        num, den = est_nd(kmv[lang])
+        if lang == "en":
+            rows.append((lang, int(vocab_exact[lang]), num, den, None, None))
+        else:
+            theta = min(kmv_theta(*kmv[lang]), kmv_theta(*en))
+            common = sum(
+                1 for hh in set(kmv[lang][0]) & set(en[0]) if hh < theta
+            )
+            rows.append(
+                (lang, int(vocab_exact[lang]), num, den,
+                 float(common) * KMV_P, theta)
+            )
+    vdf = spark.createDataFrame(
+        rows,
+        "lang string, vocab_exact long, v_num double, v_den long, "
+        "o_num double, o_den long",
+    )
+    vocab = vdf.select(
+        "lang",
+        "vocab_exact",
+        F.round(F.col("v_num") / F.col("v_den"), 9).alias("vocab_est"),
+        F.round(F.col("o_num") / F.col("o_den"), 9).alias("en_overlap_est"),
+        F.round(
+            (F.col("o_num") / F.col("o_den"))
+            / (F.col("v_num") / F.col("v_den")),
+            9,
+        ).alias("en_containment"),
+    )
+    return ex.join(gates, "lang").join(vocab, "lang")
 
 
 @register(

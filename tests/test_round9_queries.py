@@ -123,3 +123,25 @@ def test_minhash_md5_family_pairs_subset_of_exact_truth(spark):
     strong = {p for p, j in exact.items() if j >= 0.9}
     assert strong <= md5_pairs
     assert strong <= xx_pairs
+
+
+def test_corpus_datacard_full_laws(spark, qs):
+    rows = {r.lang: r for r in qs["q_corpus_datacard_full"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert set(rows) == langs
+    n_total = docs.count()
+    assert sum(r.n_docs for r in rows.values()) == n_total
+    for lang, r in rows.items():
+        assert r.weight_ok and r.rank_ok_p50 and r.rank_ok_p95
+        assert r.vocab_exact > 0
+        # the estimator law: exact when vocab < 64, else within 50%
+        # (k=64 KMV rel-error ~ 1/sqrt(62) ≈ 0.13; 50% is a loose roof)
+        assert abs(r.vocab_est - r.vocab_exact) <= 0.5 * r.vocab_exact
+        if lang == "en":
+            assert r.en_overlap_est is None and r.en_containment is None
+        else:
+            assert r.en_overlap_est is not None
+            assert 0.0 <= r.en_containment <= 1.5  # est ratio, noisy roof
