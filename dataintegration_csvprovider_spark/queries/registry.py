@@ -96,11 +96,11 @@ def register(
 #: As of round 8 every registry name has a driver verdict, so the
 #: round-9 window is purely additions + re-grades: positions 1-5 are
 #: the round-9 additions (restart-proof percentile monitor, grouped
-#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-12
+#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-13
 #: the queries whose code or oracle changed this round (the minhash/
 #: simhash CASE-pin retirements onto full md5-family replays, the KMV
 #: null-key convention pin, the curation quota-join agreement, and the
-#: monitor's persisted ledger). All 12 hash-verified by the local
+#: monitor's persisted ledger). All 13 hash-verified by the local
 #: oracle replica at sf0.001/0.01/0.1 this round. The remainder keeps
 #: the round-8 ordering for stability.
 _GRADE_FIRST = [
@@ -118,6 +118,7 @@ _GRADE_FIRST = [
     "q_stream_kmv",
     "q_curation_incremental",
     "q_stream_percentile_monitor",
+    "q_stream_quantile_sketch",
     # ---- round-8 window (all green in CORRECTNESS_r08), stable order
     "q_t_closeness",
     "q_drift_hellinger",
@@ -138,7 +139,6 @@ _GRADE_FIRST = [
     "q_incremental_covariance",
     "q_l_diversity",
     "q_quantile_sketch",
-    "q_stream_quantile_sketch",
     "q_quantile_sketch_grouped",
     "q_embedding_neardup_ivf",
     "q_dedup_quality_gate",

@@ -1404,8 +1404,12 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "artifact, <= k*levels rows) and folds it into the running "
         "sketch with the SAME merge the batch build uses — the "
         "closure-under-merge property that lets a latency/price "
-        "percentile monitor run forever in O(k log n) state, restart = "
-        "re-merge. Weight conservation and the 0.05 rank-error bound "
+        "percentile monitor run forever in O(k log n) state. Since "
+        "round 9 the running sketch is PERSISTED (sketch_ledger_apply: "
+        "generation-per-batch parquet, batch-id idempotent), so "
+        "restart = re-merge from the ledger — the recovery discipline "
+        "q_stream_percentile_restart exercises with a real crash. "
+        "Weight conservation and the 0.05 rank-error bound "
         "are asserted against the whole stream, q_stream_countmin "
         "pattern with collapse-merge for +.",
     tags=("streaming", "sketch", "quantile"),
@@ -1416,8 +1420,9 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sketches import (
         collect_sketch,
-        mrl_merge,
         quantile_sketch_rows,
+        sketch_ledger_apply,
+        sketch_ledger_read,
     )
     from .profiling import _mrl_rank_audit
 
@@ -1426,6 +1431,8 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("value").isNotNull())
     stage = tempfile.mkdtemp(prefix="qsk_stage_")
     ck = tempfile.mkdtemp(prefix="qsk_ck_")
+    ledger_root = tempfile.mkdtemp(prefix="qsk_ledger_")
+    ledger_dir = ledger_root + "/ledger"
 
     def write_slice(k: int, name: str, mtime: int) -> None:
         import os as _os
@@ -1442,7 +1449,6 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         _os.utime(dst, (mtime, mtime))
 
-    merged: list = [{}]
     try:
         for k, (name, mt) in enumerate(
             (("a.parquet", 1_000_000_000),
@@ -1460,11 +1466,15 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def merge_batch(bdf, batch_id: int) -> None:
             # per-batch sketch is <= k*levels rows — the bounded
-            # artifact; collapse-merge is the sketch's + operation
+            # artifact; collapse-merge is the sketch's + operation,
+            # persisted as an idempotent batch-id generation commit
+            # (restart = re-merge from the ledger, never raw history)
             batch_sketch = collect_sketch(
                 quantile_sketch_rows(bdf, "value")
             )
-            merged[0] = mrl_merge([merged[0], batch_sketch])
+            sketch_ledger_apply(
+                spark, ledger_dir, {"all": batch_sketch}, batch_id
+            )
 
         q = (
             feed.writeStream.foreachBatch(merge_batch)
@@ -1473,10 +1483,13 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        state, _ = sketch_ledger_read(spark, ledger_dir)
+        merged = state.get("all", {})
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
-    return _mrl_rank_audit(ev.select("value"), merged[0])
+        shutil.rmtree(ledger_root, ignore_errors=True)
+    return _mrl_rank_audit(ev.select("value"), merged)
 
 
 @register(
