@@ -471,18 +471,60 @@ def _ledger_generations(ledger_dir: str) -> list[int]:
     return sorted(gens)
 
 
+def rows_ledger_read(spark, ledger_dir: str) -> tuple[list, int]:
+    """Read the newest committed generation's rows (any schema) and the
+    batch id it covers. ``([], -1)`` before the first commit."""
+    gens = _ledger_generations(ledger_dir)
+    if not gens:
+        return [], -1
+    newest = gens[-1]
+    rows = spark.read.parquet(
+        f"{ledger_dir}/{_GEN_PREFIX}{newest}"
+    ).collect()
+    return rows, newest
+
+
+def rows_ledger_commit(
+    spark,
+    ledger_dir: str,
+    rows: list,
+    schema: str,
+    batch_id: int,
+    keep_generations: int = 2,
+) -> bool:
+    """Commit the FULL post-merge state as generation ``batch_id``,
+    idempotently: if the newest committed generation already covers
+    ``batch_id`` (a crash-after-commit re-delivery), do nothing and
+    return False. Prunes generations older than the newest
+    ``keep_generations``. The sketch-agnostic half of the ledger
+    protocol — every mergeable-sketch streaming twin (MRL, CMS, Bloom,
+    KMV) persists through this with its own merge applied by the
+    caller; the crash-safety/idempotence/torn-write guarantees are the
+    protocol's, not the sketch's."""
+    import os
+    import shutil
+
+    _, applied_through = rows_ledger_read(spark, ledger_dir)
+    if batch_id <= applied_through:
+        return False
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{ledger_dir}/{_GEN_PREFIX}{batch_id}"
+    )
+    for g in _ledger_generations(ledger_dir)[:-keep_generations]:
+        shutil.rmtree(
+            os.path.join(ledger_dir, f"{_GEN_PREFIX}{g}"),
+            ignore_errors=True,
+        )
+    return True
+
+
 def sketch_ledger_read(
     spark, ledger_dir: str
 ) -> tuple[dict[str, dict[int, np.ndarray]], int]:
     """Read the newest committed generation: ({group: level→values},
     applied_through_batch_id). (-1, empty) before the first commit."""
-    gens = _ledger_generations(ledger_dir)
-    if not gens:
-        return {}, -1
-    newest = gens[-1]
-    rows = spark.read.parquet(
-        f"{ledger_dir}/{_GEN_PREFIX}{newest}"
-    ).collect()
+    rows, newest = rows_ledger_read(spark, ledger_dir)
     acc: dict[str, dict[int, list[float]]] = {}
     for r in rows:
         acc.setdefault(r["g_key"], {}).setdefault(
@@ -505,15 +547,12 @@ def sketch_ledger_apply(
     batch_id: int,
     keep_generations: int = 2,
 ) -> bool:
-    """Fold one micro-batch's per-group sketches into the ledger,
+    """Fold one micro-batch's per-group MRL sketches into the ledger,
     idempotently: if ``batch_id`` is already covered by the newest
     committed generation (a crash-after-commit re-delivery), do nothing
     and return False. Otherwise merge, commit generation ``batch_id``,
     prune generations older than the newest ``keep_generations``, and
     return True."""
-    import os
-    import shutil
-
     state, applied_through = sketch_ledger_read(spark, ledger_dir)
     if batch_id <= applied_through:
         return False
@@ -524,16 +563,10 @@ def sketch_ledger_apply(
         for lvl in sorted(state[gk]):
             for v in state[gk][lvl]:
                 rows.append((gk, int(lvl), float(v)))
-    df = spark.createDataFrame(rows, _GROUPED_SCHEMA)
-    df.coalesce(1).write.mode("overwrite").parquet(
-        f"{ledger_dir}/{_GEN_PREFIX}{batch_id}"
+    return rows_ledger_commit(
+        spark, ledger_dir, rows, _GROUPED_SCHEMA, batch_id,
+        keep_generations,
     )
-    for g in _ledger_generations(ledger_dir)[:-keep_generations]:
-        shutil.rmtree(
-            os.path.join(ledger_dir, f"{_GEN_PREFIX}{g}"),
-            ignore_errors=True,
-        )
-    return True
 
 
 def grouped_kmv_sketch_rows(

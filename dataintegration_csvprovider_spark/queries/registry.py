@@ -96,11 +96,11 @@ def register(
 #: As of round 8 every registry name has a driver verdict, so the
 #: round-9 window is purely additions + re-grades: positions 1-5 are
 #: the round-9 additions (restart-proof percentile monitor, grouped
-#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-13
+#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-15
 #: the queries whose code or oracle changed this round (the minhash/
 #: simhash CASE-pin retirements onto full md5-family replays, the KMV
 #: null-key convention pin, the curation quota-join agreement, and the
-#: monitor's persisted ledger). All 13 hash-verified by the local
+#: monitor's persisted ledger). All 15 hash-verified by the local
 #: oracle replica at sf0.001/0.01/0.1 this round. The remainder keeps
 #: the round-8 ordering for stability.
 _GRADE_FIRST = [
@@ -119,12 +119,13 @@ _GRADE_FIRST = [
     "q_curation_incremental",
     "q_stream_percentile_monitor",
     "q_stream_quantile_sketch",
+    "q_stream_countmin",
+    "q_stream_bloom_filter",
     # ---- round-8 window (all green in CORRECTNESS_r08), stable order
     "q_t_closeness",
     "q_drift_hellinger",
     "q_chunk_sliding",
     "q_bloom_semijoin",
-    "q_stream_bloom_filter",
     "q_weighted_median",
     "q_rater_agreement",
     "q_benford_audit",
@@ -133,7 +134,6 @@ _GRADE_FIRST = [
     "q_burstiness",
     "q_countmin_sketch",
     "q_domain_reweight",
-    "q_stream_countmin",
     "q_xml_roundtrip",
     "q_k_anonymity",
     "q_incremental_covariance",

@@ -1265,11 +1265,15 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..operators.sketches import rows_ledger_commit, rows_ledger_read
     from .profiling import _CMS_P, _CMS_ROWS, _CMS_W
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
     stage = tempfile.mkdtemp(prefix="cms_stage_")
     ck = tempfile.mkdtemp(prefix="cms_ck_")
+    ledger_root = tempfile.mkdtemp(prefix="cms_ledger_")
+    ledger_dir = ledger_root + "/ledger"
+    _CMS_LEDGER_SCHEMA = "i int, bucket bigint, c bigint"
     seeds = [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)]
 
     def bucket(x, a: int, b: int):
@@ -1313,7 +1317,6 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         _os.utime(dst, (mtime, mtime))
 
-    merged: dict[tuple[int, int], int] = {}
     try:
         for k, (name, mt) in enumerate(
             (("a.parquet", 1_000_000_000),
@@ -1331,12 +1334,24 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def merge_batch(bdf: DataFrame, batch_id: int) -> None:
             # per-batch sketch is <= 256 rows — the bounded artifact;
-            # cell-wise addition is the CMS merge operation
+            # cell-wise addition is the CMS merge operation. Addition
+            # is NOT idempotent, so the persisted ledger's batch-id
+            # generation check is what makes re-delivery safe.
+            prev, applied = rows_ledger_read(spark, ledger_dir)
+            if batch_id <= applied:
+                return
+            state = {(int(r["i"]), int(r["bucket"])): int(r["c"])
+                     for r in prev}
             for r in (
                 hashed(bdf).groupBy("i", "bucket").count().collect()
             ):
                 key = (int(r["i"]), int(r["bucket"]))
-                merged[key] = merged.get(key, 0) + int(r["count"])
+                state[key] = state.get(key, 0) + int(r["count"])
+            rows_ledger_commit(
+                spark, ledger_dir,
+                [(i, b, c) for (i, b), c in sorted(state.items())],
+                _CMS_LEDGER_SCHEMA, batch_id,
+            )
 
         q = (
             feed.writeStream.foreachBatch(merge_batch)
@@ -1345,9 +1360,14 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        final_rows, _ = rows_ledger_read(spark, ledger_dir)
+        merged = {
+            (int(r["i"]), int(r["bucket"])): int(r["c"]) for r in final_rows
+        }
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(ledger_root, ignore_errors=True)
     sketch = spark.createDataFrame(
         [(i, b, c) for (i, b), c in sorted(merged.items())],
         "i int, bucket bigint, c bigint",
@@ -1869,13 +1889,22 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.sketches import KMV_K, KMV_P, kmv_merge, kmv_sketch
+    from ..operators.sketches import (
+        KMV_K,
+        KMV_P,
+        kmv_merge,
+        kmv_sketch,
+        rows_ledger_commit,
+        rows_ledger_read,
+    )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("key")
     )
     stage = tempfile.mkdtemp(prefix="kmv_stage_")
     ck = tempfile.mkdtemp(prefix="kmv_ck_")
+    ledger_root = tempfile.mkdtemp(prefix="kmv_ledger_")
+    ledger_dir = ledger_root + "/ledger"
 
     def write_slice(k: int, name: str, mtime: int) -> None:
         import os as _os
@@ -1892,7 +1921,6 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         _os.utime(dst, (mtime, mtime))
 
-    merged: list = [([], 0)]
     try:
         for k, (name, mt) in enumerate(
             (("a.parquet", 1_000_000_000),
@@ -1909,7 +1937,22 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def merge_batch(bdf, batch_id: int) -> None:
-            merged[0] = kmv_merge([merged[0], kmv_sketch(bdf, "key")])
+            # persisted generation ledger (rows: the k smallest hashes
+            # plus one 'n' row carrying the union's distinct-hash
+            # count) — restart = re-merge, re-delivery skipped
+            prev, applied = rows_ledger_read(spark, ledger_dir)
+            if batch_id <= applied:
+                return
+            state = (
+                sorted(int(r["v"]) for r in prev if r["kind"] == "h"),
+                next((int(r["v"]) for r in prev if r["kind"] == "n"), 0),
+            )
+            vals, n = kmv_merge([state, kmv_sketch(bdf, "key")])
+            rows_ledger_commit(
+                spark, ledger_dir,
+                [("h", v) for v in vals] + [("n", n)],
+                "kind string, v long", batch_id,
+            )
 
         q = (
             feed.writeStream.foreachBatch(merge_batch)
@@ -1918,9 +1961,15 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        final_rows, _ = rows_ledger_read(spark, ledger_dir)
+        merged = (
+            sorted(int(r["v"]) for r in final_rows if r["kind"] == "h"),
+            next((int(r["v"]) for r in final_rows if r["kind"] == "n"), 0),
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(ledger_root, ignore_errors=True)
 
     # null keys excluded on both engines (kmv_sketch drops null hashes;
     # the oracle's key CTE now pins the same convention)
@@ -1928,7 +1977,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("key").filter(F.col("key").isNotNull())
         .distinct().count()
     )
-    vals, n = merged[0]
+    vals, n = merged
     if n < KMV_K:
         num, den = float(n), 1
     else:
@@ -1973,6 +2022,7 @@ def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.scale import bloom_words
+    from ..operators.sketches import rows_ledger_commit, rows_ledger_read
     from .relational6 import bloom_audit_frame
 
     m_bits = 65536
@@ -1986,6 +2036,8 @@ def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = tempfile.mkdtemp(prefix="bloom_stage_")
     ck = tempfile.mkdtemp(prefix="bloom_ck_")
+    ledger_root = tempfile.mkdtemp(prefix="bloom_ledger_")
+    ledger_dir = ledger_root + "/ledger"
 
     def write_slice(k: int, name: str, mtime: int) -> None:
         df = dim.filter(F.col("c_custkey") % 3 == k)
@@ -2000,7 +2052,6 @@ def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (mtime, mtime))
 
-    merged: dict[int, int] = {}
     try:
         for k, (name, mt) in enumerate(
             (("a.parquet", 1_000_000_000),
@@ -2018,10 +2069,20 @@ def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def merge_batch(bdf: DataFrame, batch_id: int) -> None:
             # per-batch word table is <= m/32 rows — the bounded
-            # artifact; bitwise OR is the Bloom merge operation
+            # artifact; bitwise OR is the Bloom merge operation (OR is
+            # idempotent, but the persisted generation ledger still
+            # carries the crash-safety and restart = re-merge story)
+            prev, applied = rows_ledger_read(spark, ledger_dir)
+            if batch_id <= applied:
+                return
+            state = {int(r["word"]): int(r["w"]) for r in prev}
             for r in bloom_words(bdf, "c_custkey", m_bits).collect():
                 w = int(r["word"])
-                merged[w] = merged.get(w, 0) | int(r["w"])
+                state[w] = state.get(w, 0) | int(r["w"])
+            rows_ledger_commit(
+                spark, ledger_dir, sorted(state.items()),
+                "word long, w long", batch_id,
+            )
 
         q = (
             feed.writeStream.foreachBatch(merge_batch)
@@ -2030,9 +2091,12 @@ def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        final_rows, _ = rows_ledger_read(spark, ledger_dir)
+        merged = {int(r["word"]): int(r["w"]) for r in final_rows}
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(ledger_root, ignore_errors=True)
 
     words = spark.createDataFrame(
         sorted(merged.items()), "word long, w long"
