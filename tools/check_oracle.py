@@ -88,6 +88,17 @@ def main() -> int:
         "the only thing standing) — catches conf-dependent results "
         "before the grading driver does",
     )
+    ap.add_argument(
+        "--budget-seconds",
+        type=float,
+        default=None,
+        help="per-name wall budget: when exceeded, cancel the Spark "
+        "jobs and interrupt the DuckDB query, record the name as "
+        "SKIP(budget) and move on — lets a full-registry sweep at a "
+        "large SF finish instead of blocking hours on the handful of "
+        "deliberately brute-force (all-pairs) oracles whose operators "
+        "are already verified at the gate SF",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -117,20 +128,70 @@ def main() -> int:
     oracles = ent.oracle_sql()
     names = args.names or list(qs)
 
-    n_pass = n_fail = n_rows_only = 0
+    import threading
+
+    class _Watchdog:
+        """Per-name wall budget: cancels Spark jobs + interrupts the
+        DuckDB query when it fires. Token-guarded so a timer racing a
+        name's completion can't kill the next name's work."""
+
+        def __init__(self) -> None:
+            self.timer: threading.Timer | None = None
+            self.token = 0
+            self.fired_for = -1
+
+        def arm(self, budget: float | None) -> int:
+            self.token += 1
+            tok = self.token
+            if budget is not None:
+                self.timer = threading.Timer(budget, self._fire, (tok,))
+                self.timer.daemon = True
+                self.timer.start()
+            return tok
+
+        def _fire(self, tok: int) -> None:
+            if tok != self.token:
+                return
+            self.fired_for = tok
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                con.interrupt()
+            except Exception:  # noqa: BLE001
+                pass
+
+        def disarm(self, tok: int) -> bool:
+            """Cancel; return True if the budget fired for this name."""
+            if self.timer is not None:
+                self.timer.cancel()
+                self.timer = None
+            return self.fired_for == tok
+
+    dog = _Watchdog()
+
+    n_pass = n_fail = n_rows_only = n_skip = 0
     for name in names:
         t0 = time.time()
+        tok = dog.arm(args.budget_seconds)
         try:
             sdf = qs[name](spark, args.sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
             sn, scols_sorted, shash = result_fingerprint(scols, srows)
         except Exception as e:  # noqa: BLE001
+            if dog.disarm(tok):
+                print(f"SKIP  {name}: budget exceeded "
+                      f"[{time.time()-t0:.1f}s]")
+                n_skip += 1
+                continue
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
 
         if name not in oracles:
+            dog.disarm(tok)
             status = "ROWS" if sn >= 0 else "FAIL"
             n_rows_only += 1
             print(f"{status}  {name}: rows={sn} (no oracle) [{time.time()-t0:.1f}s]")
@@ -139,6 +200,7 @@ def main() -> int:
         try:
             bad = hugeint_columns(con, oracles[name])
             if bad:
+                dog.disarm(tok)
                 # Value-level canon() renders Python ints identically
                 # regardless of DuckDB's internal width, so an int128
                 # output column passes HERE but hash-fails in the
@@ -153,10 +215,16 @@ def main() -> int:
             drows = cur.fetchall()
             dn, dcols_sorted, dhash = result_fingerprint(dcols, drows)
         except Exception as e:  # noqa: BLE001
+            if dog.disarm(tok):
+                print(f"SKIP  {name}: budget exceeded (oracle side) "
+                      f"[{time.time()-t0:.1f}s]")
+                n_skip += 1
+                continue
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
 
+        dog.disarm(tok)
         ok = (sn == dn) and (scols_sorted == dcols_sorted) and (shash == dhash)
         if ok:
             n_pass += 1
@@ -178,7 +246,9 @@ def main() -> int:
                     for row in list(diff)[:5]:
                         print(f"      {label}: {row}")
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    skip_note = f", {n_skip} skipped(budget)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+          f"{skip_note}")
     return 1 if n_fail else 0
 
 
