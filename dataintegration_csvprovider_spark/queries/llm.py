@@ -3116,16 +3116,32 @@ def q_leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PRODUCTION shape of the LSH-fed split (no exact-pair audit —
     # that is q_leakage_safe_split_lsh's job): MinHash-LSH pairs →
     # components → modulus split → per-split summary. Fully
-    # deterministic under the fixed hash seed, so the sf0.01 summary is
-    # a fixed fact the oracle states directly (the driver and
-    # check_oracle both grade at sf0.01; other scale factors produce
-    # different — equally deterministic — constants).
+    # deterministic under the fixed xxhash64 seed but not SQL-
+    # replayable (unlike the md5-family q_dedup_minhash replay), so the
+    # summary is pinned as measured constants — keyed on SUM(n_chars)
+    # covering all three scale factors (round 9; previously
+    # sf0.01-only).
     oracle="""
-    SELECT * FROM (VALUES
-      ('test',  CAST(49  AS BIGINT), CAST(49  AS BIGINT), CAST(13630  AS BIGINT)),
-      ('train', CAST(398 AS BIGINT), CAST(378 AS BIGINT), CAST(120217 AS BIGINT)),
-      ('valid', CAST(53  AS BIGINT), CAST(49  AS BIGINT), CAST(15327  AS BIGINT))
-    ) AS t(split, n_docs, n_components, total_chars)
+    WITH k AS (SELECT SUM(n_chars) AS s FROM documents)
+    SELECT split, n_docs, n_components, total_chars FROM (
+      SELECT 153156 AS s, * FROM (VALUES
+        ('test',  CAST(52  AS BIGINT), CAST(47  AS BIGINT), CAST(15059  AS BIGINT)),
+        ('train', CAST(396 AS BIGINT), CAST(381 AS BIGINT), CAST(121504 AS BIGINT)),
+        ('valid', CAST(52  AS BIGINT), CAST(48  AS BIGINT), CAST(16593  AS BIGINT))
+      ) AS a(split, n_docs, n_components, total_chars)
+      UNION ALL
+      SELECT 149174, * FROM (VALUES
+        ('test',  CAST(49  AS BIGINT), CAST(49  AS BIGINT), CAST(13630  AS BIGINT)),
+        ('train', CAST(398 AS BIGINT), CAST(378 AS BIGINT), CAST(120217 AS BIGINT)),
+        ('valid', CAST(53  AS BIGINT), CAST(49  AS BIGINT), CAST(15327  AS BIGINT))
+      ) AS b(split, n_docs, n_components, total_chars)
+      UNION ALL
+      SELECT 1485576, * FROM (VALUES
+        ('test',  CAST(491  AS BIGINT), CAST(474  AS BIGINT), CAST(143138  AS BIGINT)),
+        ('train', CAST(4015 AS BIGINT), CAST(3807 AS BIGINT), CAST(1191932 AS BIGINT)),
+        ('valid', CAST(494  AS BIGINT), CAST(475  AS BIGINT), CAST(150506  AS BIGINT))
+      ) AS c(split, n_docs, n_components, total_chars)
+    ) u JOIN k ON u.s = k.s
     """,
     doc="LSH-fed leakage-safe split, production shape: band-bucket LSH "
         "pair generation (never all-pairs, never Sigma-df^2), "
@@ -3526,18 +3542,40 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_compression_quality",
     # zlib level 6 output is deterministic for a given input (stable
-    # across runs/machines for the same zlib build), so the per-language
-    # census over the sf0.01 fixture is a fixed fact the oracle states
-    # directly; per-row ratios are IEEE doubles, summed through
-    # decimal(18,9) so the total is order-independent.
+    # across runs/machines for the same zlib build) but has no SQL
+    # twin, so the per-language census is pinned as measured constants
+    # — keyed on the fixture's SUM(n_chars) and covering ALL THREE
+    # scale factors (round 9; previously sf0.01-only, which failed any
+    # larger-SF sweep by construction). Per-row ratios are IEEE
+    # doubles, summed through decimal(18,9) so the total is
+    # order-independent.
     oracle="""
-    SELECT * FROM (VALUES
-      ('de', CAST(70  AS BIGINT), CAST(9968  AS BIGINT), CAST(39.357334300  AS DOUBLE)),
-      ('en', CAST(218 AS BIGINT), CAST(32209 AS BIGINT), CAST(121.917539941 AS DOUBLE)),
-      ('es', CAST(73  AS BIGINT), CAST(10854 AS BIGINT), CAST(40.336886272  AS DOUBLE)),
-      ('fr', CAST(64  AS BIGINT), CAST(9994  AS BIGINT), CAST(34.548634446  AS DOUBLE)),
-      ('zh', CAST(75  AS BIGINT), CAST(11324 AS BIGINT), CAST(41.078884167  AS DOUBLE))
-    ) AS t(lang, n_docs, total_zlib, ratio_sum)
+    WITH k AS (SELECT SUM(n_chars) AS s FROM documents)
+    SELECT lang, n_docs, total_zlib, ratio_sum FROM (
+      SELECT 153156 AS s, * FROM (VALUES
+        ('de', CAST(71  AS BIGINT), CAST(10915 AS BIGINT), CAST(38.255733637  AS DOUBLE)),
+        ('en', CAST(193 AS BIGINT), CAST(28313 AS BIGINT), CAST(109.368448576 AS DOUBLE)),
+        ('es', CAST(80  AS BIGINT), CAST(12213 AS BIGINT), CAST(44.578204688  AS DOUBLE)),
+        ('fr', CAST(82  AS BIGINT), CAST(13061 AS BIGINT), CAST(44.243344465  AS DOUBLE)),
+        ('zh', CAST(74  AS BIGINT), CAST(11096 AS BIGINT), CAST(40.920862739  AS DOUBLE))
+      ) AS a(lang, n_docs, total_zlib, ratio_sum)
+      UNION ALL
+      SELECT 149174, * FROM (VALUES
+        ('de', CAST(70  AS BIGINT), CAST(9968  AS BIGINT), CAST(39.357334300  AS DOUBLE)),
+        ('en', CAST(218 AS BIGINT), CAST(32209 AS BIGINT), CAST(121.917539941 AS DOUBLE)),
+        ('es', CAST(73  AS BIGINT), CAST(10854 AS BIGINT), CAST(40.336886272  AS DOUBLE)),
+        ('fr', CAST(64  AS BIGINT), CAST(9994  AS BIGINT), CAST(34.548634446  AS DOUBLE)),
+        ('zh', CAST(75  AS BIGINT), CAST(11324 AS BIGINT), CAST(41.078884167  AS DOUBLE))
+      ) AS b(lang, n_docs, total_zlib, ratio_sum)
+      UNION ALL
+      SELECT 1485576, * FROM (VALUES
+        ('de', CAST(702  AS BIGINT), CAST(104784 AS BIGINT), CAST(389.821814715  AS DOUBLE)),
+        ('en', CAST(2059 AS BIGINT), CAST(305809 AS BIGINT), CAST(1149.492277552 AS DOUBLE)),
+        ('es', CAST(744  AS BIGINT), CAST(111821 AS BIGINT), CAST(413.646683421  AS DOUBLE)),
+        ('fr', CAST(742  AS BIGINT), CAST(110604 AS BIGINT), CAST(411.497011370  AS DOUBLE)),
+        ('zh', CAST(753  AS BIGINT), CAST(107664 AS BIGINT), CAST(432.345179495  AS DOUBLE))
+      ) AS c(lang, n_docs, total_zlib, ratio_sum)
+    ) u JOIN k ON u.s = k.s
     """,
     doc="Compression-ratio quality signal "
         "(operators/textstats.py compression_ratio): zlib(level 6) size "
@@ -4016,18 +4054,38 @@ def q_curation_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bpe_tokenize",
-    # fully deterministic: merges resolve ties lexicographically and the
-    # greedy apply is rank-ordered, so the per-language subword census
-    # at sf0.01 is a fixed fact (the synthetic vocabulary saturates at
-    # 106 learnable merges)
+    # fully deterministic: merges resolve ties lexicographically and
+    # the greedy apply is rank-ordered, but trained-BPE counts have no
+    # SQL twin, so the per-language subword census is pinned as
+    # measured constants — keyed on SUM(n_chars) covering all three
+    # scale factors (round 9; previously sf0.01-only)
     oracle="""
-    SELECT * FROM (VALUES
-      ('de', CAST(70  AS BIGINT), CAST(3549  AS BIGINT)),
-      ('en', CAST(218 AS BIGINT), CAST(11757 AS BIGINT)),
-      ('es', CAST(73  AS BIGINT), CAST(3958  AS BIGINT)),
-      ('fr', CAST(64  AS BIGINT), CAST(3758  AS BIGINT)),
-      ('zh', CAST(75  AS BIGINT), CAST(4143  AS BIGINT))
-    ) AS t(lang, n_docs, total_bpe)
+    WITH k AS (SELECT SUM(n_chars) AS s FROM documents)
+    SELECT lang, n_docs, total_bpe FROM (
+      SELECT 153156 AS s, * FROM (VALUES
+        ('de', CAST(71  AS BIGINT), CAST(4070  AS BIGINT)),
+        ('en', CAST(193 AS BIGINT), CAST(10343 AS BIGINT)),
+        ('es', CAST(80  AS BIGINT), CAST(4516  AS BIGINT)),
+        ('fr', CAST(82  AS BIGINT), CAST(4926  AS BIGINT)),
+        ('zh', CAST(74  AS BIGINT), CAST(4084  AS BIGINT))
+      ) AS a(lang, n_docs, total_bpe)
+      UNION ALL
+      SELECT 149174, * FROM (VALUES
+        ('de', CAST(70  AS BIGINT), CAST(3549  AS BIGINT)),
+        ('en', CAST(218 AS BIGINT), CAST(11757 AS BIGINT)),
+        ('es', CAST(73  AS BIGINT), CAST(3958  AS BIGINT)),
+        ('fr', CAST(64  AS BIGINT), CAST(3758  AS BIGINT)),
+        ('zh', CAST(75  AS BIGINT), CAST(4143  AS BIGINT))
+      ) AS b(lang, n_docs, total_bpe)
+      UNION ALL
+      SELECT 1485576, * FROM (VALUES
+        ('de', CAST(702  AS BIGINT), CAST(38406  AS BIGINT)),
+        ('en', CAST(2059 AS BIGINT), CAST(112006 AS BIGINT)),
+        ('es', CAST(744  AS BIGINT), CAST(41044  AS BIGINT)),
+        ('fr', CAST(742  AS BIGINT), CAST(40521  AS BIGINT)),
+        ('zh', CAST(753  AS BIGINT), CAST(38727  AS BIGINT))
+      ) AS c(lang, n_docs, total_bpe)
+    ) u JOIN k ON u.s = k.s
     """,
     doc="Trained BPE tokenization (operators/tokenizer.py): word "
         "frequencies extracted distributedly (one groupBy, top-50k "

@@ -96,11 +96,11 @@ def register(
 #: As of round 8 every registry name has a driver verdict, so the
 #: round-9 window is purely additions + re-grades: positions 1-5 are
 #: the round-9 additions (restart-proof percentile monitor, grouped
-#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-15
+#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-21
 #: the queries whose code or oracle changed this round (the minhash/
 #: simhash CASE-pin retirements onto full md5-family replays, the KMV
 #: null-key convention pin, the curation quota-join agreement, and the
-#: monitor's persisted ledger). All 15 hash-verified by the local
+#: monitor's persisted ledger). All 21 hash-verified by the local
 #: oracle replica at sf0.001/0.01/0.1 this round. The remainder keeps
 #: the round-8 ordering for stability.
 _GRADE_FIRST = [
@@ -121,6 +121,17 @@ _GRADE_FIRST = [
     "q_stream_quantile_sketch",
     "q_stream_countmin",
     "q_stream_bloom_filter",
+    # ---- round-9 re-grades from the budgeted full-registry sf0.1
+    # sweep (tools/check_oracle.py --budget-seconds): two real dyadic-
+    # midpoint divergences fixed (impute total identity, integer EWMA
+    # weights) and four single-fixture constants oracles upgraded to
+    # SUM(n_chars)-keyed pins covering all three SFs
+    "q_impute_group_mean",
+    "q_ewma",
+    "q_compression_quality",
+    "q_bpe_tokenize",
+    "q_split_lsh_summary",
+    "q_stream_dedup_corpus",
     # ---- round-8 window (all green in CORRECTNESS_r08), stable order
     "q_t_closeness",
     "q_drift_hellinger",

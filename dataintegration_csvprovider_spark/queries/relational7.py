@@ -250,7 +250,15 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_impute_group_mean",
-    oracle=f"""
+    # round 9: the reported total rides the identity
+    #   total_after = sum(observed) + n_imputed * mean
+    # computed entirely in IEEE doubles from the exact decimal observed
+    # sum — the earlier form cast the imputed mean back into the
+    # decimal(18,6) accumulator, and a dyadic mean (decimal sum over a
+    # power-of-two count) lands exactly on the cast midpoint where
+    # Spark rounds half-up and DuckDB half-even (one 8e-6 divergence
+    # surfaced at sf0.1; the registry's documented midpoint class).
+    oracle="""
     WITH masked AS (
       SELECT user_id, event_type,
              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
@@ -264,7 +272,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.user_id,
            COUNT(*) AS n,
            COUNT(*) FILTER (m.v IS NULL) AS n_imputed,
-           {sql_dsum('COALESCE(m.v, s.user_mean)')} AS total_after_impute
+           CAST(SUM(CAST(m.v AS DECIMAL(18,6))) AS DOUBLE)
+             + COUNT(*) FILTER (m.v IS NULL) * MAX(s.user_mean)
+             AS total_after_impute
     FROM masked m JOIN means s ON m.user_id = s.user_id
     GROUP BY m.user_id
     """,
@@ -273,7 +283,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is computed once (decimal sum / count — deterministic) and "
         "joined back to fill the gaps. Two shuffles on the same key; "
         "the mean table is group-cardinality small. The standard "
-        "feature-cleaning op before training.",
+        "feature-cleaning op before training. The reported total uses "
+        "the sum(observed) + n_imputed*mean identity — pure IEEE from "
+        "exact decimal parts, bit-equal across engines at every SF.",
     tags=("agg", "impute", "quality"),
 )
 def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,11 +308,10 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.col("v").isNull()).alias("n_imputed"),
-            F.sum(
-                F.coalesce(F.col("v"), F.col("user_mean")).cast("decimal(18,6)")
-            )
-            .cast("double")
-            .alias("total_after_impute"),
+            (
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                + F.count_if(F.col("v").isNull()) * F.max("user_mean")
+            ).alias("total_after_impute"),
         )
     )
 

@@ -840,14 +840,24 @@ def q_stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_dedup_corpus",
-    # deterministic under the fixed minhash seed: at sf0.01, 8 of the
-    # batch-source docs are flagged against the corpus snapshot, each
-    # with exactly one corpus near-dup; estimates are multiples of 1/64
-    # so their decimal-accumulated sum (7.734375) is exact.
+    # deterministic under the fixed xxhash64 minhash seed (not SQL-
+    # replayable); estimates are multiples of 1/64 so their decimal-
+    # accumulated sums are exact. Pinned as measured constants keyed on
+    # SUM(n_chars), covering all three scale factors (round 9;
+    # previously sf0.01-only).
     oracle="""
-    SELECT CAST(8 AS BIGINT) AS n_flagged,
-           CAST(8 AS BIGINT) AS total_dups,
-           CAST(7.734375 AS DOUBLE) AS est_sum
+    WITH k AS (SELECT SUM(n_chars) AS s FROM documents)
+    SELECT n_flagged, total_dups, est_sum FROM (
+      SELECT 153156 AS s, CAST(7 AS BIGINT) AS n_flagged,
+             CAST(9 AS BIGINT) AS total_dups,
+             CAST(6.828125 AS DOUBLE) AS est_sum
+      UNION ALL
+      SELECT 149174, CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+             CAST(7.734375 AS DOUBLE)
+      UNION ALL
+      SELECT 1485576, CAST(98 AS BIGINT), CAST(104 AS BIGINT),
+             CAST(95.40625 AS DOUBLE)
+    ) u JOIN k ON u.s = k.s
     """,
     doc="STREAMING corpus dedup gate (operators/dedup.py "
         "stream_near_dup_flags): a stream of incoming docs is minhashed "

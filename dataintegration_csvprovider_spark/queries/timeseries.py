@@ -108,24 +108,36 @@ _HOURLY_SQL = """
 
 @register(
     "q_ewma",
+    # round 9: the weights ride as exact INTEGERS 2^(23-lag) instead of
+    # 2^-lag doubles — multiplying num and denom by 2^23 leaves the
+    # ratio identical while making every accumulator term an exact
+    # decimal (6-decimal x times an integer), so no term ever meets the
+    # decimal cast's rounding midpoint. The earlier x*2^-lag form is
+    # the registry's documented dyadic class: one term landed on the
+    # 6-decimal midpoint at sf0.1 (Spark half-up vs DuckDB half-even).
     oracle=f"""
     WITH {_HOURLY_SQL}
     SELECT a.user_id, a.bucket_hour, a.x,
-           CAST(SUM(CAST(b.x * pow(0.5, CAST(a.i - b.i AS DOUBLE))
-                         AS DECIMAL(18,6))) AS DOUBLE)
-           / CAST(SUM(CAST(pow(0.5, CAST(a.i - b.i AS DOUBLE))
-                           AS DECIMAL(18,6))) AS DOUBLE) AS ewma
+           CAST(SUM(CAST(b.x AS DECIMAL(19,6))
+                    * CAST((CAST(1 AS BIGINT)
+                            << CAST(23 - (a.i - b.i) AS INT))
+                           AS DECIMAL(19,0))) AS DOUBLE)
+           / CAST(SUM(CAST((CAST(1 AS BIGINT)
+                            << CAST(23 - (a.i - b.i) AS INT))
+                           AS DECIMAL(19,0))) AS DOUBLE) AS ewma
     FROM numbered a JOIN numbered b
       ON a.user_id = b.user_id AND b.i BETWEEN a.i - 23 AND a.i
     GROUP BY a.user_id, a.bucket_hour, a.x
     """,
     doc="Normalized truncated EWMA (alpha=0.5, 24-lag horizon) over "
         "per-user hourly sums. alpha=0.5 makes every weight an exact "
-        "binary power, and the weighted terms fold through the decimal "
-        "accumulator — bit-equal across engines without any libm "
-        "transcendental. The bounded-lag self-join replaces the "
-        "sequential recurrence (unbounded state) with a shuffle-"
-        "partitionable join, the streaming-friendly formulation.",
+        "binary power; the weights enter the decimal accumulators as "
+        "exact integers 2^(23-lag) (num and denom scaled by 2^23 — "
+        "ratio unchanged, every term exact), so the result is the "
+        "exact rational in both engines with only the final division "
+        "in IEEE. The bounded-lag self-join replaces the sequential "
+        "recurrence (unbounded state) with a shuffle-partitionable "
+        "join, the streaming-friendly formulation.",
     tags=("timeseries", "window"),
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +150,17 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("bucket_hour")
     numbered = hourly.withColumn("i", F.row_number().over(w))
     a, b = numbered.alias("a"), numbered.alias("b")
-    weight = F.pow(F.lit(0.5), (F.col("a.i") - F.col("b.i")).cast("double"))
+    # exact integer weight 2^(23-lag): SQL-form shiftleft accepts a
+    # column shift amount (the Python API requires a literal)
+    num = F.expr(
+        "cast(sum(cast(b.x as decimal(19,6)) * "
+        "cast(shiftleft(1L, cast(23 - (a.i - b.i) as int)) "
+        "as decimal(19,0))) as double)"
+    )
+    den = F.expr(
+        "cast(sum(cast(shiftleft(1L, cast(23 - (a.i - b.i) as int)) "
+        "as decimal(19,0))) as double)"
+    )
     return (
         a.join(
             b,
@@ -151,12 +173,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket_hour").alias("bucket_hour"),
             F.col("a.x").alias("x"),
         )
-        .agg(
-            (
-                F.sum((F.col("b.x") * weight).cast("decimal(18,6)")).cast("double")
-                / F.sum(weight.cast("decimal(18,6)")).cast("double")
-            ).alias("ewma")
-        )
+        .agg((num / den).alias("ewma"))
     )
 
 
