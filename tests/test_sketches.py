@@ -313,3 +313,27 @@ def test_sketch_ledger_ignores_torn_generation(spark, tmp_path):
     assert sketch_ledger_apply(spark, ledger, {"w": _np_levels([5.0])}, 1)
     state, applied = sketch_ledger_read(spark, ledger)
     assert applied == 1 and mrl_total_weight(state["w"]) == 2
+
+
+def test_rows_ledger_commit_idempotent_any_schema(spark, tmp_path):
+    """The sketch-agnostic ledger half: a re-delivered batch id is
+    refused, so an additive merge (the CMS case — NOT idempotent by
+    itself) cannot double-count across a crash/restart."""
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        rows_ledger_commit,
+        rows_ledger_read,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    schema = "i int, bucket bigint, c bigint"
+    assert rows_ledger_read(spark, ledger) == ([], -1)
+
+    assert rows_ledger_commit(spark, ledger, [(0, 7, 3)], schema, 0)
+    # batch 1: the caller merged (+2 on the same cell) and commits
+    assert rows_ledger_commit(spark, ledger, [(0, 7, 5)], schema, 1)
+    # crash-after-commit re-delivery of batch 1: REFUSED — a second
+    # additive fold would have made the cell 7
+    assert not rows_ledger_commit(spark, ledger, [(0, 7, 7)], schema, 1)
+    rows, applied = rows_ledger_read(spark, ledger)
+    assert applied == 1
+    assert [(r["i"], r["bucket"], r["c"]) for r in rows] == [(0, 7, 5)]
