@@ -410,8 +410,10 @@ def probe_sketches(spark, path: str) -> dict[str, float]:
     import tempfile as _tempfile
 
     from dataintegration_csvprovider_spark.operators.sketches import (
+        collect_grouped_kmv,
         collect_grouped_sketch,
         collect_sketch,
+        grouped_kmv_sketch_rows,
         grouped_quantile_sketch_rows,
         kmv_merge,
         kmv_sketch,
@@ -438,6 +440,12 @@ def probe_sketches(spark, path: str) -> dict[str, float]:
         lambda: _force(grouped_quantile_sketch_rows(docs, "lang", "n_chars")),
     )
     timed("kmv_build", lambda: kmv_sketch(vals, "doc_id"))
+    timed(
+        "kmv_grouped_build",
+        lambda: collect_grouped_kmv(
+            grouped_kmv_sketch_rows(docs, "lang", "doc_id")
+        ),
+    )
 
     # bounded-artifact stages: inputs are k·levels rows / 64 values
     # REGARDLESS of the data multiplier — expect flat ratios
