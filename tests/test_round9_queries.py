@@ -145,3 +145,12 @@ def test_corpus_datacard_full_laws(spark, qs):
         else:
             assert r.en_overlap_est is not None
             assert 0.0 <= r.en_containment <= 1.5  # est ratio, noisy roof
+
+
+def test_stream_countmin_restart_all_laws_hold(spark, qs):
+    rows = qs["q_stream_countmin_restart"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.est >= r.true_n and r.over_ok  # one-sided error law
+        assert r.restart_equal, "crashed+restarted sketch != control"
+        assert r.redelivery_skipped, "re-delivery was not refused once"
