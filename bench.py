@@ -195,9 +195,22 @@ def _force(df) -> int:
     return 0
 
 
+def _ambient() -> dict:
+    """Ambient machine state (loadavg + live PID count), recorded in
+    the bench JSON so a driver-vs-solo delta adjudication ("driver read
+    1.2x, solo read 1.09x" — r9) is a field lookup in the artifact, not
+    a forensic session. High load1/pids at start or end marks the run
+    as contended; the noise-band notes below then apply directly."""
+    load1, load5, _ = os.getloadavg()
+    n_pids = sum(1 for n in os.listdir("/proc") if n.isdigit())
+    return {"load1": round(load1, 2), "load5": round(load5, 2),
+            "pids": n_pids}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ambient_start = _ambient()
     spark = get_spark(app_name="bench")
 
     registry = all_queries()
@@ -283,6 +296,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ambient_start": ambient_start,
+                "ambient_end": _ambient(),
             }
         )
     )

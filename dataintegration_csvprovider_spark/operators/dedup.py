@@ -1239,6 +1239,7 @@ def stream_near_dup_flags(
     num_hashes: int = 64,
     shingle_size: int = 3,
     num_bands: int = 16,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """The STREAMING form of :func:`incremental_near_dup_flags`: a
     continuous stream of incoming documents is flagged against a static
@@ -1258,7 +1259,9 @@ def stream_near_dup_flags(
     state); downstream grouping absorbs them.
 
     ``corpus_sigs`` is the persisted :func:`minhash_signatures` snapshot
-    — trained once per corpus version, shared by every stream."""
+    — trained once per corpus version, shared by every stream. It must
+    have been built with the SAME ``base_hash`` family passed here, or
+    no band can ever match."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         _with_content(stream_docs, text_col, min_words=shingle_size),
@@ -1266,6 +1269,7 @@ def stream_near_dup_flags(
         id_col,
         num_hashes,
         shingle_size,
+        base_hash,
     )
     # band-bucket explode CARRYING the signature (the batch helper drops
     # it; re-joining it here would be a stream-stream join)

@@ -491,6 +491,7 @@ def rows_ledger_commit(
     schema: str,
     batch_id: int,
     keep_generations: int = 2,
+    applied_through: int | None = None,
 ) -> bool:
     """Commit the FULL post-merge state as generation ``batch_id``,
     idempotently: if the newest committed generation already covers
@@ -500,11 +501,19 @@ def rows_ledger_commit(
     protocol — every mergeable-sketch streaming twin (MRL, CMS, Bloom,
     KMV) persists through this with its own merge applied by the
     caller; the crash-safety/idempotence/torn-write guarantees are the
-    protocol's, not the sketch's."""
+    protocol's, not the sketch's.
+
+    ``applied_through``: callers that just read the ledger (the apply
+    path always has) pass the batch id that read returned, skipping a
+    second full parquet read whose only purpose is re-learning it; the
+    generation LISTING is cheap, the row collect is not. ``None``
+    keeps the self-contained re-read for direct callers."""
     import os
     import shutil
 
-    _, applied_through = rows_ledger_read(spark, ledger_dir)
+    if applied_through is None:
+        gens = _ledger_generations(ledger_dir)
+        applied_through = gens[-1] if gens else -1
     if batch_id <= applied_through:
         return False
     df = spark.createDataFrame(rows, schema)
@@ -565,7 +574,7 @@ def sketch_ledger_apply(
                 rows.append((gk, int(lvl), float(v)))
     return rows_ledger_commit(
         spark, ledger_dir, rows, _GROUPED_SCHEMA, batch_id,
-        keep_generations,
+        keep_generations, applied_through=applied_through,
     )
 
 

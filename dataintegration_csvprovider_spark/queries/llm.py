@@ -38,16 +38,23 @@ from .registry import register
 
 # DuckDB fragments reused across oracles ------------------------------------
 
+# Whitespace tokenizer matching the Spark side BY CONSTRUCTION
+# (F.split(F.trim(text), "\\s+") — operators/dedup.py:65): regexp split
+# on \s+ after trim, so tabs/newlines/runs of spaces tokenize
+# identically in both engines instead of relying on the fixtures being
+# single-space-separated.
+_DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
 _DUCK_TRIGRAMS = (
-    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
-    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
-    "|| ' ' || string_split(text,' ')[i+2]))"
+    f"list_distinct(list_transform(range(1, len({_DUCK_WORDS}) - 1), "
+    f"i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1] "
+    f"|| ' ' || {_DUCK_WORDS}[i+2]))"
 )
 
 
 _DUCK_BIGRAMS = (
-    "list_distinct(list_transform(range(1, len(string_split(text,' '))), "
-    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+    f"list_distinct(list_transform(range(1, len({_DUCK_WORDS})), "
+    f"i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1]))"
 )
 
 # Full cross-engine replay of the md5-family MinHash(64)+LSH(16x4)
@@ -68,9 +75,9 @@ def _minhash_perm_values() -> str:
 _DUCK_MINHASH_PAIRS = f"""
     mh_perms(i, a, b) AS (VALUES {_minhash_perm_values()}),
     mh_toks AS MATERIALIZED (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
       WHERE text IS NOT NULL AND trim(text) <> ''
-        AND len(string_split(text, ' ')) >= 3
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 3
     ),
     mh_h AS MATERIALIZED (
       SELECT DISTINCT doc_id,
@@ -226,7 +233,7 @@ def _b(c) -> F.Column:  # type: ignore[name-defined]
     gr AS MATERIALIZED (
       SELECT doc_id, {_DUCK_TRIGRAMS} AS grams FROM documents
       WHERE text IS NOT NULL AND trim(text) <> ''
-        AND len(string_split(text, ' ')) >= 3
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 3
     )
     SELECT p.a, p.b, p.est_jaccard,
            CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
@@ -344,9 +351,9 @@ def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default's quality stays pinned by q_dedup_quality_gate.
     oracle=f"""
     WITH toks AS MATERIALIZED (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
       WHERE text IS NOT NULL AND trim(text) <> ''
-        AND len(string_split(text, ' ')) >= 2
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2
     ),
     hh AS MATERIALIZED (
       SELECT doc_id,
@@ -394,7 +401,7 @@ def q_dedup_minhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     gr AS MATERIALIZED (
       SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
       WHERE text IS NOT NULL AND trim(text) <> ''
-        AND len(string_split(text, ' ')) >= 2
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2
     )
     SELECT p.a, p.b, p.hamming,
            CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
@@ -3115,46 +3122,52 @@ def q_leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_split_lsh_summary",
     # the PRODUCTION shape of the LSH-fed split (no exact-pair audit —
     # that is q_leakage_safe_split_lsh's job): MinHash-LSH pairs →
-    # components → modulus split → per-split summary. Fully
-    # deterministic under the fixed xxhash64 seed but not SQL-
-    # replayable (unlike the md5-family q_dedup_minhash replay), so the
-    # summary is pinned as measured constants — keyed on SUM(n_chars)
-    # covering all three scale factors (round 9; previously
-    # sf0.01-only).
-    oracle="""
-    WITH k AS (SELECT SUM(n_chars) AS s FROM documents)
-    SELECT split, n_docs, n_components, total_chars FROM (
-      SELECT 153156 AS s, * FROM (VALUES
-        ('test',  CAST(52  AS BIGINT), CAST(47  AS BIGINT), CAST(15059  AS BIGINT)),
-        ('train', CAST(396 AS BIGINT), CAST(381 AS BIGINT), CAST(121504 AS BIGINT)),
-        ('valid', CAST(52  AS BIGINT), CAST(48  AS BIGINT), CAST(16593  AS BIGINT))
-      ) AS a(split, n_docs, n_components, total_chars)
-      UNION ALL
-      SELECT 149174, * FROM (VALUES
-        ('test',  CAST(49  AS BIGINT), CAST(49  AS BIGINT), CAST(13630  AS BIGINT)),
-        ('train', CAST(398 AS BIGINT), CAST(378 AS BIGINT), CAST(120217 AS BIGINT)),
-        ('valid', CAST(53  AS BIGINT), CAST(49  AS BIGINT), CAST(15327  AS BIGINT))
-      ) AS b(split, n_docs, n_components, total_chars)
-      UNION ALL
-      SELECT 1485576, * FROM (VALUES
-        ('test',  CAST(491  AS BIGINT), CAST(474  AS BIGINT), CAST(143138  AS BIGINT)),
-        ('train', CAST(4015 AS BIGINT), CAST(3807 AS BIGINT), CAST(1191932 AS BIGINT)),
-        ('valid', CAST(494  AS BIGINT), CAST(475  AS BIGINT), CAST(150506  AS BIGINT))
-      ) AS c(split, n_docs, n_components, total_chars)
-    ) u JOIN k ON u.s = k.s
+    # components → modulus split → per-split summary. Round 10: the
+    # SUM(n_chars)-keyed constants pin is RETIRED — the pairs run the
+    # md5 hash family (the r9 q_dedup_minhash template; xxhash64 stays
+    # the production default, its pair quality pinned by
+    # q_dedup_quality_gate), so the oracle replays the WHOLE path from
+    # scratch: signature matrix, banding, candidate join, estimate
+    # filter, recursive-CTE connected components, the component-modulus
+    # split rule (component % 10: <8 train, ==8 valid, else test;
+    # singletons use their own id) and the per-split rollup.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_PAIRS},
+    e AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT CASE WHEN component % 10 < 8 THEN 'train'
+                WHEN component % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM lab GROUP BY 1
     """,
     doc="LSH-fed leakage-safe split, production shape: band-bucket LSH "
         "pair generation (never all-pairs, never Sigma-df^2), "
         "large-star/small-star components, component-modulus split — "
         "the whole path an actual 100 TB corpus would run; the bench "
-        "headline for the split family.",
+        "headline for the split family. Oracle replays the complete "
+        "pipeline under the md5 hash family.",
     tags=("dedup", "mlprep", "sample", "components"),
 )
 def q_split_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
-    lsh_pairs = minhash_near_dup_pairs(docs, threshold=0.5).select("a", "b")
+    lsh_pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, base_hash="md5"
+    ).select("a", "b")
     labeled = leakage_safe_split(docs.select("doc_id", "n_chars"), lsh_pairs)
     return labeled.groupBy("split").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

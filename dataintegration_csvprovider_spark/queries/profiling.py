@@ -975,7 +975,8 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT lang,
              CAST(CAST(concat('0x', substring(md5(word), 1, 16))
                        AS UBIGINT) % 2147483647 AS BIGINT) AS wk
-      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM (SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
             FROM documents
             WHERE text IS NOT NULL AND trim(text) <> ''
               AND lang IS NOT NULL)
@@ -1177,7 +1178,8 @@ def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT lang,
              CAST(CAST(concat('0x', substring(md5(word), 1, 16))
                        AS UBIGINT) % 2147483647 AS BIGINT) AS wk
-      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM (SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
             FROM base)
       WHERE word <> ''
     ),
@@ -1329,11 +1331,14 @@ def q_corpus_datacard_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             return float(n), 1
         return 63.0 * KMV_P, vals[KMV_K - 1]
 
-    en = kmv["en"]
+    # A corpus without 'en' degrades to NULL overlap/containment
+    # columns (the oracle's scalar `(SELECT theta FROM en)` subquery
+    # goes NULL-ish the same way) instead of a driver-side KeyError.
+    en = kmv.get("en")
     rows = []
     for lang in sorted(kmv):
         num, den = est_nd(kmv[lang])
-        if lang == "en":
+        if lang == "en" or en is None:
             rows.append((lang, int(vocab_exact[lang]), num, den, None, None))
         else:
             theta = min(kmv_theta(*kmv[lang]), kmv_theta(*en))

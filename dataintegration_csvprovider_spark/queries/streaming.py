@@ -838,26 +838,79 @@ def q_stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_minhash_perm_values() -> str:
+    from ..operators.dedup import minhash_mix
+
+    return ", ".join(
+        "({}, {}, {})".format(i, *minhash_mix(i)) for i in range(64)
+    )
+
+
 @register(
     "q_stream_dedup_corpus",
-    # deterministic under the fixed xxhash64 minhash seed (not SQL-
-    # replayable); estimates are multiples of 1/64 so their decimal-
-    # accumulated sums are exact. Pinned as measured constants keyed on
-    # SUM(n_chars), covering all three scale factors (round 9;
-    # previously sf0.01-only).
-    oracle="""
-    WITH k AS (SELECT SUM(n_chars) AS s FROM documents)
-    SELECT n_flagged, total_dups, est_sum FROM (
-      SELECT 153156 AS s, CAST(7 AS BIGINT) AS n_flagged,
-             CAST(9 AS BIGINT) AS total_dups,
-             CAST(6.828125 AS DOUBLE) AS est_sum
-      UNION ALL
-      SELECT 149174, CAST(8 AS BIGINT), CAST(8 AS BIGINT),
-             CAST(7.734375 AS DOUBLE)
-      UNION ALL
-      SELECT 1485576, CAST(98 AS BIGINT), CAST(104 AS BIGINT),
-             CAST(95.40625 AS DOUBLE)
-    ) u JOIN k ON u.s = k.s
+    # Round 10: the SUM(n_chars)-keyed constants pin is RETIRED — the
+    # signatures run the md5 hash family (the r9 q_dedup_minhash
+    # template; xxhash64 stays the production default), so the oracle
+    # replays the ENTIRE cross-corpus pipeline from scratch: incoming
+    # (src0-4) and corpus signature matrices, banding, the stream-
+    # static candidate join (band-slice equality — the Spark side
+    # bucket-hashes the slice, equal modulo xxhash64 collisions),
+    # estimate filter at 0.5, and the per-doc/total rollup. Estimates
+    # are multiples of 1/64 so the decimal-accumulated sum is exact.
+    oracle=f"""
+    WITH mh_perms(i, pa, pb) AS (VALUES {_stream_minhash_perm_values()}),
+    toks AS MATERIALIZED (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    ),
+    h AS MATERIALIZED (
+      SELECT DISTINCT doc_id, source,
+             CAST(CAST(concat('0x', substring(md5(gram), 1, 16))
+                       AS UBIGINT) % 2147483647 AS BIGINT) AS hg
+      FROM (SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                     range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+            FROM toks)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, source, p.i,
+             MIN((hg * p.pa + p.pb) % 2147483647) AS mh
+      FROM h CROSS JOIN mh_perms p GROUP BY doc_id, source, p.i
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, source, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS slc
+      FROM sig GROUP BY doc_id, source, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id, y.doc_id AS corpus_id
+      FROM bands x JOIN bands y ON x.band = y.band AND x.slc = y.slc
+      WHERE x.source IN ('src0','src1','src2','src3','src4')
+        AND y.source NOT IN ('src0','src1','src2','src3','src4')
+    ),
+    est AS (
+      SELECT c.id, c.corpus_id,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id
+      JOIN sig sb ON sb.doc_id = c.corpus_id AND sb.i = sa.i
+      GROUP BY c.id, c.corpus_id
+    ),
+    per AS (
+      SELECT id, MAX(est_jaccard) AS max_est,
+             COUNT(DISTINCT corpus_id) AS n_dups
+      FROM est WHERE est_jaccard >= 0.5 GROUP BY id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(SUM(n_dups), 0) AS BIGINT) AS total_dups,
+           CAST(COALESCE(SUM(CAST(max_est AS DECIMAL(18,9))), 0)
+                AS DOUBLE) AS est_sum
+    FROM per
     """,
     doc="STREAMING corpus dedup gate (operators/dedup.py "
         "stream_near_dup_flags): a stream of incoming docs is minhashed "
@@ -883,13 +936,15 @@ def q_stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("source").isin(batch_srcs))
     corpus = docs.filter(~F.col("source").isin(batch_srcs))
     corpus_sigs = minhash_signatures(
-        _with_content(corpus, "text", min_words=3)
+        _with_content(corpus, "text", min_words=3), base_hash="md5"
     ).persist()
     d = tempfile.mkdtemp(prefix="sdedup_")
     try:
         incoming.write.mode("overwrite").parquet(d)
         stream = stream_from_parquet(spark, d, incoming.schema)
-        flags = stream_near_dup_flags(stream, corpus_sigs, threshold=0.5)
+        flags = stream_near_dup_flags(
+            stream, corpus_sigs, threshold=0.5, base_hash="md5"
+        )
         out = run_to_completion(flags, output_mode="append").localCheckpoint(
             eager=True
         )
@@ -1360,7 +1415,7 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_ledger_commit(
                 spark, ledger_dir,
                 [(i, b, c) for (i, b), c in sorted(state.items())],
-                _CMS_LEDGER_SCHEMA, batch_id,
+                _CMS_LEDGER_SCHEMA, batch_id, applied_through=applied,
             )
 
         q = (
@@ -1550,7 +1605,7 @@ def q_stream_countmin_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_ledger_commit(
                 spark, ledger_dir,
                 [(i, b, c) for (i, b), c in sorted(state.items())],
-                schema_str, batch_id,
+                schema_str, batch_id, applied_through=applied,
             )
             if batch_id == crash_after_batch:
                 raise RuntimeError("injected crash after ledger commit")
@@ -2173,7 +2228,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_ledger_commit(
                 spark, ledger_dir,
                 [("h", v) for v in vals] + [("n", n)],
-                "kind string, v long", batch_id,
+                "kind string, v long", batch_id, applied_through=applied,
             )
 
         q = (
@@ -2303,7 +2358,7 @@ def q_stream_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state[w] = state.get(w, 0) | int(r["w"])
             rows_ledger_commit(
                 spark, ledger_dir, sorted(state.items()),
-                "word long, w long", batch_id,
+                "word long, w long", batch_id, applied_through=applied,
             )
 
         q = (

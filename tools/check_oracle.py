@@ -161,9 +161,21 @@ def main() -> int:
                 con.interrupt()
             except Exception:  # noqa: BLE001
                 pass
+            # A one-shot interrupt can land in the gap between the
+            # Spark collect finishing and the DuckDB query starting,
+            # where it is spent on nothing and the oracle then runs
+            # unbounded. Keep re-firing every 2s until this name is
+            # disarmed so whichever phase becomes active is hit too.
+            self.timer = threading.Timer(2.0, self._fire, (tok,))
+            self.timer.daemon = True
+            self.timer.start()
 
         def disarm(self, tok: int) -> bool:
             """Cancel; return True if the budget fired for this name."""
+            # Invalidate the token FIRST: a _fire racing this cancel
+            # re-checks `tok != self.token` before interrupting, so it
+            # can never hit the NEXT name's Spark/DuckDB work.
+            self.token += 1
             if self.timer is not None:
                 self.timer.cancel()
                 self.timer = None
