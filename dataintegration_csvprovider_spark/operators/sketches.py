@@ -444,12 +444,30 @@ def collect_sketch(sketch_rows: DataFrame) -> dict[int, np.ndarray]:
 # Scale shape: every operation here touches only the bounded artifact
 # (the monitor's contract bounds its group count — daily windows, label
 # sets); raw stream data is reduced to per-batch sketches by the
-# partition-parallel grouped build before any of this runs. Local paths
-# use the filesystem directly (driver-side orchestration); an object-
-# store deployment swaps the directory listing for a manifest file —
-# the generation protocol itself is unchanged.
+# partition-parallel grouped build before any of this runs.
+#
+# Two generation-DISCOVERY protocols, selected by ``protocol=``:
+#
+# - "listing" (default, local FS): the newest generation is the highest
+#   gen-N directory carrying a parquet _SUCCESS marker. Correct wherever
+#   directory listing is atomic and _SUCCESS rename is the commit point.
+# - "manifest" (object stores): commit writes the generation directory
+#   FIRST, then atomically swaps a single MANIFEST file naming the
+#   newest generation (write tmp + rename — the one primitive S3-class
+#   stores give you via copy-then-delete or conditional put); read is a
+#   manifest lookup, never a listing, so eventually-consistent or
+#   non-atomic listings can't surface a torn generation. Crash BETWEEN
+#   the generation write and the manifest swap leaves the manifest at
+#   N-1; the re-delivered batch re-reads N-1 state, re-merges, and
+#   OVERWRITES the orphaned gen-N directory before swapping — the
+#   pre-crash state is what feeds the merge, so no double-fold can
+#   occur (single-writer micro-batch discipline, the same assumption
+#   foreachBatch itself makes). Pruning still lists best-effort: it is
+#   GC, not correctness — a generation the manifest doesn't name is
+#   never read.
 
 _GEN_PREFIX = "gen-"
+_MANIFEST = "MANIFEST"
 
 
 def _ledger_generations(ledger_dir: str) -> list[int]:
@@ -471,13 +489,55 @@ def _ledger_generations(ledger_dir: str) -> list[int]:
     return sorted(gens)
 
 
-def rows_ledger_read(spark, ledger_dir: str) -> tuple[list, int]:
+def _ledger_newest(ledger_dir: str, protocol: str = "listing") -> int:
+    """Newest committed generation id under the given protocol, -1
+    before the first commit. Manifest protocol: a MANIFEST that exists
+    but does not parse is CORRUPT (atomic swap means readers see the
+    old or the new content, never a torn one) — fail loudly rather
+    than silently restarting from -1 and double-applying history."""
+    import os
+
+    if protocol == "manifest":
+        path = os.path.join(ledger_dir, _MANIFEST)
+        try:
+            with open(path, encoding="ascii") as fh:
+                raw = fh.read().strip()
+        except FileNotFoundError:
+            return -1
+        try:
+            return int(raw)
+        except ValueError:
+            raise ValueError(
+                f"corrupt ledger manifest {path!r}: {raw[:40]!r} — "
+                "not a generation id; refusing to guess (a restart "
+                "from -1 would re-apply committed batches)"
+            ) from None
+    gens = _ledger_generations(ledger_dir)
+    return gens[-1] if gens else -1
+
+
+def _manifest_swap(ledger_dir: str, batch_id: int) -> None:
+    """Atomically point the MANIFEST at ``batch_id``: write a tmp file,
+    fsync, rename over the manifest (POSIX-atomic; the object-store
+    analog is a conditional put of the manifest object)."""
+    import os
+
+    tmp = os.path.join(ledger_dir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(str(batch_id))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(ledger_dir, _MANIFEST))
+
+
+def rows_ledger_read(
+    spark, ledger_dir: str, protocol: str = "listing"
+) -> tuple[list, int]:
     """Read the newest committed generation's rows (any schema) and the
     batch id it covers. ``([], -1)`` before the first commit."""
-    gens = _ledger_generations(ledger_dir)
-    if not gens:
+    newest = _ledger_newest(ledger_dir, protocol)
+    if newest < 0:
         return [], -1
-    newest = gens[-1]
     rows = spark.read.parquet(
         f"{ledger_dir}/{_GEN_PREFIX}{newest}"
     ).collect()
@@ -492,6 +552,7 @@ def rows_ledger_commit(
     batch_id: int,
     keep_generations: int = 2,
     applied_through: int | None = None,
+    protocol: str = "listing",
 ) -> bool:
     """Commit the FULL post-merge state as generation ``batch_id``,
     idempotently: if the newest committed generation already covers
@@ -506,34 +567,46 @@ def rows_ledger_commit(
     ``applied_through``: callers that just read the ledger (the apply
     path always has) pass the batch id that read returned, skipping a
     second full parquet read whose only purpose is re-learning it; the
-    generation LISTING is cheap, the row collect is not. ``None``
-    keeps the self-contained re-read for direct callers."""
+    generation discovery is cheap, the row collect is not. ``None``
+    keeps the self-contained re-check for direct callers.
+
+    ``protocol="manifest"`` commits by atomically swapping the MANIFEST
+    file AFTER the generation directory is fully written — the
+    object-store-safe variant (module docstring); pruning under either
+    protocol is best-effort listing-based GC, never read-path
+    correctness."""
     import os
     import shutil
 
     if applied_through is None:
-        gens = _ledger_generations(ledger_dir)
-        applied_through = gens[-1] if gens else -1
+        applied_through = _ledger_newest(ledger_dir, protocol)
     if batch_id <= applied_through:
         return False
     df = spark.createDataFrame(rows, schema)
     df.coalesce(1).write.mode("overwrite").parquet(
         f"{ledger_dir}/{_GEN_PREFIX}{batch_id}"
     )
+    if protocol == "manifest":
+        _manifest_swap(ledger_dir, batch_id)
+    keep = {batch_id}
+    if protocol == "manifest":
+        # never GC a generation the manifest might still name
+        keep.add(_ledger_newest(ledger_dir, protocol))
     for g in _ledger_generations(ledger_dir)[:-keep_generations]:
-        shutil.rmtree(
-            os.path.join(ledger_dir, f"{_GEN_PREFIX}{g}"),
-            ignore_errors=True,
-        )
+        if g not in keep:
+            shutil.rmtree(
+                os.path.join(ledger_dir, f"{_GEN_PREFIX}{g}"),
+                ignore_errors=True,
+            )
     return True
 
 
 def sketch_ledger_read(
-    spark, ledger_dir: str
+    spark, ledger_dir: str, protocol: str = "listing"
 ) -> tuple[dict[str, dict[int, np.ndarray]], int]:
     """Read the newest committed generation: ({group: level→values},
     applied_through_batch_id). (-1, empty) before the first commit."""
-    rows, newest = rows_ledger_read(spark, ledger_dir)
+    rows, newest = rows_ledger_read(spark, ledger_dir, protocol)
     acc: dict[str, dict[int, list[float]]] = {}
     for r in rows:
         acc.setdefault(r["g_key"], {}).setdefault(
@@ -555,6 +628,7 @@ def sketch_ledger_apply(
     batch_sketches: dict[str, dict[int, np.ndarray]],
     batch_id: int,
     keep_generations: int = 2,
+    protocol: str = "listing",
 ) -> bool:
     """Fold one micro-batch's per-group MRL sketches into the ledger,
     idempotently: if ``batch_id`` is already covered by the newest
@@ -562,7 +636,9 @@ def sketch_ledger_apply(
     and return False. Otherwise merge, commit generation ``batch_id``,
     prune generations older than the newest ``keep_generations``, and
     return True."""
-    state, applied_through = sketch_ledger_read(spark, ledger_dir)
+    state, applied_through = sketch_ledger_read(
+        spark, ledger_dir, protocol
+    )
     if batch_id <= applied_through:
         return False
     for gk, sk in batch_sketches.items():
@@ -575,6 +651,7 @@ def sketch_ledger_apply(
     return rows_ledger_commit(
         spark, ledger_dir, rows, _GROUPED_SCHEMA, batch_id,
         keep_generations, applied_through=applied_through,
+        protocol=protocol,
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.graph import pagerank
+from .llm import _DUCK_BIGRAMS, duck_jaccard_pair_sql
 from .registry import register
 
 
@@ -56,21 +57,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH g AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, len(string_split(text,' '))),
-               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-             )) AS grams
-      FROM documents
-    ), p AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-            >= 0.5
-    )
+      SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
+    ),
+    {duck_jaccard_pair_sql("g", "p", 0.5)}
     SELECT (SELECT COUNT(*) FROM p) AS n_edges,
            (SELECT COUNT(*) FROM (SELECT a FROM p UNION SELECT b FROM p) t)
              AS n_nodes,

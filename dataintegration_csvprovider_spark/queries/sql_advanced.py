@@ -185,18 +185,38 @@ def q_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_skyline",
+    # The NOT EXISTS form is O(n²) — a 2D skyline needs only a sweep:
+    # group rows by price, keep each price's best (max) date, then a
+    # running max over prices ascending gives, for every row, the best
+    # date among strictly-cheaper rows (strict_max) and among
+    # cheaper-or-equal rows (leq_max). A row is dominated iff some
+    # strictly cheaper row is at least as recent (strict_max >= date)
+    # or some cheaper-or-equal row is strictly more recent
+    # (leq_max > date; the row itself can never satisfy the strict
+    # inequality). Equivalent to the brute NOT EXISTS by case analysis
+    # on the dominator's price being < or = — same row set, O(n log n).
     oracle="""
-    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders o2
-      WHERE o2.o_totalprice <= o.o_totalprice
-        AND o2.o_orderdate >= o.o_orderdate
-        AND (o2.o_totalprice < o.o_totalprice
-             OR o2.o_orderdate > o.o_orderdate))
+    WITH pp AS (
+      SELECT o_totalprice AS p, MAX(o_orderdate) AS best
+      FROM orders GROUP BY 1
+    ), cm AS (
+      SELECT p,
+             MAX(best) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS strict_max,
+             MAX(best) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+               AS leq_max
+      FROM pp
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN cm ON cm.p = o.o_totalprice
+    WHERE (cm.strict_max IS NULL OR cm.strict_max < o.o_orderdate)
+      AND cm.leq_max <= o.o_orderdate
     """,
     doc="Skyline: orders Pareto-optimal on (min price, max recency) via "
         "the two-phase per-partition scheme (operators/skyline.py); the "
-        "oracle does the O(n^2) NOT EXISTS the operator never does.",
+        "oracle runs the equivalent sort-sweep (per-price best date + "
+        "running max), O(n log n) in place of the brute NOT EXISTS.",
     tags=("skyline", "analytics"),
 )
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:

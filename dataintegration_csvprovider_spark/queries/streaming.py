@@ -2392,3 +2392,350 @@ def _attach_bloom_oracle() -> None:
 
 
 _attach_bloom_oracle()
+
+
+@register(
+    "q_stream_monitor_suite",
+    # Round 10: the COMPOSED forever-monitor — ONE stream feeds the
+    # MRL (percentile), CMS (frequency) and KMV (distinct) ledgers in
+    # a single foreachBatch, with one injected crash at the nastiest
+    # point a composite can tear: AFTER batch 1's MRL and CMS
+    # generations commit but BEFORE its KMV commit (state torn ACROSS
+    # families, each family's ledger ahead of or behind the
+    # checkpoint). The restart re-delivers batch 1; per-family
+    # batch-id idempotence heals the tear asymmetrically — MRL and
+    # CMS refuse the re-delivery, KMV applies it — and every family's
+    # final state is pinned value-equal to an uninterrupted control
+    # run. Cross-engine pins per family: MRL weight == COUNT(value),
+    # CMS row-mass == COUNT(*) plus a fully-replayed point estimate
+    # (Knuth hash chain), KMV exact distinct plus the replayed
+    # estimate. The production observability stack as one query.
+    oracle="""
+    WITH seeds(i, a, b) AS (
+      VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+             (2, 3266489917, 31), (3, 668265263, 127)
+    ), cells AS (
+      SELECT s.i,
+             CAST(((CAST(e.user_id AS HUGEINT) * s.a + s.b)
+                   % 2147483647) % 64 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events e CROSS JOIN seeds s GROUP BY 1, 2
+    ), probe AS (
+      SELECT s.i,
+             CAST(((CAST(0 AS HUGEINT) * s.a + s.b)
+                   % 2147483647) % 64 AS BIGINT) AS bucket
+      FROM seeds s
+    ), est0 AS (
+      SELECT MIN(COALESCE(c.c, 0)) AS est
+      FROM probe p LEFT JOIN cells c USING (i, bucket)
+    ), ah AS (
+      SELECT DISTINCT CAST((CAST(user_id AS HUGEINT) * 2654435761 + 1)
+                           % 2147483647 AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), kn AS (SELECT COUNT(*) AS n FROM ah),
+    k64 AS (SELECT MAX(h) AS h64
+            FROM (SELECT h FROM ah ORDER BY h LIMIT 64))
+    SELECT 'cms' AS family,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n,
+           (SELECT CAST(est AS DOUBLE) FROM est0) AS est,
+           TRUE AS fact_ok, TRUE AS restart_equal, TRUE AS redelivery_ok
+    UNION ALL
+    SELECT 'kmv',
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+            WHERE user_id IS NOT NULL),
+           (SELECT ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                  ELSE 63.0 * 2147483647 / (SELECT h64 FROM k64) END, 9)
+            FROM kn),
+           TRUE, TRUE, TRUE
+    UNION ALL
+    SELECT 'mrl',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE value IS NOT NULL),
+           NULL, TRUE, TRUE, TRUE
+    """,
+    doc="Composed streaming monitor suite: one events stream feeds "
+        "three sketch-family ledgers (MRL percentiles per day window, "
+        "CMS user-frequency, KMV distinct users) inside a single "
+        "foreachBatch — the full observability stack a production "
+        "ingestion pipeline hangs off one stream. One injected crash "
+        "tears batch 1 ACROSS families (MRL+CMS committed, KMV not); "
+        "after restart each family heals independently via its "
+        "ledger's batch-id check (MRL/CMS refuse the re-delivery, KMV "
+        "applies it) and all three final states are value-equal to an "
+        "uninterrupted control run. Per-family cross-engine pins: "
+        "weight/mass conservation and fully-replayed CMS point + KMV "
+        "distinct estimates. Recovery reads only the bounded ledgers.",
+    tags=("streaming", "sketch", "checkpoint", "pipeline"),
+)
+def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.sketches import (
+        KMV_K,
+        KMV_P,
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+        kmv_merge,
+        kmv_sketch,
+        mrl_total_weight,
+        rows_ledger_commit,
+        rows_ledger_read,
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+    from .profiling import _CMS_P, _CMS_ROWS, _CMS_W
+
+    seeds = [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)]
+    cms_schema = "i int, bucket bigint, c bigint"
+
+    def bucket(x, a: int, b: int):
+        return F.pmod(
+            F.pmod(
+                x.cast("decimal(20,0)") * F.lit(a).cast("decimal(10,0)")
+                + F.lit(b).cast("decimal(10,0)"),
+                F.lit(_CMS_P).cast("decimal(20,0)"),
+            ).cast("bigint"),
+            F.lit(_CMS_W),
+        )
+
+    def cms_cells(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            bucket(F.col("user_id"), a, b).alias("bucket"),
+                        )
+                        for i, a, b in seeds
+                    ]
+                )
+            ).alias("h")
+        ).select("h.i", "h.bucket")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "win"
+        ),
+        F.col("value").cast("double").alias("value"),
+    )
+    stage = tempfile.mkdtemp(prefix="suite_stage_")
+    roots = [tempfile.mkdtemp(prefix="suite_run_") for _ in range(2)]
+
+    def write_slice(k: int, name: str, mtime: int) -> None:
+        import os as _os
+
+        df = ev.filter(F.col("event_id") % 3 == k).select(
+            "user_id", "win", "value"
+        )
+        tmp = tempfile.mkdtemp(prefix="suite_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in _os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _os.utime(dst, (mtime, mtime))
+
+    skipped: dict[str, list[int]] = {"mrl": [], "cms": [], "kmv": []}
+
+    def run_stream(root: str, crash_in_batch: int | None) -> None:
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.persist()  # three family readers share one batch scan
+            # family 1: grouped MRL percentile ledger
+            sk = collect_grouped_sketch(
+                grouped_quantile_sketch_rows(
+                    bdf.filter(F.col("value").isNotNull()), "win", "value"
+                )
+            )
+            if not sketch_ledger_apply(
+                spark, f"{root}/mrl", sk, batch_id
+            ):
+                skipped["mrl"].append(batch_id)
+            # family 2: additive CMS ledger
+            prev, applied = rows_ledger_read(spark, f"{root}/cms")
+            if batch_id <= applied:
+                skipped["cms"].append(batch_id)
+            else:
+                state = {(int(r["i"]), int(r["bucket"])): int(r["c"])
+                         for r in prev}
+                for r in (
+                    cms_cells(bdf).groupBy("i", "bucket").count().collect()
+                ):
+                    key = (int(r["i"]), int(r["bucket"]))
+                    state[key] = state.get(key, 0) + int(r["count"])
+                rows_ledger_commit(
+                    spark, f"{root}/cms",
+                    [(i, b, c) for (i, b), c in sorted(state.items())],
+                    cms_schema, batch_id, applied_through=applied,
+                )
+            # the injected crash: TORN ACROSS FAMILIES — MRL and CMS
+            # committed this batch, KMV has not
+            if batch_id == crash_in_batch:
+                raise RuntimeError("injected crash between family commits")
+            # family 3: KMV k-smallest-union ledger
+            prev, applied = rows_ledger_read(spark, f"{root}/kmv")
+            if batch_id <= applied:
+                skipped["kmv"].append(batch_id)
+            else:
+                state = (
+                    sorted(int(r["v"]) for r in prev if r["kind"] == "h"),
+                    next(
+                        (int(r["v"]) for r in prev if r["kind"] == "n"), 0
+                    ),
+                )
+                vals, n = kmv_merge(
+                    [
+                        state,
+                        kmv_sketch(
+                            bdf.filter(F.col("user_id").isNotNull()),
+                            "user_id",
+                        ),
+                    ]
+                )
+                rows_ledger_commit(
+                    spark, f"{root}/kmv",
+                    [("h", v) for v in vals] + [("n", n)],
+                    "kind string, v long", batch_id,
+                    applied_through=applied,
+                )
+            bdf.unpersist()
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if crash_in_batch is None:
+                raise  # only the injected crash is expected
+
+    try:
+        for k, (name, mt) in enumerate(
+            (("a.parquet", 1_000_000_000),
+             ("b.parquet", 1_000_010_000),
+             ("c.parquet", 1_000_020_000))
+        ):
+            write_slice(k, name, mt)
+        run_stream(roots[0], crash_in_batch=1)
+        run_stream(roots[0], crash_in_batch=None)
+        run_stream(roots[1], crash_in_batch=None)
+
+        finals = {}
+        for tag, root in (("crash", roots[0]), ("ctrl", roots[1])):
+            mrl_state, mrl_gen = sketch_ledger_read(spark, f"{root}/mrl")
+            cms_rows, cms_gen = rows_ledger_read(spark, f"{root}/cms")
+            kmv_rows, kmv_gen = rows_ledger_read(spark, f"{root}/kmv")
+            finals[tag] = {
+                "mrl": (
+                    {
+                        g: sorted(
+                            (lvl, tuple(v.tolist()))
+                            for lvl, v in sk.items()
+                        )
+                        for g, sk in mrl_state.items()
+                    },
+                    mrl_gen,
+                ),
+                "mrl_weight": sum(
+                    mrl_total_weight(sk) for sk in mrl_state.values()
+                ),
+                "cms": (
+                    sorted(
+                        (int(r["i"]), int(r["bucket"]), int(r["c"]))
+                        for r in cms_rows
+                    ),
+                    cms_gen,
+                ),
+                "kmv": (
+                    sorted(
+                        (r["kind"], int(r["v"])) for r in kmv_rows
+                    ),
+                    kmv_gen,
+                ),
+            }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    # exact counts (distributed; the oracle recomputes all three)
+    n_events = ev.count()
+    n_values = ev.filter(F.col("value").isNotNull()).count()
+    n_users = (
+        ev.select("user_id").filter(F.col("user_id").isNotNull())
+        .distinct().count()
+    )
+
+    cms_state = dict(
+        ((i, b), c) for i, b, c in finals["crash"]["cms"][0]
+    )
+    row_sums = {}
+    for (i, _b), c in cms_state.items():
+        row_sums[i] = row_sums.get(i, 0) + c
+    cms_mass_ok = all(
+        row_sums.get(i, 0) == n_events for i in range(len(seeds))
+    )
+    cms_est0 = min(
+        cms_state.get((i, (0 * a + b) % _CMS_P % _CMS_W), 0)
+        for i, a, b in seeds
+    )
+
+    kmv_vals = [v for k_, v in finals["crash"]["kmv"][0] if k_ == "h"]
+    kmv_n = next(v for k_, v in finals["crash"]["kmv"][0] if k_ == "n")
+    if kmv_n < KMV_K:
+        kmv_num, kmv_den = float(kmv_n), 1
+    else:
+        kmv_num, kmv_den = 63.0 * KMV_P, kmv_vals[KMV_K - 1]
+
+    rows = [
+        (
+            "cms",
+            int(n_events),
+            float(cms_est0),
+            bool(cms_mass_ok),
+            bool(finals["crash"]["cms"] == finals["ctrl"]["cms"]),
+            bool(skipped["cms"] == [1]),
+        ),
+        (
+            "kmv",
+            int(n_users),
+            round(kmv_num / kmv_den, 9),
+            bool(kmv_n >= 0),
+            bool(finals["crash"]["kmv"] == finals["ctrl"]["kmv"]),
+            # KMV never committed batch 1 before the crash, so the
+            # re-delivery legitimately APPLIES — zero skips is the pin
+            bool(skipped["kmv"] == []),
+        ),
+        (
+            "mrl",
+            int(n_values),
+            None,
+            bool(finals["crash"]["mrl_weight"] == n_values),
+            bool(finals["crash"]["mrl"] == finals["ctrl"]["mrl"]),
+            bool(skipped["mrl"] == [1]),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "family string, n bigint, est double, fact_ok boolean, "
+        "restart_equal boolean, redelivery_ok boolean",
+    )

@@ -337,3 +337,145 @@ def test_rows_ledger_commit_idempotent_any_schema(spark, tmp_path):
     rows, applied = rows_ledger_read(spark, ledger)
     assert applied == 1
     assert [(r["i"], r["bucket"], r["c"]) for r in rows] == [(0, 7, 5)]
+
+
+# ---------------------------------------------------------------------------
+# manifest generation protocol (round 10): the object-store-safe variant
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_ledger_laws(spark, tmp_path):
+    """The listing-protocol laws hold verbatim under protocol="manifest":
+    commit/read round-trip, re-delivery refusal, stale-id refusal,
+    pruning — plus the MANIFEST file names the newest generation."""
+    import os
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    assert sketch_ledger_read(spark, ledger, protocol="manifest") == ({}, -1)
+
+    for bid, v in ((0, 1.0), (1, 2.0)):
+        assert sketch_ledger_apply(
+            spark, ledger, {"w": _np_levels([v])}, bid, protocol="manifest"
+        )
+    with open(os.path.join(ledger, "MANIFEST")) as fh:
+        assert fh.read().strip() == "1"
+    state, applied = sketch_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 1 and mrl_total_weight(state["w"]) == 2
+
+    # crash-after-commit re-delivery and a stale id: both refused
+    assert not sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([2.0])}, 1, protocol="manifest"
+    )
+    assert not sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([9.0])}, 0, protocol="manifest"
+    )
+    state, applied = sketch_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 1 and mrl_total_weight(state["w"]) == 2
+
+    assert sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([3.0])}, 2, protocol="manifest"
+    )
+    gens = sorted(d for d in os.listdir(ledger) if d.startswith("gen-"))
+    assert gens == ["gen-1", "gen-2"]
+
+
+def test_manifest_crash_between_generation_write_and_swap(spark, tmp_path):
+    """The manifest protocol's exactly-once argument, exercised at the
+    worst crash point: generation N fully written, MANIFEST still at
+    N-1. The reader must NOT see the orphan; the re-delivered batch
+    re-merges from N-1 state and commits OVER the orphan — one
+    application, never two."""
+    import os
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        _GROUPED_SCHEMA,
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    assert sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([1.0])}, 0, protocol="manifest"
+    )
+
+    # simulate the crash: write a COMPLETE gen-1 directory (with
+    # _SUCCESS) directly, but leave the MANIFEST pointing at gen-0
+    spark.createDataFrame(
+        [("w", 0, 2.0), ("w", 0, 1.0)], _GROUPED_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{ledger}/gen-1")
+
+    state, applied = sketch_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 0, "orphan generation must be invisible"
+    assert mrl_total_weight(state["w"]) == 1
+    # the listing protocol WOULD see the orphan — that asymmetry is
+    # the whole point of the manifest on non-atomic stores
+    _, applied_listing = sketch_ledger_read(spark, ledger)
+    assert applied_listing == 1
+
+    # re-delivery of batch 1 re-merges from gen-0 and swaps: weight 2,
+    # exactly one application of the batch
+    assert sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([2.0])}, 1, protocol="manifest"
+    )
+    state, applied = sketch_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 1 and mrl_total_weight(state["w"]) == 2
+
+
+def test_manifest_corrupt_fails_loudly(spark, tmp_path):
+    """An unparsable MANIFEST must raise, not restart from -1: silently
+    treating corruption as 'no commits yet' would re-apply every
+    committed batch (the additive-sketch double-count hazard)."""
+    import os
+
+    import pytest
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        rows_ledger_read,
+        sketch_ledger_apply,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    assert sketch_ledger_apply(
+        spark, ledger, {"w": _np_levels([1.0])}, 0, protocol="manifest"
+    )
+    with open(os.path.join(ledger, "MANIFEST"), "w") as fh:
+        fh.write("garbage")
+    with pytest.raises(ValueError, match="corrupt ledger manifest"):
+        rows_ledger_read(spark, ledger, protocol="manifest")
+
+
+def test_manifest_and_listing_states_value_equal(spark, tmp_path):
+    """Same batch sequence through both protocols -> identical sketch
+    state and applied-through id (the protocol changes generation
+    DISCOVERY, never the sketch arithmetic)."""
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        mrl_quantiles,
+        sketch_ledger_apply,
+        sketch_ledger_read,
+    )
+
+    batches = [
+        {"w": _np_levels([1.0, 5.0, 9.0])},
+        {"w": _np_levels([2.0, 4.0]), "x": _np_levels([7.0])},
+        {"x": _np_levels([3.0])},
+    ]
+    states = {}
+    for proto in ("listing", "manifest"):
+        ledger = str(tmp_path / f"ledger_{proto}")
+        for bid, sk in enumerate(batches):
+            assert sketch_ledger_apply(
+                spark, ledger, sk, bid, protocol=proto
+            )
+        states[proto] = sketch_ledger_read(spark, ledger, protocol=proto)
+    sa, aa = states["listing"]
+    sb, ab = states["manifest"]
+    assert aa == ab == 2
+    assert set(sa) == set(sb)
+    for g in sa:
+        assert mrl_total_weight(sa[g]) == mrl_total_weight(sb[g])
+        assert mrl_quantiles(sa[g], [0.5]) == mrl_quantiles(sb[g], [0.5])
