@@ -273,6 +273,19 @@ def main() -> None:
     # 2.10/2.12/1.59s and 1.61/1.80/2.36s — swings of 30-50% across
     # IDENTICAL runs, the recorded single-query scheduler/JIT band.
     # VERDICT: noise, both; no bisect.
+    # Round-10 close-out of the r9 carried items: (a) q_pagerank (the
+    # largest r9 riser, 3.39s driver vs ~2.05s r8, code untouched since
+    # r2) probed 3x solo fresh-JVM min-of-2: 2.65 / 2.51 / 2.58s —
+    # with the recorded ~25% fresh-JVM warmup premium that lands on the
+    # r8 bench-context reading. VERDICT: ambient load during the r9
+    # driver bench, no bisect. (b) The driver-vs-solo adjudication gap
+    # itself is closed structurally: the bench JSON now carries
+    # ambient_start/ambient_end (loadavg + PID count), so a contended
+    # driver run is visible in the artifact. (c) Round-10 expected
+    # riser, REAL and accepted: q_split_lsh_summary moved to the md5
+    # hash family (one digest per shingle vs xxhash64) to retire its
+    # constants pin with a full SQL replay — measured 2.37 -> ~3.9s;
+    # q_stream_dedup_corpus made the same move at no measurable cost.
     import gc
 
     timings: dict[str, float] = {}

@@ -5112,3 +5112,219 @@ def q_curation_incremental_pruned(
             ),
         )
     )
+
+
+def _duck_logreg_sql(T: int = 3, lr: float = 1.0) -> str:
+    """Unrolled logistic-style training chain in DuckDB SQL: T gradient
+    steps from w=0, every per-row product in IEEE double with PINNED
+    parenthesization, every cross-row sum decimal-accumulated (order-
+    independent) — the same arithmetic contract the Spark side runs, so
+    the learned weights and all downstream scores replay bit-for-bit.
+    The squash is the RATIONAL sigmoid 0.5*(1 + z/(1+|z|)) — only
+    +,*,/,abs, no transcendental exp to diverge between libms."""
+    feats = ["1.0", "f.x1", "f.x2", "f.x3", "f.x4"]
+    z = ("((((w.a0 + (w.a1 * f.x1)) + (w.a2 * f.x2)) + (w.a3 * f.x3))"
+         " + (w.a4 * f.x4))")
+    sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
+    blocks = [
+        "w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3,"
+        " 0.0 AS a4)"
+    ]
+    for t in range(T):
+        sums = ", ".join(
+            f"CAST(SUM(CAST(({sig} - f.y) * {x} AS DECIMAL(28,12)))"
+            f" AS DOUBLE) AS g{j}"
+            for j, x in enumerate(feats)
+        )
+        # MATERIALIZED is load-bearing: without it DuckDB inlines the
+        # w/g chain at every reference and the plan doubles per step
+        # (2^T feat scans — measured as a hang at T=16)
+        blocks.append(
+            f"g{t} AS MATERIALIZED "
+            f"(SELECT {sums} FROM feat f CROSS JOIN w{t} w)"
+        )
+        upd = ", ".join(
+            f"(w.a{j} - ({lr} * (g.g{j} / (SELECT nn FROM nrows))))"
+            f" AS a{j}"
+            for j in range(5)
+        )
+        blocks.append(
+            f"w{t + 1} AS MATERIALIZED "
+            f"(SELECT {upd} FROM w{t} w CROSS JOIN g{t} g)"
+        )
+    return ",\n    ".join(blocks)
+
+
+_DUCK_QC_FEAT = """
+    toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    feat AS MATERIALIZED (
+      SELECT CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END AS y,
+             CAST(len(tk) AS DOUBLE) / 100.0 AS x1,
+             (CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE)) / 10.0 AS x2,
+             CAST(len(list_distinct(tk)) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS x3,
+             CAST(len(list_filter(tk,
+                    t -> list_contains(['the', 'a'], t))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS x4
+      FROM toks WHERE len(tk) >= 1
+    ),
+    nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM feat)"""
+
+
+@register(
+    "q_quality_classifier",
+    # Round 10 ambition item: the learned-classifier stage of the
+    # CCNet-style curation stack (Wenzek et al. 2020 — public method:
+    # train a cheap quality classifier against gate labels, score the
+    # whole corpus). Logistic-style regression trained DISTRIBUTEDLY:
+    # each of the 16 gradient steps is ONE corpus pass reducing to 5
+    # decimal-accumulated sums (the operators/linalg.py moment-table
+    # pattern — bounded driver artifact, order-independent), weights
+    # update driver-side, the final weights broadcast back for the
+    # corpus-wide scoring pass. Cross-engine exactness: the RATIONAL
+    # sigmoid 0.5*(1+z/(1+|z|)) replaces exp (no transcendental to
+    # diverge), per-row math is IEEE double with pinned
+    # parenthesization, cross-row sums are DECIMAL(28,12) — so the
+    # oracle's unrolled SQL training chain reproduces the weights and
+    # the per-label score aggregates bit-for-bit (reported at 9
+    # decimals, the repo's decimal-midpoint convention).
+    oracle=f"""
+    WITH
+    {_DUCK_QC_FEAT},
+    {_duck_logreg_sql(16, 16.0)},
+    scored AS (
+      SELECT f.y,
+             (0.5 * (1.0 + ((((w.a0 + (w.a1 * f.x1)) + (w.a2 * f.x2))
+                             + (w.a3 * f.x3)) + (w.a4 * f.x4))
+                    / (1.0 + abs((((w.a0 + (w.a1 * f.x1))
+                                   + (w.a2 * f.x2)) + (w.a3 * f.x3))
+                                 + (w.a4 * f.x4))))) AS s
+      FROM feat f CROSS JOIN w16 w
+    )
+    SELECT CAST(y AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_score,
+           ROUND(CAST(COUNT(*) FILTER (WHERE s >= 0.5) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS frac_ge_half
+    FROM scored GROUP BY y
+    """,
+    doc="Quality-classifier training loop (CCNet's learned filter "
+        "stage): logistic-style regression on cheap text features "
+        "(token count, mean word length /10, distinct-token ratio, "
+        "stopword ratio) against the quality gate's labels "
+        "(n_chars >= 200), trained in 16 distributed gradient passes — "
+        "each pass reduces the corpus to 5 decimal-exact gradient "
+        "sums, nothing driver-side scales with data — then scored "
+        "corpus-wide with the broadcast weights. Rational sigmoid + "
+        "pinned parenthesization + decimal accumulation make the "
+        "whole training trajectory oracle-replayable; emits per-label "
+        "score aggregates (the separation a curation engineer reads "
+        "before trusting the filter).",
+    tags=("llm", "quality", "classifier", "pipeline"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_tok = F.size("tk").cast("double")
+    feats = (
+        docs.filter(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        )
+        .select("n_chars", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            F.when(F.col("n_chars") >= 200, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            (n_tok / F.lit(100.0)).alias("x1"),
+            (
+                (
+                    F.aggregate(
+                        "tk", F.lit(0), lambda a, t: a + F.length(t)
+                    ).cast("double")
+                    / n_tok
+                )
+                / F.lit(10.0)
+            ).alias("x2"),
+            (F.size(F.array_distinct("tk")).cast("double") / n_tok).alias(
+                "x3"
+            ),
+            (
+                F.size(
+                    F.filter("tk", lambda t: t.isin("the", "a"))
+                ).cast("double")
+                / n_tok
+            ).alias("x4"),
+        )
+        .localCheckpoint(eager=True)  # read 3+1 times, bounded columns
+    )
+    n = float(feats.count())
+    dec = "decimal(28,12)"
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    w = [0.0] * 5
+    lr = 16.0
+
+    def z_expr():
+        return (
+            (
+                (
+                    (F.lit(w[0]) + (F.lit(w[1]) * F.col("x1")))
+                    + (F.lit(w[2]) * F.col("x2"))
+                )
+                + (F.lit(w[3]) * F.col("x3"))
+            )
+            + (F.lit(w[4]) * F.col("x4"))
+        )
+
+    def sig_expr():
+        z = z_expr()
+        return F.lit(0.5) * (
+            F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))
+        )
+
+    for _ in range(16):
+        sig = sig_expr()
+        g = feats.agg(
+            *[
+                F.sum(((sig - F.col("y")) * xj).cast(dec))
+                .cast("double")
+                .alias(f"g{j}")
+                for j, xj in enumerate(xs)
+            ]
+        ).collect()[0]
+        w = [w[j] - (lr * (g[f"g{j}"] / n)) for j in range(5)]
+
+    sig = sig_expr()
+    return (
+        feats.select("y", sig.alias("s"))
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("s").cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_score"),
+            F.round(
+                F.sum((F.col("s") >= 0.5).cast("double"))
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("frac_ge_half"),
+        )
+        .select(
+            F.col("y").cast("int").alias("label"),
+            "n",
+            "mean_score",
+            "frac_ge_half",
+        )
+    )
