@@ -2406,7 +2406,9 @@ _attach_bloom_oracle()
     # batch-id idempotence heals the tear asymmetrically — MRL and
     # CMS refuse the re-delivery, KMV applies it — and every family's
     # final state is pinned value-equal to an uninterrupted control
-    # run. Cross-engine pins per family: MRL weight == COUNT(value),
+    # run. The crashed run rides the MANIFEST generation protocol and
+    # the control the directory listing, so the same equality also
+    # pins cross-protocol equivalence through a real crash/restart. Cross-engine pins per family: MRL weight == COUNT(value),
     # CMS row-mass == COUNT(*) plus a fully-replayed point estimate
     # (Knuth hash chain), KMV exact distinct plus the replayed
     # estimate. The production observability stack as one query.
@@ -2546,7 +2548,14 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     skipped: dict[str, list[int]] = {"mrl": [], "cms": [], "kmv": []}
 
+    # the crashed run rides the MANIFEST generation protocol (the
+    # object-store-safe variant) and the control rides the default
+    # directory listing — so the final value-equality pin ALSO pins
+    # cross-protocol equivalence through a real crash/restart
+    protocols = {roots[0]: "manifest", roots[1]: "listing"}
+
     def run_stream(root: str, crash_in_batch: int | None) -> None:
+        proto = protocols[root]
         schema = spark.read.parquet(stage).schema
         feed = (
             spark.readStream.format("parquet")
@@ -2564,11 +2573,13 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             if not sketch_ledger_apply(
-                spark, f"{root}/mrl", sk, batch_id
+                spark, f"{root}/mrl", sk, batch_id, protocol=proto
             ):
                 skipped["mrl"].append(batch_id)
             # family 2: additive CMS ledger
-            prev, applied = rows_ledger_read(spark, f"{root}/cms")
+            prev, applied = rows_ledger_read(
+                spark, f"{root}/cms", protocol=proto
+            )
             if batch_id <= applied:
                 skipped["cms"].append(batch_id)
             else:
@@ -2583,13 +2594,16 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, f"{root}/cms",
                     [(i, b, c) for (i, b), c in sorted(state.items())],
                     cms_schema, batch_id, applied_through=applied,
+                    protocol=proto,
                 )
             # the injected crash: TORN ACROSS FAMILIES — MRL and CMS
             # committed this batch, KMV has not
             if batch_id == crash_in_batch:
                 raise RuntimeError("injected crash between family commits")
             # family 3: KMV k-smallest-union ledger
-            prev, applied = rows_ledger_read(spark, f"{root}/kmv")
+            prev, applied = rows_ledger_read(
+                spark, f"{root}/kmv", protocol=proto
+            )
             if batch_id <= applied:
                 skipped["kmv"].append(batch_id)
             else:
@@ -2612,7 +2626,7 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark, f"{root}/kmv",
                     [("h", v) for v in vals] + [("n", n)],
                     "kind string, v long", batch_id,
-                    applied_through=applied,
+                    applied_through=applied, protocol=proto,
                 )
             bdf.unpersist()
 
@@ -2641,9 +2655,16 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         finals = {}
         for tag, root in (("crash", roots[0]), ("ctrl", roots[1])):
-            mrl_state, mrl_gen = sketch_ledger_read(spark, f"{root}/mrl")
-            cms_rows, cms_gen = rows_ledger_read(spark, f"{root}/cms")
-            kmv_rows, kmv_gen = rows_ledger_read(spark, f"{root}/kmv")
+            proto = protocols[root]
+            mrl_state, mrl_gen = sketch_ledger_read(
+                spark, f"{root}/mrl", protocol=proto
+            )
+            cms_rows, cms_gen = rows_ledger_read(
+                spark, f"{root}/cms", protocol=proto
+            )
+            kmv_rows, kmv_gen = rows_ledger_read(
+                spark, f"{root}/kmv", protocol=proto
+            )
             finals[tag] = {
                 "mrl": (
                     {
