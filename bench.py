@@ -281,11 +281,16 @@ def main() -> None:
     # driver bench, no bisect. (b) The driver-vs-solo adjudication gap
     # itself is closed structurally: the bench JSON now carries
     # ambient_start/ambient_end (loadavg + PID count), so a contended
-    # driver run is visible in the artifact. (c) Round-10 expected
-    # riser, REAL and accepted: q_split_lsh_summary moved to the md5
-    # hash family (one digest per shingle vs xxhash64) to retire its
-    # constants pin with a full SQL replay — measured 2.37 -> ~3.9s;
-    # q_stream_dedup_corpus made the same move at no measurable cost.
+    # driver run is visible in the artifact. (c) Round-10 plan change,
+    # measured FREE: q_split_lsh_summary and q_stream_dedup_corpus
+    # moved to the md5 hash family (one digest per shingle vs
+    # xxhash64) to retire their constants pins with full SQL replays —
+    # the solo close-out bench read 2.27s and 1.67s vs r9's 2.37s /
+    # 1.88s (an early loaded-machine 3.9s reading was ambient, not the
+    # md5 cost). Round-10 solo close-out: common-61 at 0.878x of the
+    # r9 DRIVER bench (65.8 vs 75.0s) — confirming the r9 driver
+    # reading was ambient-inflated; from this round the JSON's
+    # ambient_start/ambient_end fields make that a lookup.
     import gc
 
     timings: dict[str, float] = {}
