@@ -126,15 +126,20 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           CAST((n * sxy - sx * sy)
+           ROUND(CAST((n * sxy - sx * sy)
                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-                AS DOUBLE) AS corr_qty_price
+                AS DOUBLE), 9) AS corr_qty_price
     FROM s
     """,
     doc="Pearson correlation rebuilt from exact-decimal moment sums — "
         "order-independent across partitions, unlike corr() over raw "
         "doubles whose accumulation order varies run to run. One shuffle, "
-        "map-side partial aggregation of all five moments at once.",
+        "map-side partial aggregation of all five moments at once. "
+        "Reported at 9 decimals: the moment sums are exact, but the "
+        "DECIMAL->DOUBLE conversion itself is correctly rounded in "
+        "Spark (BigDecimal.doubleValue) and double-rounded in DuckDB "
+        "(int128->double, then scale division) — a 1-ulp divergence "
+        "the round-10 sf0.001 full sweep surfaced on the A flag.",
     tags=("agg", "stats"),
 )
 def q_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +159,9 @@ def q_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select(
-        "l_returnflag", "n", corr.cast("double").alias("corr_qty_price")
+        "l_returnflag",
+        "n",
+        F.round(corr.cast("double"), 9).alias("corr_qty_price"),
     )
 
 

@@ -493,13 +493,57 @@ def probe_ops(spark, path: str) -> dict[str, float]:
     return secs
 
 
+def probe_textsim(spark, path: str) -> dict[str, float]:
+    """Round-10 text-similarity family: the reworked pair generators.
+    tfidf_prefix_cosine is the AllPairs prefix-filter + exact-decimal
+    verify plan (queries/llm.py q_tfidf_cosine_pairs) — the full Σdf²
+    self-join it replaced measured 343s at 1x, i.e. it would not even
+    finish a 10x probe; the filter's candidates grow with the corpus
+    (cross-copy similarity is zero by construction, so ~k-fold, never
+    k²-fold). ngram_jaccard_index is the inverted-index exact-Jaccard
+    pair generator the round-10 oracles now mirror. Expect ~linear
+    ratios; super-linear is a scale bug."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from dataintegration_csvprovider_spark.queries.llm import (
+        q_dedup_ngram_jaccard,
+        q_tfidf_cosine_pairs,
+    )
+
+    root = _tempfile.mkdtemp(prefix="textsim_sf_")
+    spark.read.parquet(path).write.mode("overwrite").parquet(
+        f"{root}/documents.parquet"
+    )
+    secs: dict[str, float] = {}
+
+    def timed(name, fn):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        fn()
+        secs[name] = round(time.monotonic() - t0, 3)
+
+    try:
+        timed(
+            "tfidf_prefix_cosine",
+            lambda: q_tfidf_cosine_pairs(spark, root).count(),
+        )
+        timed(
+            "ngram_jaccard_index",
+            lambda: q_dedup_ngram_jaccard(spark, root).count(),
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return secs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument(
         "--family",
         choices=["dedup", "similarity", "graph", "curation", "prefixsum",
-                 "retrieval", "filters", "sketches"],
+                 "retrieval", "filters", "sketches", "textsim"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -515,6 +559,7 @@ def main() -> None:
         "retrieval": (build_scaled, probe_retrieval),
         "filters": (build_scaled, probe_filters),
         "sketches": (build_scaled, probe_sketches),
+        "textsim": (build_scaled, probe_textsim),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
