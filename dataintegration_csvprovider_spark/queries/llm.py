@@ -5328,3 +5328,587 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_ge_half",
         )
     )
+
+
+# --- PII scrub family (operators/pii.py) ------------------------------------
+
+#: deterministic PII-bearing corpus built IN-QUERY by both engines (the
+#: fixtures are clean word-pool text, so the detectors would be vacuous on
+#: them): emails / phones / dotted quads (1 in 7 docs gets doc_id % 400 as
+#: an octet — >= 256 exercises the range check) / 16-digit card candidates
+#: whose Luhn validity VARIES with doc_id (both engines compute it, never
+#: assume it) plus a known-valid card every 13th doc so the valid count is
+#: non-degenerate at every SF.
+_DUCK_PII_CORPUS = """
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+         || CAST(doc_id % 400 AS VARCHAR) || '.0.1' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' card 4532'
+         || lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')
+         || '9903' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' card 4532015112830366' ELSE '' END
+      AS text
+  FROM documents
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_CARD = "\\b\\d{13,16}\\b"
+
+#: Luhn over a REVERSED digits string bound to lambda var ``r`` — the
+#: same integer fold the Spark side runs (operators/pii.py luhn_valid):
+#: 1-based even positions doubled (== 0-based odd), minus 9 past 9,
+#: sum mod 10.
+_DUCK_LUHN_R = (
+    "list_sum(list_transform(range(1, length(r) + 1), "
+    "i -> CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN (ascii(substring(r, i, 1)) - 48) * 2 > 9 "
+    "THEN (ascii(substring(r, i, 1)) - 48) * 2 - 9 "
+    "ELSE (ascii(substring(r, i, 1)) - 48) * 2 END "
+    "ELSE ascii(substring(r, i, 1)) - 48 END)) % 10 = 0"
+)
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_DUCK_PII_CORPUS` — identical string algebra,
+    so both engines scrub the exact same corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (d % 400).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" card 4532"),
+                    F.lpad(((d * 7919) % 100000000).cast("string"), 8, "0"),
+                    F.lit("9903"),
+                ),
+            ).otherwise(""),
+            F.when(d % 13 == 0, F.lit(" card 4532015112830366")).otherwise(
+                ""
+            ),
+        ).alias("text"),
+    )
+
+
+@register(
+    "q_pii_audit",
+    # all outputs are integer counts / booleans over identical strings —
+    # the Luhn fold and the octet range check are pure int arithmetic,
+    # replayed per candidate by both engines
+    oracle=f"""
+    WITH aug AS ({_DUCK_PII_CORPUS}),
+    c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+             regexp_extract_all(text, '{_PII_IPV4}') AS ips,
+             regexp_extract_all(text, '{_PII_CARD}') AS cards
+      FROM aug),
+    v AS (
+      SELECT doc_id, n_email, n_phone,
+             len(ips) AS n_ip_c,
+             len(list_filter(ips, q -> len(list_filter(
+                 string_split(q, '.'),
+                 o -> CAST(o AS INTEGER) <= 255)) = 4)) AS n_ip_v,
+             len(cards) AS n_card_c,
+             len(list_filter(list_transform(cards, cc -> reverse(cc)),
+                 r -> {_DUCK_LUHN_R})) AS n_card_v
+      FROM c)
+    SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_ip_c AS BIGINT) AS n_ip_candidates,
+           CAST(n_ip_v AS BIGINT) AS n_ip_valid,
+           CAST(n_card_c AS BIGINT) AS n_card_candidates,
+           CAST(n_card_v AS BIGINT) AS n_card_valid,
+           CAST(n_card_c - n_card_v AS BIGINT) AS n_card_luhn_fail,
+           (n_email + n_phone + n_ip_c + n_card_c) > 0 AS has_pii
+    FROM v
+    """,
+    doc="PII census over a deterministic PII-bearing corpus (built "
+        "in-query by both engines — the fixtures are clean): per-doc "
+        "email/phone counts, IPv4 candidates vs octet-validated, card "
+        "candidates Luhn-partitioned into valid/failing (the checksum is "
+        "COMPUTED per candidate by both engines), and the conservative "
+        "has_pii release gate. Pure codegen'd Column algebra — "
+        "regexp_count / regexp_extract_all / integer array folds, no "
+        "UDF (operators/pii.py). The release-gate scrub pass of the "
+        "ROOTS/Dolma recipe.",
+    tags=("text", "pii", "governance"),
+)
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import pii_audit
+
+    return pii_audit(_pii_corpus(spark, sf_dir)).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip_candidates",
+        "n_ip_valid",
+        "n_card_candidates",
+        "n_card_valid",
+        "n_card_luhn_fail",
+        "has_pii",
+    )
+
+
+@register(
+    "q_pii_redact",
+    # the redacted STRINGS are hash-pinned — any regex-dialect divergence
+    # between Java regex and DuckDB's RE2 on these patterns (kept
+    # lookaround-free for exactly that reason) fails the gate
+    oracle=f"""
+    WITH aug AS ({_DUCK_PII_CORPUS})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_CARD}', '<CARD>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}'))
+              + len(regexp_extract_all(text, '{_PII_CARD}'))
+              AS BIGINT) AS n_redacted
+    FROM aug
+    """,
+    doc="Typed-mask PII redaction (<EMAIL>/<PHONE>/<IP>/<CARD>) in fixed "
+        "class order over the same constructed corpus; the full redacted "
+        "text of every document is value-pinned, so the two engines' "
+        "regex automatons must agree match-for-match. Conservative "
+        "posture: every candidate masked, lookalikes included — a masked "
+        "lookalike leaks nothing, a missed true positive does. One "
+        "chained regexp_replace projection, no UDF, scales with the "
+        "scan (operators/pii.py pii_redact).",
+    tags=("text", "pii", "governance"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import pii_redact
+
+    return pii_redact(_pii_corpus(spark, sf_dir)).select(
+        "doc_id", "redacted", "n_redacted"
+    )
+
+
+@register(
+    "q_mixture_anneal",
+    # every double is derived by the SAME op sequence in both engines
+    # (shares, quotas, epochs: int-exact operands folded left-to-right in
+    # IEEE doubles; products stay < 2^53 so they are exact) — no round()
+    # anywhere, the dyadic-midpoint lesson of the r9 sweep applied at
+    # design time
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS avail,
+             CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hi
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS c,
+             CAST(FLOOR(0.6 * CAST(SUM(avail) AS DOUBLE)) AS BIGINT) AS b1,
+             CAST(FLOOR(0.15 * CAST(SUM(avail) AS DOUBLE)) AS BIGINT) AS b2
+      FROM s),
+    p1 AS (
+      SELECT 1 AS phase, s.source, s.n_docs, s.avail,
+             CAST(s.avail AS DOUBLE) / CAST(t.c AS DOUBLE) AS weight,
+             CAST(t.b1 AS DOUBLE) * CAST(s.avail AS DOUBLE)
+               / CAST(t.c AS DOUBLE) AS quota_raw,
+             t.b1 AS b
+      FROM s, tot t),
+    p2w AS (
+      SELECT s.source, s.n_docs, s.avail,
+             CAST(FLOOR(CAST(s.n_hi * 1000000 AS DOUBLE)
+                        / CAST(s.n_docs AS DOUBLE)) AS BIGINT) + 1000
+               AS w2, t.b2 AS b
+      FROM s, tot t),
+    p2 AS (
+      SELECT 2 AS phase, source, n_docs, avail,
+             CAST(w2 AS DOUBLE) / CAST(SUM(w2) OVER () AS DOUBLE)
+               AS weight,
+             CAST(b AS DOUBLE) * CAST(w2 AS DOUBLE)
+               / CAST(SUM(w2) OVER () AS DOUBLE) AS quota_raw,
+             b
+      FROM p2w),
+    u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+    seats AS (
+      SELECT phase, source, n_docs, avail, weight, b,
+             CAST(FLOOR(quota_raw) AS BIGINT) AS base,
+             quota_raw - FLOOR(quota_raw) AS rem
+      FROM u),
+    ranked AS (
+      SELECT *,
+             b - SUM(base) OVER (PARTITION BY phase) AS leftover,
+             ROW_NUMBER() OVER (PARTITION BY phase
+                                ORDER BY rem DESC, source) AS rn
+      FROM seats),
+    fin AS (
+      SELECT phase, source, n_docs, avail AS avail_chars, weight,
+             LEAST(avail,
+                   base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)
+               AS char_budget
+      FROM ranked)
+    SELECT phase, source, n_docs, avail_chars, weight,
+           CAST(char_budget AS BIGINT) AS char_budget,
+           CAST(char_budget AS DOUBLE) / CAST(avail_chars AS DOUBLE)
+             AS budget_frac
+    FROM fin
+    """,
+    doc="Two-phase annealed data mixture (the Llama-3/OLMo end-of-train "
+        "recipe): phase 1 apportions 60% of the corpus char volume "
+        "proportionally to availability; phase 2 apportions a 15% anneal "
+        "slice by a data-derived quality weight (fraction of docs with "
+        ">= 200 chars, +0.001 smoothing floor) — upweighting high-"
+        "quality sources at the end of training. Integer budgets by "
+        "largest-remainder (Hamilton) apportionment per phase, capped "
+        "at availability; the budget-to-availability fraction is the "
+        "per-source epoch multiplier. One group-by scan + bounded "
+        "(#sources x 2 rows) window work — scale-free at 100 TB.",
+    tags=("sample", "llm", "mixture", "anneal"),
+)
+def q_mixture_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("avail"),
+        F.sum((F.col("n_chars") >= 200).cast("bigint"))
+        .cast("bigint")
+        .alias("n_hi"),
+    )
+    every = Window.partitionBy()
+    # the quality weight is an exact INTEGER (millionths of the >=200-char
+    # doc fraction, +1000 smoothing floor = +0.001): the normalizing sum
+    # is then order-free bigint arithmetic — a double SUM here diverges
+    # at 1 ulp between engines (measured at sf0.001 before this form)
+    s = (
+        s.withColumn("c", F.sum("avail").over(every).cast("bigint"))
+        .withColumn(
+            "b1",
+            F.floor(F.lit(0.6) * F.col("c").cast("double")).cast("bigint"),
+        )
+        .withColumn(
+            "b2",
+            F.floor(F.lit(0.15) * F.col("c").cast("double")).cast("bigint"),
+        )
+        .withColumn(
+            "w2",
+            F.floor(
+                (F.col("n_hi") * 1000000).cast("double")
+                / F.col("n_docs").cast("double")
+            ).cast("bigint")
+            + F.lit(1000),
+        )
+        .withColumn("sw2", F.sum("w2").over(every).cast("bigint"))
+    )
+    # ONE corpus scan: the per-source aggregate crosses a 2-row phase
+    # axis; weights/quotas select per phase via CASE — no branch ever
+    # re-derives the aggregate (a two-branch union re-scans the corpus
+    # once per branch)
+    u = s.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2))).alias("phase")
+    ).select(
+        "phase",
+        "source",
+        "n_docs",
+        "avail",
+        F.when(
+            F.col("phase") == 1,
+            F.col("avail").cast("double") / F.col("c").cast("double"),
+        )
+        .otherwise(
+            F.col("w2").cast("double") / F.col("sw2").cast("double")
+        )
+        .alias("weight"),
+        F.when(
+            F.col("phase") == 1,
+            F.col("b1").cast("double")
+            * F.col("avail").cast("double")
+            / F.col("c").cast("double"),
+        )
+        .otherwise(
+            F.col("b2").cast("double")
+            * F.col("w2").cast("double")
+            / F.col("sw2").cast("double")
+        )
+        .alias("quota_raw"),
+        F.when(F.col("phase") == 1, F.col("b1"))
+        .otherwise(F.col("b2"))
+        .alias("b"),
+    )
+    seats = u.select(
+        "phase",
+        "source",
+        "n_docs",
+        "avail",
+        "weight",
+        "b",
+        F.floor("quota_raw").cast("bigint").alias("base"),
+        (F.col("quota_raw") - F.floor("quota_raw")).alias("rem"),
+    )
+    byphase = Window.partitionBy("phase")
+    ranked = seats.withColumn(
+        "leftover", F.col("b") - F.sum("base").over(byphase)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("phase").orderBy(
+                F.col("rem").desc(), F.col("source")
+            )
+        ),
+    )
+    fin = ranked.select(
+        "phase",
+        "source",
+        "n_docs",
+        F.col("avail").alias("avail_chars"),
+        "weight",
+        F.least(
+            F.col("avail"),
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0),
+        )
+        .cast("bigint")
+        .alias("char_budget"),
+    )
+    return fin.select(
+        "phase",
+        "source",
+        "n_docs",
+        "avail_chars",
+        "weight",
+        "char_budget",
+        (
+            F.col("char_budget").cast("double")
+            / F.col("avail_chars").cast("double")
+        ).alias("budget_frac"),
+    )
+
+
+# --- URL canonicalization / crawl dedup --------------------------------------
+
+#: deterministic URL corpus both engines construct in-query (the fixtures
+#: carry no URL column): four variant classes exercising every
+#: canonicalization rule — uppercase scheme+host with www. and an
+#: explicit default :80 port plus utm_ tracking params and a fragment;
+#: a clean https twin; an http variant with a NON-default :8080 port
+#: (must be KEPT) and a trailing slash; and a blocklisted .net domain.
+_DUCK_URL_CORPUS = """
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 20 AS VARCHAR)
+        || '.com:80/path/' || CAST(doc_id % 7 AS VARCHAR)
+        || '/?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR)
+        || '.com/path/' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2'
+      WHEN 2 THEN 'http://example' || CAST(doc_id % 20 AS VARCHAR)
+        || '.com:8080/path/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+      ELSE 'https://blocked' || CAST(doc_id % 3 AS VARCHAR)
+        || '.net/x?id=' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+"""
+
+_URL_BLOCKLIST = ("blocked0.net", "blocked1.net", "blocked2.net")
+
+
+@register(
+    "q_url_canonicalize",
+    # every output is a string / boolean derived by identical regex +
+    # array algebra: fragment strip, scheme+host lowering, www. strip,
+    # default-port strip (:80 only under http, :443 under https —
+    # non-default ports survive), trailing-slash collapse, utm_* query
+    # params dropped and the survivors SORTED (binary collation in both
+    # engines) — then first-occurrence crawl dedup over the canonical
+    # form and a suffix blocklist verdict
+    oracle=f"""
+    WITH raw AS ({_DUCK_URL_CORPUS}),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+               AS hostport,
+             COALESCE(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)',
+                                     1), '') AS path,
+             COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+      FROM raw),
+    norm AS (
+      SELECT doc_id, scheme,
+             CASE
+               WHEN scheme = 'http' THEN
+                 regexp_replace(regexp_replace(hostport, ':80$', ''),
+                                '^www\\.', '')
+               WHEN scheme = 'https' THEN
+                 regexp_replace(regexp_replace(hostport, ':443$', ''),
+                                '^www\\.', '')
+               ELSE regexp_replace(hostport, '^www\\.', '')
+             END AS host,
+             CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(path, '/+$', '') END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+               AS query
+      FROM parts),
+    canon AS (
+      SELECT doc_id, host,
+             scheme || '://' || host || path
+               || CASE WHEN query <> '' THEN '?' || query ELSE '' END
+               AS canonical_url
+      FROM norm),
+    flagged AS (
+      SELECT doc_id, canonical_url, host,
+             host IN ('blocked0.net', 'blocked1.net', 'blocked2.net')
+               AS is_blocked,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                ORDER BY doc_id) = 1 AS is_kept
+      FROM canon)
+    SELECT doc_id, canonical_url, host, is_blocked, is_kept FROM flagged
+    """,
+    doc="Crawl-side URL canonicalization + first-occurrence dedup + "
+        "domain blocklist over a deterministic 4-variant URL corpus "
+        "built in-query by both engines: fragment strip, scheme/host "
+        "lowercasing, www. strip, default-port strip (:80/http, "
+        ":443/https — the :8080 variant survives), trailing-slash "
+        "collapse, utm_* tracking-param removal with surviving params "
+        "sorted. The canonical STRING of every row is hash-pinned; "
+        "dedup keeps the lowest doc_id per canonical form (one "
+        "canonical-keyed shuffle — the crawl frontier dedup at any "
+        "scale); the blocklist is a broadcast-sized IN filter. All "
+        "codegen'd regex/array algebra, no UDF.",
+    tags=("text", "url", "dedup", "curation"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m = d % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example"),
+                (d % 20).cast("string"),
+                F.lit(".com:80/path/"),
+                (d % 7).cast("string"),
+                F.lit("/?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://example"),
+                (d % 20).cast("string"),
+                F.lit(".com/path/"),
+                (d % 7).cast("string"),
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://example"),
+                (d % 20).cast("string"),
+                F.lit(".com:8080/path/"),
+                (d % 7).cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://blocked"),
+                (d % 3).cast("string"),
+                F.lit(".net/x?id="),
+                d.cast("string"),
+            )
+        )
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    path0 = F.coalesce(
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), F.lit("")
+    )
+    query0 = F.coalesce(F.regexp_extract(u, r"\?([^#]*)", 1), F.lit(""))
+    host = F.regexp_replace(
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport),
+        r"^www\.",
+        "",
+    )
+    path_stripped = F.regexp_replace(path0, "/+$", "")
+    path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query0, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""),
+    )
+    canon = raw.select(
+        "doc_id",
+        canonical.alias("canonical_url"),
+        host.alias("host"),
+    )
+    blocked = F.col("host").isin(*_URL_BLOCKLIST)
+    kept = (
+        F.row_number().over(
+            Window.partitionBy("canonical_url").orderBy("doc_id")
+        )
+        == 1
+    )
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        "host",
+        blocked.alias("is_blocked"),
+        kept.alias("is_kept"),
+    )
