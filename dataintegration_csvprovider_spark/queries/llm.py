@@ -5747,18 +5747,11 @@ _DUCK_URL_CORPUS = """
 
 _URL_BLOCKLIST = ("blocked0.net", "blocked1.net", "blocked2.net")
 
-
-@register(
-    "q_url_canonicalize",
-    # every output is a string / boolean derived by identical regex +
-    # array algebra: fragment strip, scheme+host lowering, www. strip,
-    # default-port strip (:80 only under http, :443 under https —
-    # non-default ports survive), trailing-slash collapse, utm_* query
-    # params dropped and the survivors SORTED (binary collation in both
-    # engines) — then first-occurrence crawl dedup over the canonical
-    # form and a suffix blocklist verdict
-    oracle=f"""
-    WITH raw AS ({_DUCK_URL_CORPUS}),
+#: shared canonicalization CTE chain (raw -> parts -> norm -> canon):
+#: canon(doc_id, host, path, canonical_url) — reused by the crawl-dedup
+#: and robots oracles so both replay the IDENTICAL normalization
+_DUCK_URL_CANON_CTES = f"""
+    raw AS ({_DUCK_URL_CORPUS}),
     parts AS (
       SELECT doc_id,
              lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -5787,36 +5780,16 @@ _URL_BLOCKLIST = ("blocked0.net", "blocked1.net", "blocked2.net")
                AS query
       FROM parts),
     canon AS (
-      SELECT doc_id, host,
+      SELECT doc_id, host, path,
              scheme || '://' || host || path
                || CASE WHEN query <> '' THEN '?' || query ELSE '' END
                AS canonical_url
-      FROM norm),
-    flagged AS (
-      SELECT doc_id, canonical_url, host,
-             host IN ('blocked0.net', 'blocked1.net', 'blocked2.net')
-               AS is_blocked,
-             ROW_NUMBER() OVER (PARTITION BY canonical_url
-                                ORDER BY doc_id) = 1 AS is_kept
-      FROM canon)
-    SELECT doc_id, canonical_url, host, is_blocked, is_kept FROM flagged
-    """,
-    doc="Crawl-side URL canonicalization + first-occurrence dedup + "
-        "domain blocklist over a deterministic 4-variant URL corpus "
-        "built in-query by both engines: fragment strip, scheme/host "
-        "lowercasing, www. strip, default-port strip (:80/http, "
-        ":443/https — the :8080 variant survives), trailing-slash "
-        "collapse, utm_* tracking-param removal with surviving params "
-        "sorted. The canonical STRING of every row is hash-pinned; "
-        "dedup keeps the lowest doc_id per canonical form (one "
-        "canonical-keyed shuffle — the crawl frontier dedup at any "
-        "scale); the blocklist is a broadcast-sized IN filter. All "
-        "codegen'd regex/array algebra, no UDF.",
-    tags=("text", "url", "dedup", "curation"),
-)
-def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+      FROM norm)"""
 
+
+def _url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_DUCK_URL_CANON_CTES`: the constructed URL
+    corpus canonicalized to (doc_id, host, path, canonical_url)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     m = d % 4
@@ -5893,11 +5866,51 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""),
     )
-    canon = raw.select(
+    return raw.select(
         "doc_id",
-        canonical.alias("canonical_url"),
         host.alias("host"),
+        path.alias("path"),
+        canonical.alias("canonical_url"),
     )
+
+
+@register(
+    "q_url_canonicalize",
+    # every output is a string / boolean derived by identical regex +
+    # array algebra: fragment strip, scheme+host lowering, www. strip,
+    # default-port strip (:80 only under http, :443 under https —
+    # non-default ports survive), trailing-slash collapse, utm_* query
+    # params dropped and the survivors SORTED (binary collation in both
+    # engines) — then first-occurrence crawl dedup over the canonical
+    # form and a suffix blocklist verdict
+    oracle=f"""
+    WITH {_DUCK_URL_CANON_CTES},
+    flagged AS (
+      SELECT doc_id, canonical_url, host,
+             host IN ('blocked0.net', 'blocked1.net', 'blocked2.net')
+               AS is_blocked,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                ORDER BY doc_id) = 1 AS is_kept
+      FROM canon)
+    SELECT doc_id, canonical_url, host, is_blocked, is_kept FROM flagged
+    """,
+    doc="Crawl-side URL canonicalization + first-occurrence dedup + "
+        "domain blocklist over a deterministic 4-variant URL corpus "
+        "built in-query by both engines: fragment strip, scheme/host "
+        "lowercasing, www. strip, default-port strip (:80/http, "
+        ":443/https — the :8080 variant survives), trailing-slash "
+        "collapse, utm_* tracking-param removal with surviving params "
+        "sorted. The canonical STRING of every row is hash-pinned; "
+        "dedup keeps the lowest doc_id per canonical form (one "
+        "canonical-keyed shuffle — the crawl frontier dedup at any "
+        "scale); the blocklist is a broadcast-sized IN filter. All "
+        "codegen'd regex/array algebra, no UDF.",
+    tags=("text", "url", "dedup", "curation"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    canon = _url_canon(spark, sf_dir)
     blocked = F.col("host").isin(*_URL_BLOCKLIST)
     kept = (
         F.row_number().over(
@@ -5911,4 +5924,114 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         blocked.alias("is_blocked"),
         kept.alias("is_kept"),
+    )
+
+
+@register(
+    "q_robots_filter",
+    # longest-match precedence is pure integer/string algebra: rule set
+    # and URL corpus constructed identically in both engines; the winning
+    # rule per URL is ROW_NUMBER over (length DESC, allow DESC, prefix)
+    # — ties broken allow-first per the public robots.txt RFC 9309 rule
+    oracle=f"""
+    WITH {_DUCK_URL_CANON_CTES},
+    rules AS (
+      SELECT 'example' || CAST(k AS VARCHAR) || '.com' AS host,
+             '/path' AS prefix, FALSE AS allow
+      FROM range(15) t(k)
+      UNION ALL
+      SELECT 'example' || CAST(k AS VARCHAR) || '.com',
+             '/path/' || CAST(k % 3 AS VARCHAR), TRUE
+      FROM range(20) t(k)
+      UNION ALL
+      SELECT 'blocked' || CAST(b AS VARCHAR) || '.net', '/', FALSE
+      FROM range(3) t(b)),
+    m AS (
+      SELECT c.doc_id, r.prefix, r.allow
+      FROM canon c JOIN rules r
+        ON c.host = r.host AND starts_with(c.path, r.prefix)),
+    best AS (
+      SELECT doc_id, prefix, allow,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY length(prefix) DESC, allow DESC, prefix) AS rn
+      FROM m)
+    SELECT c.doc_id, c.host, c.path,
+           COALESCE(b.prefix, '') AS matched_rule,
+           CAST(COALESCE(length(b.prefix), 0) AS BIGINT) AS rule_len,
+           COALESCE(b.allow, TRUE) AS allowed
+    FROM canon c
+    LEFT JOIN (SELECT doc_id, prefix, allow FROM best WHERE rn = 1) b
+      USING (doc_id)
+    """,
+    doc="robots.txt-style crawl-permission filter (RFC 9309 precedence): "
+        "a constructed per-host rule set — a short Disallow '/path' on "
+        "hosts 0-14 (hosts 15-19 carry ONLY an Allow, exercising the "
+        "default-allow path), a LONGER Allow '/path/<k%3>' that "
+        "overrides it on matching subtrees, and Disallow '/' on the "
+        "blocklisted .net hosts — joined to the canonicalized URL "
+        "corpus on host with a prefix predicate, then the most-specific "
+        "rule wins (longest prefix; allow beats disallow on ties; no "
+        "match = allowed — including the :8080 URLs, whose host:port "
+        "authority has no rule set: RFC 9309 binds rules per "
+        "authority). The distributed longest-prefix-match "
+        "pattern: one host-keyed equi-join (rule sets are broadcast-"
+        "sized per host) + one doc-keyed window — no cartesian, "
+        "scales with the URL count.",
+    tags=("text", "url", "curation", "governance"),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    canon = _url_canon(spark, sf_dir)
+    sp = spark
+    ex = sp.range(15).select(
+        F.concat(F.lit("example"), F.col("id").cast("string"), F.lit(".com"))
+        .alias("host"),
+        F.lit("/path").alias("prefix"),
+        F.lit(False).alias("allow"),
+    )
+    al = sp.range(20).select(
+        F.concat(F.lit("example"), F.col("id").cast("string"), F.lit(".com"))
+        .alias("host"),
+        F.concat(F.lit("/path/"), (F.col("id") % 3).cast("string")).alias(
+            "prefix"
+        ),
+        F.lit(True).alias("allow"),
+    )
+    bl = sp.range(3).select(
+        F.concat(F.lit("blocked"), F.col("id").cast("string"), F.lit(".net"))
+        .alias("host"),
+        F.lit("/").alias("prefix"),
+        F.lit(False).alias("allow"),
+    )
+    rules = ex.unionByName(al).unionByName(bl)
+    m = canon.join(
+        F.broadcast(rules),
+        (canon["host"] == rules["host"])
+        & canon["path"].startswith(rules["prefix"]),
+        "inner",
+    ).select(canon["doc_id"], rules["prefix"], rules["allow"])
+    best = (
+        m.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.length("prefix").desc(),
+                    F.col("allow").desc(),
+                    F.col("prefix"),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "prefix", "allow")
+    )
+    return canon.join(best, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce(F.col("prefix"), F.lit("")).alias("matched_rule"),
+        F.coalesce(F.length("prefix"), F.lit(0))
+        .cast("bigint")
+        .alias("rule_len"),
+        F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
     )

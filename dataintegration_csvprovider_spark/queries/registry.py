@@ -110,6 +110,7 @@ _GRADE_FIRST = [
     "q_pii_audit",
     "q_pii_redact",
     "q_url_canonicalize",
+    "q_robots_filter",
     "q_mixture_anneal",
     "q_quality_classifier",
     "q_curation_incremental_pruned",

@@ -163,3 +163,31 @@ def test_url_canonicalize_laws(spark, sf_dir):
         assert r.is_blocked == (r.host in
                                 ("blocked0.net", "blocked1.net",
                                  "blocked2.net"))
+
+
+def test_robots_filter_precedence(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.llm import q_robots_filter
+
+    rows = q_robots_filter(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add((r.matched_rule != "", r.allowed))
+        if r.host.startswith("blocked"):
+            assert r.matched_rule == "/" and not r.allowed
+        if r.matched_rule == "":
+            # default-allow exists only where no rule governs: hosts
+            # without a Disallow (index >= 15) or the :8080 authorities
+            # (robots rules bind per host:port — RFC 9309)
+            assert r.allowed
+            assert (
+                ":8080" in r.host
+                or int(r.host.removeprefix("example").split(".")[0]) >= 15
+            )
+        if r.matched_rule.startswith("/path/"):
+            # the longer Allow wins over the short Disallow
+            assert r.allowed and r.rule_len == 7
+    # all three regimes present: matched-deny, matched-allow, default
+    assert (True, False) in seen
+    assert (True, True) in seen
+    assert (False, True) in seen
