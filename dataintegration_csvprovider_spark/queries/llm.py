@@ -6035,3 +6035,98 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rule_len"),
         F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
     )
+
+
+@register(
+    "q_matryoshka_truncation",
+    # both cosines are the proven sequential double folds (bit-exact
+    # across engines); ranks tie-break on vec_id so the top-10 SETS are
+    # engine-identical; overlap/rank1 are then pure integer facts
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < 4),
+    c AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             {_duck_cos('q.qv', 'c.embedding')} AS cos_full,
+             {_duck_cos('q.qv[1:16]', 'c.embedding[1:16]')} AS cos_trunc
+      FROM q, c),
+    ranked AS (
+      SELECT qid, vec_id, cos_full, cos_trunc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_full DESC, vec_id) AS rn_full,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_trunc DESC, vec_id) AS rn_trunc
+      FROM scored)
+    SELECT qid,
+           CAST(COUNT(*) FILTER (WHERE rn_full <= 10 AND rn_trunc <= 10)
+                AS BIGINT) AS overlap_at_10,
+           MAX(vec_id) FILTER (WHERE rn_full = 1)
+             = MAX(vec_id) FILTER (WHERE rn_trunc = 1) AS rank1_match,
+           CAST(COUNT(*) FILTER (WHERE rn_full <= 10 AND rn_trunc <= 100)
+                AS BIGINT) AS recall10_at_100,
+           MAX(cos_full) FILTER (WHERE rn_full = 1) AS top1_full_cos,
+           MAX(cos_trunc) FILTER (WHERE rn_trunc = 1) AS top1_trunc_cos
+    FROM ranked GROUP BY qid
+    """,
+    doc="Matryoshka-style dimension-truncation quality gate: for 4 query "
+        "vectors, rank every candidate by exact cosine under the FULL "
+        "64 dims and under the first-16-dim PREFIX (the MRL deployment "
+        "trade-off: truncated vectors are 4x cheaper to store/scan), "
+        "then report top-10 overlap, rank-1 agreement, the count of "
+        "full-top-10 results inside the truncated top-100 shortlist "
+        "(recall10_at_100 — THE two-stage serving metric: prefix "
+        "shortlist + full-precision rerank) and both top-1 scores per "
+        "query. One "
+        "candidate scan (queries broadcast), both cosines in the same "
+        "projection, per-query rank windows (the q_bm25_batch shape — "
+        "partitioned by query, never a global single-partition sort).",
+    tags=("embedding", "similarity", "quality"),
+)
+def q_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 4).select("vec_id", "embedding")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        cosine_similarity_expr(F.col("qv"), F.col("embedding")).alias(
+            "cos_full"
+        ),
+        cosine_similarity_expr(
+            F.slice(F.col("qv"), 1, 16), F.slice(F.col("embedding"), 1, 16)
+        ).alias("cos_trunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rn_full", F.row_number().over(wf)).withColumn(
+        "rn_trunc", F.row_number().over(wt)
+    )
+    both = (F.col("rn_full") <= 10) & (F.col("rn_trunc") <= 10)
+    shortlisted = (F.col("rn_full") <= 10) & (F.col("rn_trunc") <= 100)
+    return ranked.groupBy("qid").agg(
+        F.sum(both.cast("bigint")).cast("bigint").alias("overlap_at_10"),
+        F.sum(shortlisted.cast("bigint"))
+        .cast("bigint")
+        .alias("recall10_at_100"),
+        (
+            F.max(F.when(F.col("rn_full") == 1, F.col("vec_id")))
+            == F.max(F.when(F.col("rn_trunc") == 1, F.col("vec_id")))
+        ).alias("rank1_match"),
+        F.max(F.when(F.col("rn_full") == 1, F.col("cos_full"))).alias(
+            "top1_full_cos"
+        ),
+        F.max(F.when(F.col("rn_trunc") == 1, F.col("cos_trunc"))).alias(
+            "top1_trunc_cos"
+        ),
+    )

@@ -111,6 +111,7 @@ _GRADE_FIRST = [
     "q_pii_redact",
     "q_url_canonicalize",
     "q_robots_filter",
+    "q_matryoshka_truncation",
     "q_mixture_anneal",
     "q_quality_classifier",
     "q_curation_incremental_pruned",

@@ -38,6 +38,7 @@ NLJ_OK = {
     "q_knn_lsh",
     "q_embedding_neardup",
     "q_embedding_neardup_ivf",
+    "q_matryoshka_truncation",  # 4-row broadcast query-vector cross (q_knn class)
     "q_date_spine",  # 12-row broadcast spine
     "q_subquery_scalar",  # scalar subquery joins as single-row BNLJ
     "q_knn_recall_gate",  # same single-row query-vector cross as q_knn_*
