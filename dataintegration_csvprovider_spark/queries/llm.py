@@ -5178,6 +5178,85 @@ _DUCK_QC_FEAT = """
     nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM feat)"""
 
 
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's feature frame (y, x1..x4) — localCheckpointed:
+    read once per gradient pass + once for scoring, bounded columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_tok = F.size("tk").cast("double")
+    return (
+        docs.filter(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        )
+        .select("n_chars", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            F.when(F.col("n_chars") >= 200, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            (n_tok / F.lit(100.0)).alias("x1"),
+            (
+                (
+                    F.aggregate(
+                        "tk", F.lit(0), lambda a, t: a + F.length(t)
+                    ).cast("double")
+                    / n_tok
+                )
+                / F.lit(10.0)
+            ).alias("x2"),
+            (F.size(F.array_distinct("tk")).cast("double") / n_tok).alias(
+                "x3"
+            ),
+            (
+                F.size(
+                    F.filter("tk", lambda t: t.isin("the", "a"))
+                ).cast("double")
+                / n_tok
+            ).alias("x4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _qc_sig(w: list[float]):
+    """Rational sigmoid of the pinned-parenthesization linear form —
+    the exact expression the oracle's unrolled chain replays."""
+    z = (
+        (
+            (
+                (F.lit(w[0]) + (F.lit(w[1]) * F.col("x1")))
+                + (F.lit(w[2]) * F.col("x2"))
+            )
+            + (F.lit(w[3]) * F.col("x3"))
+        )
+        + (F.lit(w[4]) * F.col("x4"))
+    )
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def _qc_train(feats: DataFrame, T: int = 16, lr: float = 16.0) -> list[float]:
+    """T distributed gradient passes, each reducing the corpus to 5
+    decimal-exact sums; weights update driver-side (bounded artifact)."""
+    n = float(feats.count())
+    dec = "decimal(28,12)"
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    w = [0.0] * 5
+    for _ in range(T):
+        sig = _qc_sig(w)
+        g = feats.agg(
+            *[
+                F.sum(((sig - F.col("y")) * xj).cast(dec))
+                .cast("double")
+                .alias(f"g{j}")
+                for j, xj in enumerate(xs)
+            ]
+        ).collect()[0]
+        w = [w[j] - (lr * (g[f"g{j}"] / n)) for j in range(5)]
+    return w
+
+
 @register(
     "q_quality_classifier",
     # Round 10 ambition item: the learned-classifier stage of the
@@ -5231,80 +5310,10 @@ _DUCK_QC_FEAT = """
     tags=("llm", "quality", "classifier", "pipeline"),
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
-    n_tok = F.size("tk").cast("double")
-    feats = (
-        docs.filter(
-            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-        )
-        .select("n_chars", tk.alias("tk"))
-        .filter(F.size("tk") >= 1)
-        .select(
-            F.when(F.col("n_chars") >= 200, F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("y"),
-            (n_tok / F.lit(100.0)).alias("x1"),
-            (
-                (
-                    F.aggregate(
-                        "tk", F.lit(0), lambda a, t: a + F.length(t)
-                    ).cast("double")
-                    / n_tok
-                )
-                / F.lit(10.0)
-            ).alias("x2"),
-            (F.size(F.array_distinct("tk")).cast("double") / n_tok).alias(
-                "x3"
-            ),
-            (
-                F.size(
-                    F.filter("tk", lambda t: t.isin("the", "a"))
-                ).cast("double")
-                / n_tok
-            ).alias("x4"),
-        )
-        .localCheckpoint(eager=True)  # read 3+1 times, bounded columns
-    )
-    n = float(feats.count())
+    feats = _qc_features(spark, sf_dir)
+    w = _qc_train(feats)
     dec = "decimal(28,12)"
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
-    w = [0.0] * 5
-    lr = 16.0
-
-    def z_expr():
-        return (
-            (
-                (
-                    (F.lit(w[0]) + (F.lit(w[1]) * F.col("x1")))
-                    + (F.lit(w[2]) * F.col("x2"))
-                )
-                + (F.lit(w[3]) * F.col("x3"))
-            )
-            + (F.lit(w[4]) * F.col("x4"))
-        )
-
-    def sig_expr():
-        z = z_expr()
-        return F.lit(0.5) * (
-            F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))
-        )
-
-    for _ in range(16):
-        sig = sig_expr()
-        g = feats.agg(
-            *[
-                F.sum(((sig - F.col("y")) * xj).cast(dec))
-                .cast("double")
-                .alias(f"g{j}")
-                for j, xj in enumerate(xs)
-            ]
-        ).collect()[0]
-        w = [w[j] - (lr * (g[f"g{j}"] / n)) for j in range(5)]
-
-    sig = sig_expr()
+    sig = _qc_sig(w)
     return (
         feats.select("y", sig.alias("s"))
         .groupBy("y")
@@ -6129,4 +6138,127 @@ def q_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_trunc") == 1, F.col("cos_trunc"))).alias(
             "top1_trunc_cos"
         ),
+    )
+
+
+#: operating-point grid for the classifier sweep (exact double literals
+#: in both engines)
+_QC_THRESHOLDS = (0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7)
+
+
+@register(
+    "q_threshold_sweep",
+    # the confusion counts are exact integers over bit-identical scores
+    # (the classifier's training trajectory is already oracle-replayed);
+    # precision/recall/F1 are single divisions of those integers, and
+    # the argmax-F1 flag compares doubles derived identically — so the
+    # whole operating-point table replays bit-for-bit
+    oracle=f"""
+    WITH
+    {_DUCK_QC_FEAT},
+    {_duck_logreg_sql(16, 16.0)},
+    scored AS (
+      SELECT f.y,
+             (0.5 * (1.0 + ((((w.a0 + (w.a1 * f.x1)) + (w.a2 * f.x2))
+                             + (w.a3 * f.x3)) + (w.a4 * f.x4))
+                    / (1.0 + abs((((w.a0 + (w.a1 * f.x1))
+                                   + (w.a2 * f.x2)) + (w.a3 * f.x3))
+                                 + (w.a4 * f.x4))))) AS s
+      FROM feat f CROSS JOIN w16 w
+    ),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in _QC_THRESHOLDS)})
+             AS g(threshold)),
+    conf AS (
+      SELECT g.threshold,
+             CAST(COUNT(*) FILTER (WHERE y = 1.0 AND s >= g.threshold)
+                  AS BIGINT) AS tp,
+             CAST(COUNT(*) FILTER (WHERE y = 0.0 AND s >= g.threshold)
+                  AS BIGINT) AS fp,
+             CAST(COUNT(*) FILTER (WHERE y = 1.0 AND s < g.threshold)
+                  AS BIGINT) AS fn
+      FROM scored CROSS JOIN grid g GROUP BY g.threshold),
+    metrics AS (
+      SELECT threshold, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+               AS precision,
+             CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+             CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+               AS f1
+      FROM conf)
+    SELECT threshold, tp, fp, fn, precision, recall, f1,
+           ROW_NUMBER() OVER (ORDER BY f1 DESC, threshold) = 1 AS is_best
+    FROM metrics
+    """,
+    doc="Operating-point selection for the trained quality classifier "
+        "(the step after q_quality_classifier in the CCNet stack: pick "
+        "the release threshold before filtering a corpus): the same 16-"
+        "pass distributed training, then ONE corpus pass computes the "
+        "full confusion table at 9 thresholds (0.30-0.70) via a "
+        "broadcast grid cross — per-threshold TP/FP/FN as exact "
+        "integers, precision/recall/F1 as single divisions, argmax-F1 "
+        "flagged (ties to the lower threshold). Driver state stays "
+        "bounded (5 weights + a 9-row table) at any corpus size.",
+    tags=("llm", "quality", "classifier", "pipeline"),
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    feats = _qc_features(spark, sf_dir)
+    w = _qc_train(feats)
+    scored = feats.select("y", _qc_sig(w).alias("s"))
+    grid = F.explode(
+        F.array(*[F.lit(t) for t in _QC_THRESHOLDS])
+    ).alias("threshold")
+    conf = (
+        scored.select("y", "s", grid)
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                ((F.col("y") == 1.0) & (F.col("s") >= F.col("threshold")))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                ((F.col("y") == 0.0) & (F.col("s") >= F.col("threshold")))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                ((F.col("y") == 1.0) & (F.col("s") < F.col("threshold")))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    metrics = conf.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            (F.col("tp") + F.col("fp")) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        )
+        .alias("precision"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("recall"),
+        (
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            )
+        ).alias("f1"),
+    )
+    best = Window.orderBy(F.col("f1").desc(), F.col("threshold"))
+    return metrics.select(
+        "*", (F.row_number().over(best) == 1).alias("is_best")
     )

@@ -112,6 +112,7 @@ _GRADE_FIRST = [
     "q_url_canonicalize",
     "q_robots_filter",
     "q_matryoshka_truncation",
+    "q_threshold_sweep",
     "q_mixture_anneal",
     "q_quality_classifier",
     "q_curation_incremental_pruned",
