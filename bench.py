@@ -156,6 +156,17 @@ HEADLINE = (
     # NOT q_stream_percentile_restart: a crash/restart discipline
     # harness (three checkpointed stream runs of fixed overhead); the
     # monitor's per-batch sketch cost is benched via q_quantile_sketch.
+    # round-10 second sitting: the regex-battery throughput entries —
+    # q_pii_redact chains 8 regexp passes (4 counts + 4 replaces) over
+    # every document, q_url_canonicalize is the extract/replace/array
+    # battery plus a canonical-keyed dedup shuffle. NOT q_pii_audit
+    # (same scan shape as redact minus the replaces), NOT
+    # q_threshold_sweep / q_quality_classifier (16 fixed driver-paced
+    # gradient passes — a training-loop harness, not a scan headline),
+    # NOT q_robots_filter / q_matryoshka_truncation (broadcast-join
+    # shapes already represented by the knn/join entries).
+    "q_pii_redact",
+    "q_url_canonicalize",
 )
 
 
