@@ -365,6 +365,10 @@ def probe_filters(spark, path: str) -> dict[str, float]:
     and the Bloom probe against a CONSTANT key set (three element_at
     expressions per row — linear in fact rows, the runtime-filter
     regime: the dimension does not grow with the fact table)."""
+    from dataintegration_csvprovider_spark.operators.pii import (
+        pii_audit,
+        pii_redact,
+    )
     from dataintegration_csvprovider_spark.operators.scale import (
         bloom_flag,
     )
@@ -389,6 +393,10 @@ def probe_filters(spark, path: str) -> dict[str, float]:
         "bloom_probe": lambda d: bloom_flag(
             d, keys, "doc_id", "doc_id"
         ),
+        # round-10 regex battery: per-row codegen'd regexp work — a
+        # narrow zero-shuffle transform that must be exactly linear
+        "pii_audit": lambda d: pii_audit(d.select("doc_id", "text")),
+        "pii_redact": lambda d: pii_redact(d.select("doc_id", "text")),
     }
     secs: dict[str, float] = {}
     for name, fn in ops.items():
