@@ -721,3 +721,45 @@ def test_kmv_merge_equals_rebuild_property(keys, n_parts):
     whole = build(keys)
     assert merged[0] == whole[0]
     assert kmv_estimate(*merged) == kmv_estimate(*whole)
+
+
+def _luhn_py(digits: str) -> bool:
+    """Independent pure-Python Luhn reference (the textbook recipe)."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=13, max_size=16),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_luhn_fold_matches_reference(spark_prop, cards):
+    """The JVM-side Luhn array fold (operators/pii.py) agrees with an
+    independent Python implementation on arbitrary 13-16 digit strings —
+    one candidate per row so each verdict is individually visible."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_csvprovider_spark.operators.pii import luhn_valid
+
+    spark = spark_prop
+    df = spark.createDataFrame([(c,) for c in cards], "card string")
+    got = {
+        r.card: r.ok
+        for r in df.select(
+            "card", luhn_valid(F.col("card")).alias("ok")
+        ).collect()
+    }
+    for c in cards:
+        assert got[c] == _luhn_py(c), c
