@@ -222,14 +222,21 @@ def main() -> int:
                       f"{bad} — CAST(... AS BIGINT) in the oracle SQL")
                 n_fail += 1
                 continue
+            t_spark = time.time() - t0
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
             dn, dcols_sorted, dhash = result_fingerprint(dcols, drows)
         except Exception as e:  # noqa: BLE001
             if dog.disarm(tok):
-                print(f"SKIP  {name}: budget exceeded (oracle side) "
-                      f"[{time.time()-t0:.1f}s]")
+                # the watchdog fired during the oracle phase, but most
+                # of the budget may have gone to the Spark side — report
+                # both so the adjudication is a field lookup (the r10
+                # monitor-suite skip read "oracle side" when DuckDB's
+                # share was 0.6s of a 120s budget)
+                print(f"SKIP  {name}: budget exceeded during oracle "
+                      f"[spark={t_spark:.1f}s of "
+                      f"{time.time()-t0:.1f}s total]")
                 n_skip += 1
                 continue
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
