@@ -133,7 +133,17 @@ def main() -> int:
     class _Watchdog:
         """Per-name wall budget: cancels Spark jobs + interrupts the
         DuckDB query when it fires. Token-guarded so a timer racing a
-        name's completion can't kill the next name's work."""
+        name's completion can't kill the next name's work.
+
+        Known limitation (measured, r10: q_quality_classifier ran
+        12.4s to completion under a 3s budget): cancelAllJobs only
+        kills jobs IN FLIGHT at a fire instant, so a driver-paced
+        query — many sub-second Spark jobs separated by Python work,
+        e.g. a gradient loop — can thread the 2s re-fire gaps and
+        overshoot. Long single jobs and DuckDB oracles (the cases the
+        budget exists for) are bounded reliably; a hard guarantee for
+        driver-paced names would need per-name subprocess isolation,
+        which isn't worth the JVM-per-name cost here."""
 
         def __init__(self) -> None:
             self.timer: threading.Timer | None = None
