@@ -72,6 +72,74 @@ def pagerank(
     return ranks
 
 
+def pagerank_nano(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    start_ranks: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point-arithmetic PageRank: ranks held as INTEGER nano-units
+    (1 rank == 1e9), every step pure integer ops — ``rank_n div deg``
+    contributions, ``(damping_pct * sum) div 100`` update, integer
+    teleport — so there is NO rounding mode anywhere and any engine
+    replays the trajectory bit-for-bit. The double form (:func:`pagerank`)
+    divides a 9-decimal value by the out-degree, which lands on exact
+    decimal midpoints whenever the degree is a small power of two and
+    the 9th digit is odd — Spark (HALF_UP) and DuckDB (half-even) then
+    disagree by one nano-unit (measured on a 1000-node hub graph).
+    Truncation loses <1 nano-unit of mass per node per step — bounded,
+    deterministic, and identical everywhere.
+
+    ``start_ranks`` (node, rank_n) warm-starts the iteration — the
+    incremental-maintenance form; absent nodes initialize at
+    ``1e9 div n``. Returns (node, rank_n).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    init_n = 1_000_000_000 // n
+    teleport_n = ((100 - damping_pct) * 10_000_000) // n
+    if start_ranks is None:
+        ranks = nodes.withColumn("rank_n", F.lit(init_n).cast("bigint"))
+    else:
+        ranks = nodes.join(
+            start_ranks.select("node", F.col("rank_n").alias("r0")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("r0"), F.lit(init_n)).cast("bigint").alias(
+                "rank_n"
+            ),
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == F.col("node"))
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_n div deg").alias("c"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(teleport_n)
+                + F.expr(f"({damping_pct} * sum(c)) div 100")
+            )
+            .cast("bigint")
+            .alias("rank_n")
+        )
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def bfs_levels(
     edges: DataFrame,
     sources: DataFrame,

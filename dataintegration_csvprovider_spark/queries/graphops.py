@@ -339,3 +339,150 @@ def q_components_zipf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rounds <= 12).alias("rounds_ok"),
         )
     )
+
+
+@register(
+    "q_pagerank_incremental",
+    # ALL arithmetic is integer nano-units (rank == 1e9ths): integer
+    # div contributions, (85 * sum) div 100 updates, integer teleport —
+    # no decimal cast, no rounding mode, nothing for HALF_UP vs
+    # half-even to disagree on (the DECIMAL(18,9) form diverged by one
+    # nano-unit on small-power-of-two degrees; measured, then removed).
+    # The warm vector, both cold vectors and the integer L1 distances
+    # are ALL replayed from scratch; warm_closer is a computed integer
+    # comparison, pinned, never assumed.
+    oracle="""
+    WITH RECURSIVE
+    all_e AS (
+      SELECT DISTINCT o_custkey % 1000 AS src,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 7
+                  ELSE o_orderkey % 1000 END AS dst,
+             o_orderkey % 97 < 90 AS in_base
+      FROM orders),
+    base_e AS (SELECT DISTINCT src, dst FROM all_e WHERE in_base),
+    un_e AS (SELECT DISTINCT src, dst FROM all_e),
+    base_deg AS (SELECT src, COUNT(*) AS deg FROM base_e GROUP BY src),
+    un_deg AS (SELECT src, COUNT(*) AS deg FROM un_e GROUP BY src),
+    bn AS (SELECT COUNT(DISTINCT src) AS n FROM base_e),
+    un AS (SELECT COUNT(DISTINCT src) AS n FROM un_e),
+    pr_b(iter, node, rank_n) AS (
+      SELECT 0, src, 1000000000 // (SELECT n FROM bn)
+      FROM (SELECT DISTINCT src FROM base_e) s
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             150000000 // (SELECT n FROM bn)
+             + (85 * SUM(p.rank_n // od.deg)) // 100
+      FROM pr_b p
+      JOIN base_e e ON e.src = p.node
+      JOIN base_deg od ON od.src = p.node
+      WHERE p.iter < 10
+      GROUP BY p.iter, e.dst),
+    warm0 AS (
+      SELECT s.src AS node,
+             COALESCE(b.rank_n, 1000000000 // (SELECT n FROM un))
+               AS rank_n
+      FROM (SELECT DISTINCT src FROM un_e) s
+      LEFT JOIN (SELECT node, rank_n FROM pr_b WHERE iter = 10) b
+        ON b.node = s.src),
+    pr_w(iter, node, rank_n) AS (
+      SELECT 0, node, rank_n FROM warm0
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             150000000 // (SELECT n FROM un)
+             + (85 * SUM(p.rank_n // od.deg)) // 100
+      FROM pr_w p
+      JOIN un_e e ON e.src = p.node
+      JOIN un_deg od ON od.src = p.node
+      WHERE p.iter < 3
+      GROUP BY p.iter, e.dst),
+    pr_c(iter, node, rank_n) AS (
+      SELECT 0, src, 1000000000 // (SELECT n FROM un)
+      FROM (SELECT DISTINCT src FROM un_e) s
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             150000000 // (SELECT n FROM un)
+             + (85 * SUM(p.rank_n // od.deg)) // 100
+      FROM pr_c p
+      JOIN un_e e ON e.src = p.node
+      JOIN un_deg od ON od.src = p.node
+      WHERE p.iter < 10
+      GROUP BY p.iter, e.dst),
+    j AS (
+      SELECT w.node, w.rank_n AS wn,
+             c10.rank_n AS cn, c3.rank_n AS c3n
+      FROM (SELECT node, rank_n FROM pr_w WHERE iter = 3) w
+      JOIN (SELECT node, rank_n FROM pr_c WHERE iter = 10) c10
+        ON c10.node = w.node
+      JOIN (SELECT node, rank_n FROM pr_c WHERE iter = 3) c3
+        ON c3.node = w.node),
+    l AS (
+      SELECT node, wn, cn,
+             SUM(ABS(wn - cn)) OVER () AS l1w,
+             SUM(ABS(c3n - cn)) OVER () AS l1c
+      FROM j)
+    SELECT node,
+           CAST(wn AS DOUBLE) / 1000000000 AS warm_rank,
+           CAST(cn AS DOUBLE) / 1000000000 AS cold_rank,
+           CAST(l1w AS BIGINT) AS warm_l1_nano,
+           CAST(l1c AS BIGINT) AS cold3_l1_nano,
+           l1w < l1c AS warm_closer
+    FROM l
+    """,
+    doc="Incremental PageRank by WARM RESTART (the incremental-"
+        "maintenance member of the graph family, the q_ivf_incremental "
+        "pattern applied to the iterative-join workload): ranks "
+        "converged on the base graph seed 3 iterations over the FULL "
+        "edge set after a ~7% edge delta arrives (hub-skewed graph: a "
+        "third of edges land on 7 hub nodes, so the fixed point is far "
+        "from uniform) — new nodes initialize at 1e9 div n — and the "
+        "result is compared to both a full 10-iteration cold run (the "
+        "target) and a 3-iteration cold run (the equal-work "
+        "alternative) by integer-nano-unit L1 distance. Ranks live in "
+        "fixed-point integer nano-units end to end (operators/graph.py "
+        "pagerank_nano) so every value in all three vectors replays "
+        "bit-for-bit with no rounding mode in play; warm_closer pins "
+        "that the warm start beats equal-work-from-uniform (7-18x "
+        "closer, measured at all three SFs). Per-iteration cost: one "
+        "edge-keyed shuffle; the delta pays 3 iterations instead of 10 "
+        "at any scale.",
+    tags=("graph", "iterative", "incremental"),
+)
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank_nano
+
+    orders = load_table(spark, sf_dir, "orders")
+    # hub-skewed graph (1/3 of edges land on nodes 0-6) so the fixed
+    # point is far from uniform and a warm restart has something to win;
+    # the delta is the ~7% of edges with o_orderkey % 97 >= 90
+    dst = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderkey") % 7
+    ).otherwise(F.col("o_orderkey") % 1000)
+    all_e = orders.select(
+        (F.col("o_custkey") % 1000).alias("src"),
+        dst.alias("dst"),
+        (F.col("o_orderkey") % 97 < 90).alias("in_base"),
+    )
+    base = all_e.filter("in_base").select("src", "dst")
+    union = all_e.select("src", "dst")
+    warm_seed = pagerank_nano(base, iterations=10)
+    warm3 = pagerank_nano(union, iterations=3, start_ranks=warm_seed)
+    cold10 = pagerank_nano(union, iterations=10)
+    cold3 = pagerank_nano(union, iterations=3)
+    j = (
+        warm3.select("node", F.col("rank_n").alias("wn"))
+        .join(cold10.select("node", F.col("rank_n").alias("cn")), "node")
+        .join(cold3.select("node", F.col("rank_n").alias("c3n")), "node")
+    )
+    every = Window.partitionBy()
+    l1w = F.sum(F.abs(F.col("wn") - F.col("cn"))).over(every)
+    l1c = F.sum(F.abs(F.col("c3n") - F.col("cn"))).over(every)
+    return j.select(
+        "node",
+        (F.col("wn").cast("double") / F.lit(1000000000)).alias("warm_rank"),
+        (F.col("cn").cast("double") / F.lit(1000000000)).alias("cold_rank"),
+        l1w.cast("bigint").alias("warm_l1_nano"),
+        l1c.cast("bigint").alias("cold3_l1_nano"),
+        (l1w < l1c).alias("warm_closer"),
+    )

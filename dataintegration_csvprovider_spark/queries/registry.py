@@ -113,6 +113,7 @@ _GRADE_FIRST = [
     "q_robots_filter",
     "q_matryoshka_truncation",
     "q_threshold_sweep",
+    "q_pagerank_incremental",
     "q_mixture_anneal",
     "q_quality_classifier",
     "q_curation_incremental_pruned",

@@ -45,3 +45,26 @@ def test_threshold_sweep_confusion_algebra(spark, sf_dir):
         denom = 2 * r.tp + r.fp + r.fn
         assert denom > 0
         assert abs(r.f1 - (2 * r.tp) / denom) < 1e-12
+
+
+def test_pagerank_incremental_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.graphops import (
+        q_pagerank_incremental,
+    )
+
+    rows = q_pagerank_incremental(spark, sf_dir).collect()
+    assert rows
+    l1w = {r.warm_l1_nano for r in rows}
+    l1c = {r.cold3_l1_nano for r in rows}
+    assert len(l1w) == len(l1c) == 1  # global scalars, identical per row
+    # the warm restart must beat equal work from uniform on this fixture
+    assert all(r.warm_closer for r in rows)
+    assert l1w.pop() < l1c.pop()
+    for r in rows:
+        assert 0.0 <= r.warm_rank <= 1.0
+        assert 0.0 <= r.cold_rank <= 1.0
+    # hub nodes (0-6) concentrate rank: every hub outranks the median
+    ranks = sorted(r.cold_rank for r in rows)
+    median = ranks[len(ranks) // 2]
+    hubs = [r.cold_rank for r in rows if r.node < 7]
+    assert hubs and all(h > median for h in hubs)
