@@ -302,6 +302,15 @@ def main() -> None:
     # r9 DRIVER bench (65.8 vs 75.0s) — confirming the r9 driver
     # reading was ambient-inflated; from this round the JSON's
     # ambient_start/ambient_end fields make that a lookup.
+    # Round-11: the contended-run guard is self-enforcing, not
+    # judge-enforced — "contended": true is machine-set whenever load1
+    # exceeds the threshold at start or end (r10's driver bench started
+    # at load1 6.5 and needed the judge to spot it; now the artifact
+    # flags itself and BASELINE.md's adjudication rule keys off the
+    # field). Threshold 2.0: the documented ±12% noise band was measured
+    # on an otherwise-idle machine (load1 < 0.5); every ambient-inflated
+    # reading adjudicated since r2 had load1 >> 2.
+    CONTENDED_LOAD1 = 2.0
     import gc
 
     timings: dict[str, float] = {}
@@ -317,6 +326,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    ambient_end = _ambient()
+    contended = (
+        ambient_start["load1"] > CONTENDED_LOAD1
+        or ambient_end["load1"] > CONTENDED_LOAD1
+    )
+    if contended:
+        # WARN to stderr so a human watching the run sees it even when
+        # only the JSON line is captured
+        print(
+            f"WARN: contended run (load1 start={ambient_start['load1']} "
+            f"end={ambient_end['load1']} > {CONTENDED_LOAD1}) — timings "
+            "unreliable per the noise-band notes; re-run solo before "
+            "adjudicating deltas",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -326,7 +350,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ambient_start": ambient_start,
-                "ambient_end": _ambient(),
+                "ambient_end": ambient_end,
+                "contended": contended,
             }
         )
     )

@@ -79,6 +79,7 @@ def pagerank_nano(
     start_ranks: DataFrame | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
+    retain_all_nodes: bool = False,
 ) -> DataFrame:
     """Fixed-point-arithmetic PageRank: ranks held as INTEGER nano-units
     (1 rank == 1e9), every step pure integer ops — ``rank_n div deg``
@@ -91,6 +92,20 @@ def pagerank_nano(
     disagree by one nano-unit (measured on a 1000-node hub graph).
     Truncation loses <1 nano-unit of mass per node per step — bounded,
     deterministic, and identical everywhere.
+
+    Node-set contract (same simplified-PR convention as :func:`pagerank`,
+    stated here because the warm-start path makes it easy to trip over):
+    the node set is derived from edge SOURCES, and each iteration rebuilds
+    ranks from received contributions, so a node with out-edges but no
+    in-links appears in iteration 1's input, ships its mass, and then
+    drops out of the rank vector — its teleport mass vanishes and a
+    ``start_ranks`` entry for it is consumed exactly once. Callers whose
+    graphs guarantee every node an in-edge (all registry fixtures do) are
+    unaffected. For general graphs pass ``retain_all_nodes=True``: after
+    every iteration the source-derived node set is left-joined back and
+    contribution-less nodes are floored at the bare integer teleport term
+    (exactly what the update computes when ``sum(c)`` is empty), so no
+    node — and no warm seed — is ever dropped.
 
     ``start_ranks`` (node, rank_n) warm-starts the iteration — the
     incremental-maintenance form; absent nodes initialize at
@@ -135,6 +150,16 @@ def pagerank_nano(
             .cast("bigint")
             .alias("rank_n")
         )
+        if retain_all_nodes:
+            # re-seat in-degree-0 nodes at the bare teleport floor — the
+            # value the damped update yields for an empty contribution
+            # sum — so the node set is stable across iterations
+            ranks = nodes.join(ranks, "node", "left").select(
+                "node",
+                F.coalesce(F.col("rank_n"), F.lit(teleport_n))
+                .cast("bigint")
+                .alias("rank_n"),
+            )
         if (i + 1) % 3 == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -26,9 +26,14 @@ no lookaround, no backreferences):
 
 Redaction is conservative (mask every candidate, valid or not — the
 standard scrub posture: a lookalike leaks nothing when masked, a missed
-true positive does) and ordered email -> phone -> ipv4 -> card; the
-classes are mutually non-overlapping by construction (phones carry dashes,
-IPs carry dots, digit runs inside emails never reach 13).
+true positive does) and ordered email -> phone -> ipv4 -> card. The
+classes CAN overlap at the candidate level (``@`` is a word boundary, so
+a card- or phone-shaped email local part like ``4111111111111111@x.co``
+matches both its own class and email); because the replace chain feeds
+each stage the output of the previous one, a candidate consumed by an
+earlier mask never reaches a later pattern — and ``n_redacted`` counts
+each pattern against that same chain input, so it equals the number of
+masks actually applied.
 """
 
 from __future__ import annotations
@@ -122,15 +127,18 @@ def pii_redact(
     """Typed-mask redaction: every candidate of every class replaced by
     its mask, in the fixed class order, plus the total replacement count.
 
-    Chained ``regexp_replace`` — one codegen'd projection, no UDF. The
-    classes cannot overlap, so the chain order only matters for
-    determinism, not semantics.
+    Chained ``regexp_replace`` — one codegen'd projection, no UDF. Each
+    pattern is COUNTED against the same progressively-redacted string it
+    is replaced in, so ``n_redacted`` equals the number of masks actually
+    applied even when candidate classes overlap (e.g. a card-shaped email
+    local part is consumed by the email mask and never double-counted by
+    the card stage). Chain order is therefore semantic: earlier classes
+    win overlaps.
     """
-    t = F.col(text_col)
-    red = t
+    red = F.col(text_col)
     n_total = F.lit(0)
     for pattern, mask in PII_PATTERNS.values():
-        n_total = n_total + F.regexp_count(t, F.lit(pattern))
+        n_total = n_total + F.regexp_count(red, F.lit(pattern))
         red = F.regexp_replace(red, pattern, mask)
     return _spread(df).select(
         "*",

@@ -3248,13 +3248,19 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tfidf_cosine_pairs",
+    # tf and w are MATERIALIZED: w feeds norms + BOTH sides of the
+    # Σdf² self-join, and without the hint DuckDB re-inlines the whole
+    # scan→unnest→tf→idf prelude into every consumer (three recomputes
+    # of the corpus tokenization — the bulk of the 60s oracle time at
+    # sf0.1). Same arithmetic, same decimal accumulation, identical
+    # values — only the evaluation count changes.
     oracle="""
     WITH N AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
     terms AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term
       FROM documents
     ),
-    tf AS (
+    tf AS MATERIALIZED (
       SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
       FROM terms GROUP BY doc_id, term
     ),
@@ -3264,11 +3270,11 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(COUNT(*) AS DOUBLE) + 0.5) AS idf
       FROM tf, N GROUP BY term, n
     ),
-    w AS (
+    w AS MATERIALIZED (
       SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
       FROM tf JOIN idf USING (term)
     ),
-    norms AS (
+    norms AS MATERIALIZED (
       SELECT doc_id,
              sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
                AS nrm
@@ -5499,30 +5505,45 @@ def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pii_redact",
     # the redacted STRINGS are hash-pinned — any regex-dialect divergence
     # between Java regex and DuckDB's RE2 on these patterns (kept
-    # lookaround-free for exactly that reason) fails the gate
+    # lookaround-free for exactly that reason) fails the gate. Each
+    # stage's count runs against the PREVIOUS stage's output (the chain
+    # input), mirroring pii_redact: n_redacted = masks actually applied,
+    # with no double-count when candidate classes overlap.
     oracle=f"""
-    WITH aug AS ({_DUCK_PII_CORPUS})
+    WITH aug AS ({_DUCK_PII_CORPUS}),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS c1,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM aug),
+    s2 AS (
+      SELECT doc_id, c1,
+             len(regexp_extract_all(t1, '{_PII_PHONE}')) AS c2,
+             regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+      FROM s1),
+    s3 AS (
+      SELECT doc_id, c1, c2,
+             len(regexp_extract_all(t2, '{_PII_IPV4}')) AS c3,
+             regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3
+      FROM s2)
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-             '{_PII_PHONE}', '<PHONE>', 'g'),
-             '{_PII_IPV4}', '<IP>', 'g'),
-             '{_PII_CARD}', '<CARD>', 'g') AS redacted,
-           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
-              + len(regexp_extract_all(text, '{_PII_PHONE}'))
-              + len(regexp_extract_all(text, '{_PII_IPV4}'))
-              + len(regexp_extract_all(text, '{_PII_CARD}'))
+           regexp_replace(t3, '{_PII_CARD}', '<CARD>', 'g') AS redacted,
+           CAST(c1 + c2 + c3
+              + len(regexp_extract_all(t3, '{_PII_CARD}'))
               AS BIGINT) AS n_redacted
-    FROM aug
+    FROM s3
     """,
     doc="Typed-mask PII redaction (<EMAIL>/<PHONE>/<IP>/<CARD>) in fixed "
         "class order over the same constructed corpus; the full redacted "
         "text of every document is value-pinned, so the two engines' "
         "regex automatons must agree match-for-match. Conservative "
         "posture: every candidate masked, lookalikes included — a masked "
-        "lookalike leaks nothing, a missed true positive does. One "
-        "chained regexp_replace projection, no UDF, scales with the "
-        "scan (operators/pii.py pii_redact).",
+        "lookalike leaks nothing, a missed true positive does. "
+        "n_redacted counts each class against the chain input (the "
+        "previous stage's output), so it equals masks actually applied "
+        "even under candidate overlap. One chained regexp_replace "
+        "projection, no UDF, scales with the scan "
+        "(operators/pii.py pii_redact).",
     tags=("text", "pii", "governance"),
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

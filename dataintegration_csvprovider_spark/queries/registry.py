@@ -92,25 +92,114 @@ def register(
 
 
 #: Names surfaced first to the driver's correctness gate (which grades a
-#: 50-name prefix of the registry per round; confirmed 50 in r1-r9).
-#: Round-10 window: the leading block is the round-10 additions (PII
-#: audit + redaction, URL canonicalize + robots filter, matryoshka
-#: truncation, threshold sweep, incremental PageRank, annealed
-#: mixture, quality classifier, KMV-pruned incremental curation,
-#: composed monitor suite), followed by every
-#: name whose code or oracle changed this round — the 14 sf0.1
-#: budget-skip oracle restructures onto the inverted-index cost model,
-#: the two xxhash64-pin retirements onto md5-family replays, the
-#: regexp-tokenizer ADVICE fix (minhash/simhash/KMV/datacard replays),
-#: the streaming twins' single-ledger-read signature change, the
-#: q_corr_decimal 1-ulp fix, and the bench-probe-annotated heads.
-#: Names changed in BOTH r9 and r10 keep their r9 slots further down
-#: (the dict build dedups; first occurrence wins). The remainder keeps
-#: the prior ordering for stability.
+#: 50-name prefix of the registry per round; confirmed 50 in r1-r10).
+#: Round-11 window policy (per the r10 verdict): (1) names whose code or
+#: oracle changed THIS round lead, then (2) the stalest names — every
+#: name last driver-graded in rounds 1-2 (the CORRECTNESS_r*.json union
+#: shows 169 names last graded <= r4; the 90 r1-r2 names fill the
+#: remaining prefix slots so the external grading signal stops aging).
+#: The prior round-10/9/8 blocks follow for stable ordering (the dict
+#: build dedups; first occurrence wins).
 _GRADE_FIRST = [
+    # ---- round-11 additions / changed code or oracle
+    "q_stream_ivf_incremental",
+    "q_pii_redact",  # n_redacted now counts the chain input (ADVICE r10)
+    "q_tfidf_cosine_pairs",  # oracle CTEs MATERIALIZED (headroom item)
+    "q_stream_monitor_suite",  # 2-slice stream (headroom item)
+    # ---- stalest external grades: last driver-graded round 1
+    "q_agg_having",
+    "q_agg_stats",
+    "q_antijoin",
+    "q_argmax_deterministic",
+    "q_array_functions",
+    "q_asof_join",
+    "q_conditional_agg",
+    "q_correlated_exists",
+    "q_cross_join",
+    "q_cube",
+    "q_date_functions",
+    "q_distinct",
+    "q_events_hourly",
+    "q_except",
+    "q_explode_join",
+    "q_grouping_sets",
+    "q_having_exists",
+    "q_intersect",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_json_extract",
+    "q_ntile",
+    "q_percentiles",
+    "q_pivot",
+    "q_posexplode",
+    "q_range_join",
+    "q_regexp_rewrite",
+    "q_rollup",
+    "q_scalar_funcs",
+    "q_semijoin",
+    "q_sessionize_batch",
+    "q_string_functions",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_topk",
+    "q_topk_per_group_agg",
+    "q_union",
+    "q_unpivot",
+    "q_window_distribution",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank_dense",
+    "q_window_running",
+    "q_window_topk_per_group",
+    # ---- stalest external grades: last driver-graded round 2
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_array_agg",
+    "q_bucketed_join",
+    "q_csv_datetime_format",
+    "q_csv_decimal_comma",
+    "q_csv_dialects",
+    "q_csv_mapping_pipeline",
+    "q_csv_null_sentinel",
+    "q_csv_roundtrip",
+    "q_date_spine",
+    "q_embedding_centroid",
+    "q_embedding_neardup",
+    "q_except_all",
+    "q_first_last_value",
+    "q_grouped_fit",
+    "q_histogram",
+    "q_intersect_all",
+    "q_jsonl_roundtrip",
+    "q_jsonl_skip_corrupt",
+    "q_knn_bruteforce",
+    "q_lateral_topk",
+    "q_map_column",
+    "q_mode_per_group",
+    "q_null_ordering",
+    "q_part_supplier_stats",
+    "q_salted_join",
+    "q_sql_recursive_cte",
+    "q_sql_window",
+    "q_stream_csv_source",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_text_langid",
+    "q_text_normalize",
+    "q_text_quality",
+    "q_trailing_features",
     # ---- round-10 additions
     "q_pii_audit",
-    "q_pii_redact",
     "q_url_canonicalize",
     "q_robots_filter",
     "q_matryoshka_truncation",
@@ -120,7 +209,7 @@ _GRADE_FIRST = [
     "q_quality_classifier",
     "q_curation_incremental_pruned",
     "q_stream_monitor_suite",
-    # ---- round-10 re-grades (code or oracle changed this round)
+    # ---- round-10 re-grades (code or oracle changed that round)
     "q_tfidf_cosine_pairs",
     "q_dedup_quality_gate",
     "q_dedup_incremental",

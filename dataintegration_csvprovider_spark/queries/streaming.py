@@ -2532,7 +2532,16 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_slice(k: int, name: str, mtime: int) -> None:
         import os as _os
 
-        df = ev.filter(F.col("event_id") % 3 == k).select(
+        # two slices, not three: every pinned output (exact counts, CMS
+        # point estimate, KMV distinct estimate) is a full-table value,
+        # independent of how the stream is sliced — so the micro-batch
+        # count is pure fixed overhead. 2 files drop the suite from 7
+        # foreachBatch invocations (crash 2 + restart 2 + control 3) to
+        # 5 (2+1+2) while still exercising the identical tear: batch 0
+        # fully committed, batch 1 torn across families, re-delivered
+        # once on restart. ~30% of the 113s sf0.1 oracle budget was
+        # this overhead (the r10 verdict's headroom item).
+        df = ev.filter(F.col("event_id") % 2 == k).select(
             "user_id", "win", "value"
         )
         tmp = tempfile.mkdtemp(prefix="suite_part_")
@@ -2554,9 +2563,13 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-protocol equivalence through a real crash/restart
     protocols = {roots[0]: "manifest", roots[1]: "listing"}
 
+    stage_schema: list = []  # read once, after the slices exist
+
     def run_stream(root: str, crash_in_batch: int | None) -> None:
         proto = protocols[root]
-        schema = spark.read.parquet(stage).schema
+        if not stage_schema:
+            stage_schema.append(spark.read.parquet(stage).schema)
+        schema = stage_schema[0]
         feed = (
             spark.readStream.format("parquet")
             .schema(schema)
@@ -2645,8 +2658,7 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, (name, mt) in enumerate(
             (("a.parquet", 1_000_000_000),
-             ("b.parquet", 1_000_010_000),
-             ("c.parquet", 1_000_020_000))
+             ("b.parquet", 1_000_010_000))
         ):
             write_slice(k, name, mt)
         run_stream(roots[0], crash_in_batch=1)
@@ -2698,13 +2710,16 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
 
-    # exact counts (distributed; the oracle recomputes all three)
-    n_events = ev.count()
-    n_values = ev.filter(F.col("value").isNotNull()).count()
-    n_users = (
-        ev.select("user_id").filter(F.col("user_id").isNotNull())
-        .distinct().count()
-    )
+    # exact counts (distributed; the oracle recomputes all three) —
+    # ONE aggregate job instead of three separate count() actions
+    counts = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_values"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).first()
+    n_events = int(counts["n_events"])
+    n_values = int(counts["n_values"])
+    n_users = int(counts["n_users"])
 
     cms_state = dict(
         ((i, b), c) for i, b, c in finals["crash"]["cms"][0]
@@ -2759,4 +2774,244 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "family string, n bigint, est double, fact_ok boolean, "
         "restart_equal boolean, redelivery_ok boolean",
+    )
+
+
+@register(
+    "q_stream_ivf_incremental",
+    # Round 11 (r10 verdict item 5): the STREAMING twin of
+    # q_ivf_incremental — train-once/maintain-forever for ANN, the way
+    # the monitor suite completed it for sketches. Frozen IVF centroids
+    # (trained on the snapshot, the persisted corpus-version artifact)
+    # assign a STREAM of new embeddings in foreachBatch; per-centroid
+    # counts + an exact scaled-integer cosine mass persist through the
+    # generation ledger (manifest protocol — the object-store-safe
+    # variant) and the retrain signal is computed FROM ledger state
+    # after every commit. One crash is injected AFTER batch 0's ledger
+    # commit but BEFORE the stream checkpoint records the batch — the
+    # crash-after-commit window; the restart re-delivers batch 0 and
+    # the ledger's batch-id idempotence REFUSES the double-apply. A
+    # control run (listing protocol) never crashes; final states are
+    # pinned value-equal, which also pins cross-protocol equivalence.
+    # Batch 0 is the natural delta (uniform-random embeddings — the
+    # signal must NOT fire); batch 1 is a constructed distribution
+    # shift (every vector replaced by the all-ones direction, so the
+    # whole batch collapses onto ONE centroid — max cumulative share
+    # >= ~50% >> the 40% threshold, and the signal MUST fire). The
+    # fired/not-fired pins are deterministic under fixed seeds and
+    # verified at all three SFs; n_assigned / mass conservation are
+    # true cross-engine counts so the gate cannot pass vacuously.
+    oracle="""
+    WITH valid AS (
+      SELECT vec_id FROM embeddings
+      WHERE list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    )
+    SELECT 'after_batch_0' AS step,
+           CAST((SELECT COUNT(*) FROM valid WHERE vec_id % 10 = 0)
+                AS BIGINT) AS n_assigned,
+           FALSE AS retrain_fired, TRUE AS mass_ok,
+           TRUE AS restart_equal, TRUE AS redelivery_refused
+    UNION ALL
+    SELECT 'after_batch_1',
+           CAST((SELECT COUNT(*) FROM valid WHERE vec_id % 10 = 0)
+              + (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 5)
+                AS BIGINT),
+           TRUE, TRUE, TRUE, TRUE
+    """,
+    doc="Streaming incremental IVF maintenance: frozen snapshot "
+        "centroids assign a stream of new embeddings in foreachBatch; "
+        "per-centroid counts and an exact integer cosine mass persist "
+        "through the generation ledger (manifest protocol), and the "
+        "retrain signal (max cumulative centroid share >= 40%) is "
+        "computed from ledger state after every commit. A crash "
+        "injected in the crash-after-commit window is healed by "
+        "batch-id idempotence on restart (re-delivery refused), final "
+        "state pinned value-equal to a listing-protocol control run. "
+        "Batch 1 is a constructed distribution shift that collapses "
+        "onto one centroid — the signal pin covers BOTH the quiet and "
+        "the fired path. Completes train-once/maintain-forever for "
+        "ANN: the recurring work is one broadcast map-side assignment "
+        "per batch plus bounded ledger I/O (16 centroid rows).",
+    tags=("streaming", "similarity", "ivf", "incremental", "checkpoint"),
+)
+def q_stream_ivf_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.similarity import (
+        _with_valid_vectors,
+        assign_ivf_partitions,
+        cosine_similarity_expr,
+        trained_ivf_centroids,
+    )
+    from ..operators.sketches import rows_ledger_commit, rows_ledger_read
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    snap = emb.filter(F.col("vec_id") % 5 != 0)
+    frozen = trained_ivf_centroids(snap, k=16, n_iter=3).localCheckpoint(
+        eager=True
+    )
+
+    stage = tempfile.mkdtemp(prefix="ivf_stage_")
+    roots = [tempfile.mkdtemp(prefix="ivf_run_") for _ in range(2)]
+    protocols = {roots[0]: "manifest", roots[1]: "listing"}
+    ledger_schema = "centroid_id long, n long, microcos long"
+
+    def write_slice(df: DataFrame, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="ivf_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    # batch 0: the natural delta. batch 1: a constructed distribution
+    # shift — every embedding replaced by the all-ones direction, so
+    # cosine to each centroid is IDENTICAL across rows and the whole
+    # batch lands on one argmax centroid (ties break to min id).
+    natural = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    drifted = emb.filter(F.col("vec_id") % 10 == 5).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda _: F.lit(1.0).cast("float")
+        ).alias("embedding"),
+    )
+
+    skipped: dict[str, list[int]] = {r: [] for r in roots}
+    signals: dict[str, list[tuple[int, bool, int]]] = {r: [] for r in roots}
+
+    def run_stream(root: str, crash_in_batch: int | None) -> None:
+        proto = protocols[root]
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            ledger = f"{root}/ledger"
+            prev, applied = rows_ledger_read(spark, ledger, protocol=proto)
+            if batch_id <= applied:
+                skipped[root].append(batch_id)
+                return
+            assigned = assign_ivf_partitions(
+                _with_valid_vectors(bdf, "embedding"), frozen
+            ).join(F.broadcast(frozen), "centroid_id")
+            # exact integer accumulation: per-row cosine truncated to
+            # micro-units (deterministic double -> bigint), summed —
+            # order-independent, so the crash/control equality pin is
+            # bit-safe
+            batch_stats = assigned.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    (
+                        cosine_similarity_expr(
+                            F.col("embedding"), F.col("centroid")
+                        )
+                        * 1_000_000
+                    ).cast("bigint")
+                ).alias("microcos"),
+            ).collect()
+            state = {
+                int(r["centroid_id"]): (int(r["n"]), int(r["microcos"]))
+                for r in prev
+            }
+            for r in batch_stats:
+                cid = int(r["centroid_id"])
+                n0, m0 = state.get(cid, (0, 0))
+                state[cid] = (n0 + int(r["n"]), m0 + int(r["microcos"]))
+            rows_ledger_commit(
+                spark, ledger,
+                [(cid, n, m) for cid, (n, m) in sorted(state.items())],
+                ledger_schema, batch_id, applied_through=applied,
+                protocol=proto,
+            )
+            # retrain signal FROM the just-committed ledger state:
+            # fired when one centroid holds >= 40% of all streamed
+            # vectors (pure integer comparison)
+            total = sum(n for n, _ in state.values())
+            max_n = max(n for n, _ in state.values())
+            signals[root].append((batch_id, max_n * 100 >= 40 * total,
+                                  total))
+            # the crash-after-commit window: the ledger generation is
+            # committed, the stream checkpoint is not
+            if batch_id == crash_in_batch:
+                raise RuntimeError("injected crash after ledger commit")
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if crash_in_batch is None:
+                raise
+
+    try:
+        write_slice(natural, "a.parquet", 1_000_000_000)
+        write_slice(drifted, "b.parquet", 1_000_010_000)
+        run_stream(roots[0], crash_in_batch=0)
+        run_stream(roots[0], crash_in_batch=None)
+        run_stream(roots[1], crash_in_batch=None)
+
+        finals = {}
+        for root in roots:
+            rows, gen = rows_ledger_read(
+                spark, f"{root}/ledger", protocol=protocols[root]
+            )
+            finals[root] = (
+                sorted(
+                    (int(r["centroid_id"]), int(r["n"]), int(r["microcos"]))
+                    for r in rows
+                ),
+                gen,
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    n0 = natural.join(
+        _with_valid_vectors(emb, "embedding").select("vec_id"), "vec_id",
+        "left_semi",
+    ).count()
+    n1 = drifted.count()
+    restart_equal = bool(finals[roots[0]] == finals[roots[1]])
+    redelivery_refused = bool(
+        skipped[roots[0]] == [0] and skipped[roots[1]] == []
+    )
+    ctrl = signals[roots[1]]
+    mass0_ok = bool(ctrl[0][2] == n0)
+    mass1_ok = bool(ctrl[1][2] == n0 + n1)
+    rows = [
+        (
+            "after_batch_0", int(n0), bool(ctrl[0][1]), mass0_ok,
+            restart_equal, redelivery_refused,
+        ),
+        (
+            "after_batch_1", int(n0 + n1), bool(ctrl[1][1]), mass1_ok,
+            restart_equal, redelivery_refused,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step string, n_assigned bigint, retrain_fired boolean, "
+        "mass_ok boolean, restart_equal boolean, redelivery_refused "
+        "boolean",
     )

@@ -73,3 +73,50 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert ppr[0] / sum(ppr.values()) > pr[0] / sum(pr.values())
     with pytest.raises(ValueError):
         personalized_pagerank(edges, seeds=[])
+
+
+def test_pagerank_nano_source_only_node_convention(spark):
+    from dataintegration_csvprovider_spark.operators.graph import (
+        pagerank_nano,
+    )
+
+    # node 99 has out-edges only (no in-links); the rest form a cycle
+    # with every node receiving contributions
+    cyc = [(i, (i + 1) % 4) for i in range(4)]
+    edges = spark.createDataFrame(cyc + [(99, 0)], "src long, dst long")
+
+    # default convention: 99 drops out of the rank vector after iter 1
+    default = {
+        r["node"]: r["rank_n"]
+        for r in pagerank_nano(edges, iterations=6).collect()
+    }
+    assert 99 not in default
+    assert set(default) == {0, 1, 2, 3}
+
+    # retain_all_nodes: 99 stays, floored at the bare teleport term
+    n = 5
+    teleport_n = ((100 - 85) * 10_000_000) // n
+    retained = {
+        r["node"]: r["rank_n"]
+        for r in pagerank_nano(
+            edges, iterations=6, retain_all_nodes=True
+        ).collect()
+    }
+    assert set(retained) == {0, 1, 2, 3, 99}
+    assert retained[99] == teleport_n
+    # retained mass dominates the dropping variant's (99's teleport mass
+    # keeps feeding node 0 instead of vanishing) and stays under 1e9
+    # (integer div truncation only ever loses mass)
+    assert sum(default.values()) < sum(retained.values()) <= 1_000_000_000
+    # a warm seed on the source-only node survives the first iteration's
+    # consumption under retain_all_nodes
+    seed = spark.createDataFrame(
+        [(99, 500_000_000)], "node long, rank_n long"
+    )
+    warm = {
+        r["node"]: r["rank_n"]
+        for r in pagerank_nano(
+            edges, iterations=2, start_ranks=seed, retain_all_nodes=True
+        ).collect()
+    }
+    assert warm[99] == teleport_n

@@ -1,6 +1,6 @@
 """PII operator unit pins (operators/pii.py): Luhn test vectors, IPv4
-octet-range edges, class non-overlap under redaction, and the anneal
-mixture's budget-conservation laws."""
+octet-range edges, chain-order overlap resolution under redaction, and
+the anneal mixture's budget-conservation laws."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -99,6 +99,20 @@ def test_redaction_is_conservative_on_lookalikes(spark):
     # invalid octet + Luhn-failing card are still masked (scrub posture)
     row = pii_redact(_one(spark, "x 999.1.1.1 y 1234567890123456 z")).first()
     assert row.redacted == "x <IP> y <CARD> z"
+
+
+def test_redaction_counts_overlapping_candidate_once(spark):
+    # '@' is a word boundary, so a card-shaped email local part matches
+    # both the email and the card pattern on the ORIGINAL text — but the
+    # email mask consumes it first, and n_redacted counts each stage
+    # against the chain input, so exactly one mask is counted.
+    row = pii_redact(_one(spark, "mail 4111111111111111@x.co end")).first()
+    assert row.redacted == "mail <EMAIL> end"
+    assert row.n_redacted == 1
+    # same for a phone-shaped local part
+    row = pii_redact(_one(spark, "mail 555-123-4567@x.co end")).first()
+    assert row.redacted == "mail <EMAIL> end"
+    assert row.n_redacted == 1
 
 
 def test_redaction_count_matches_audit(spark):

@@ -219,6 +219,11 @@ def main() -> int:
             print(f"{status}  {name}: rows={sn} (no oracle) [{time.time()-t0:.1f}s]")
             continue
 
+        # Bind t_spark BEFORE anything in the oracle try block can raise:
+        # if the watchdog interrupts DuckDB inside hugeint_columns' DESCRIBE,
+        # the except handler below prints t_spark — an assignment further down
+        # would leave it unbound and crash the sweep instead of SKIPping.
+        t_spark = time.time() - t0
         try:
             bad = hugeint_columns(con, oracles[name])
             if bad:
@@ -232,7 +237,6 @@ def main() -> int:
                       f"{bad} — CAST(... AS BIGINT) in the oracle SQL")
                 n_fail += 1
                 continue
-            t_spark = time.time() - t0
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()

@@ -545,13 +545,271 @@ def probe_textsim(spark, path: str) -> dict[str, float]:
     return secs
 
 
+def build_scaled_skew(spark, mult: int, out_dir: str) -> None:
+    """Adversarially Zipf-skewed join fact table: 30% of rows land on ONE
+    hot key (key 0), the rest spread uniformly over 10k keys — the
+    classic skew-join benchmark shape. Built from lineitem row numbers so
+    it is deterministic and scales with the multiplier (~600k rows per
+    copy at sf0.1); the dim side (all 10k keys) is constant, written next
+    to the fact so the probe joins real parquet at every scale."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.monotonically_increasing_id().alias("rid"),
+        (F.col("l_extendedprice").cast("double")).alias("payload"),
+    )
+    copies = []
+    for k in range(mult):
+        copies.append(
+            li.select(
+                F.when(F.col("rid") % 10 < 3, F.lit(0))
+                .otherwise(F.pmod(F.col("rid") * 2654435761 + k, 10_000))
+                .cast("bigint")
+                .alias("key"),
+                "payload",
+            )
+        )
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/fact")
+    spark.range(10_000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 97).cast("double").alias("dim_val"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dim")
+
+
+def probe_skew(spark, path: str) -> dict[str, float]:
+    """Round-11 skew-hardening probe (the r10 verdict's item 6): measure
+    the THREE plan choices for a hot-key equi-join on the same data —
+    AQE's skew-join split, the explicit salted plan, and the broadcast
+    hash join — instead of asserting which wins. Broadcast is forced OFF
+    for the first three ops (the 100 TB regime where the dim outgrows a
+    broadcast) and ON for the last (the regime where it doesn't; at a
+    10k-row dim broadcast should dominate everything, which is exactly
+    the recorded lesson). The AQE skew thresholds are lowered so the
+    split actually fires at probe scale (~25 MB hot partition at 10x;
+    the default 256 MB threshold is sized for production partitions)."""
+    from dataintegration_csvprovider_spark.operators.scale import (
+        salted_join,
+    )
+
+    fact = spark.read.parquet(f"{path}/fact")
+    dim = spark.read.parquet(f"{path}/dim")
+
+    def agg(joined):
+        return joined.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("payload") + F.col("dim_val")).alias("s"),
+        )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+
+    def run(name, fn, **confs):
+        for k, v in confs.items():
+            conf.set(k, v)
+        try:
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.monotonic()
+            _force(agg(fn()))
+            secs[name] = round(time.monotonic() - t0, 3)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+
+    secs: dict[str, float] = {}
+    run(
+        "shuffle_aqe_skew",
+        lambda: fact.join(dim, "key"),
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "4m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        },
+    )
+    run(
+        "shuffle_no_skew",
+        lambda: fact.join(dim, "key"),
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "false",
+        },
+    )
+    run(
+        "salted_16",
+        lambda: salted_join(fact, dim, on="key", salt_buckets=16),
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "false",
+        },
+    )
+    run("broadcast", lambda: fact.join(F.broadcast(dim), "key"))
+    return secs
+
+
+def probe_heads(spark, path: str) -> dict[str, float]:
+    """Round-11 heavy-heads family (the r10 verdict's top item: the most
+    expensive operators' 100 TB claims were argued above sf0.1, not
+    measured). Probes the SPARK sides of the remaining un-probed heads —
+    the tfidf AllPairs prefix-filter and the ngram-Jaccard index already
+    live in the textsim family:
+
+    - exact_substring_dedup / exact_substring_decontaminate: one
+      gram-keyed shuffle (windows occurring >=2x / eval-window semi-join)
+      + a doc-partitioned island merge — expect ~linear in corpus tokens.
+      Cross-copy grams are disjoint by the copy-tag construction, so the
+      duplicated-window volume grows k-fold, never k².
+    - containment: the containment-prefix candidate path — only the
+      (1-t)|T|+1 eval-rarest grams of each training doc probe the eval
+      index; per-copy eval/train structure is preserved, so candidates
+      grow k-fold.
+    - suite_batch_apply: ONE composed monitor-suite micro-batch (grouped
+      MRL sketch + CMS cell counts + KMV, committed through a generation
+      ledger) over the full scaled frame — the data-scaled half of
+      q_stream_monitor_suite's per-batch cost (the ledger read/commit
+      half is bounded at groups·k·levels + 256 cells + 65 rows and is
+      probed flat in the sketches family).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from dataintegration_csvprovider_spark.operators.dedup import (
+        containment_pairs,
+        exact_substring_decontaminate,
+        exact_substring_dedup,
+    )
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        collect_grouped_sketch,
+        grouped_quantile_sketch_rows,
+        kmv_sketch,
+        rows_ledger_commit,
+        rows_ledger_read,
+        sketch_ledger_apply,
+    )
+    from dataintegration_csvprovider_spark.queries.profiling import (
+        _CMS_P,
+        _CMS_ROWS,
+        _CMS_W,
+    )
+
+    docs = spark.read.parquet(path)
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+
+    def suite_batch(d):
+        # the same three family applies q_stream_monitor_suite runs per
+        # micro-batch, on a documents-derived stand-in batch frame
+        bdf = d.select(
+            F.col("doc_id").alias("user_id"),
+            F.col("lang").alias("win"),
+            F.col("n_chars").cast("double").alias("value"),
+        )
+        root = _tempfile.mkdtemp(prefix="heads_ledger_")
+        try:
+            sk = collect_grouped_sketch(
+                grouped_quantile_sketch_rows(
+                    bdf.filter(F.col("value").isNotNull()), "win", "value"
+                )
+            )
+            sketch_ledger_apply(spark, f"{root}/mrl", sk, 0)
+            cells = bdf.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("i"),
+                                F.pmod(
+                                    F.pmod(
+                                        F.col("user_id").cast("decimal(20,0)")
+                                        * F.lit(a).cast("decimal(10,0)")
+                                        + F.lit(b).cast("decimal(10,0)"),
+                                        F.lit(_CMS_P).cast("decimal(20,0)"),
+                                    ).cast("bigint"),
+                                    F.lit(_CMS_W),
+                                ).alias("bucket"),
+                            )
+                            for i, (a, b) in enumerate(_CMS_ROWS)
+                        ]
+                    )
+                ).alias("h")
+            ).select("h.i", "h.bucket")
+            state = {
+                (int(r["i"]), int(r["bucket"])): int(r["count"])
+                for r in cells.groupBy("i", "bucket").count().collect()
+            }
+            rows_ledger_commit(
+                spark, f"{root}/cms",
+                [(i, b, c) for (i, b), c in sorted(state.items())],
+                "i int, bucket bigint, c bigint", 0, applied_through=-1,
+            )
+            vals, n = kmv_sketch(
+                bdf.filter(F.col("user_id").isNotNull()), "user_id"
+            )
+            rows_ledger_commit(
+                spark, f"{root}/kmv",
+                [("h", v) for v in vals] + [("n", n)],
+                "kind string, v long", 0, applied_through=-1,
+            )
+            rows_ledger_read(spark, f"{root}/cms")
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+
+    secs: dict[str, float] = {}
+
+    def timed(name, fn):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        fn()
+        secs[name] = round(time.monotonic() - t0, 3)
+
+    timed(
+        "exact_substring_dedup",
+        lambda: _force(
+            exact_substring_dedup(
+                docs.select("doc_id", "text"), min_tokens=10
+            )
+        ),
+    )
+    timed(
+        "exact_substring_decon",
+        lambda: _force(
+            exact_substring_decontaminate(
+                train.select("doc_id", "text"),
+                ev.select("doc_id", "text"),
+                min_tokens=10,
+            )
+        ),
+    )
+    timed(
+        "containment",
+        lambda: _force(containment_pairs(train, ev, n=2, threshold=0.8)),
+    )
+    timed("suite_batch_apply", lambda: suite_batch(docs))
+    return secs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--multipliers", nargs="+", type=int, default=[1, 3, 10])
     ap.add_argument(
         "--family",
         choices=["dedup", "similarity", "graph", "curation", "prefixsum",
-                 "retrieval", "filters", "sketches", "textsim"],
+                 "retrieval", "filters", "sketches", "textsim", "heads",
+                 "skew"],
         default="dedup",
         help="dedup probes the documents table; similarity the "
         "embeddings; graph an orders-derived edge list",
@@ -568,6 +826,8 @@ def main() -> None:
         "filters": (build_scaled, probe_filters),
         "sketches": (build_scaled, probe_sketches),
         "textsim": (build_scaled, probe_textsim),
+        "heads": (build_scaled, probe_heads),
+        "skew": (build_scaled_skew, probe_skew),
     }[args.family]
 
     spark = get_spark(app_name="scale_probe")
@@ -579,7 +839,9 @@ def main() -> None:
         for mult in args.multipliers:
             d = f"{root}/x{mult}"
             build(spark, mult, d)
-            rows[mult] = spark.read.parquet(d).count()
+            # skew writes fact/ + dim/ subdirs; row count = the fact side
+            count_dir = f"{d}/fact" if args.family == "skew" else d
+            rows[mult] = spark.read.parquet(count_dir).count()
             if not warmed:
                 # session warm-up: run the whole op set once untimed so
                 # the first measured scale doesn't absorb JVM/codegen/
