@@ -6283,3 +6283,169 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.select(
         "*", (F.row_number().over(best) == 1).alias("is_best")
     )
+
+
+def _duck_bm25_over(src: str, pfx: str) -> str:
+    """BM25 CTE chain over CTE ``src(doc_id, text)`` into
+    ``{pfx}_bm(doc_id, score)`` — the q_bm25_topk oracle core
+    (textmining._BM25_ORACLE_CORE) parametrized on its source so the
+    dedup-ablation eval can score the SAME query against two corpus
+    variants. Identical arithmetic: rational Robertson idf, k1=1.2,
+    b=0.75, decimal-accumulated per-term sums rounded at 9 decimals."""
+    return f"""
+    {pfx}_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM {src}),
+    {pfx}_t0 AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS dl,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS term
+      FROM {src}),
+    {pfx}_tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM {pfx}_t0 WHERE term IN ('spark', 'hash', 'vector')
+      GROUP BY doc_id, dl, term),
+    {pfx}_df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                 FROM {pfx}_tf GROUP BY term),
+    {pfx}_per AS (
+      SELECT tf.doc_id,
+             ((n.n - dft.df + 0.5) / (dft.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                                 / n.avgdl)))) AS s
+      FROM {pfx}_tf tf JOIN {pfx}_df dft USING (term)
+      CROSS JOIN {pfx}_n n),
+    {pfx}_bm AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 9)
+               AS score
+      FROM {pfx}_per GROUP BY doc_id)"""
+
+
+@register(
+    "q_bm25_dedup_eval",
+    # Round 11 (r10 verdict item 8): the engine's first end-to-end
+    # EVALUATION query — the data-curation ablation loop "does dedup
+    # help retrieval?" run entirely in-engine and entirely replayed by
+    # the oracle. Composition: md5-family MinHash-LSH pairs ->
+    # connected components -> min-id keeper (the q_dedup_minhash /
+    # q_split_lsh_summary machinery), then the q_bm25_topk scorer runs
+    # against BOTH corpus variants — and because N, avgdl and df are
+    # corpus-level statistics, dedup shifts every score, not just the
+    # removed docs' (the subtle ablation effect the composition
+    # exposes). Metrics are exact integers: corpus sizes, top-10 sizes,
+    # DISTINCT near-dup components inside each top-10 (retrieval
+    # redundancy: raw can waste slots on near-identical docs; the
+    # deduped corpus provably yields one doc per component), and the
+    # overlap between the two top-10 lists. Oracle replays the WHOLE
+    # path: minhash signatures, banding, candidate join, recursive-CTE
+    # components, keeper selection, both BM25 chains, both top-10s.
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_PAIRS},
+    e AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    dd AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+      WHERE lab.doc_id = lab.component
+    ),
+    raww AS (SELECT doc_id, text FROM documents),
+    {_duck_bm25_over("raww", "r")},
+    {_duck_bm25_over("dd", "d")},
+    rtop AS (SELECT doc_id FROM r_bm
+             ORDER BY score DESC, doc_id LIMIT 10),
+    dtop AS (SELECT doc_id FROM d_bm
+             ORDER BY score DESC, doc_id LIMIT 10),
+    shared AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+               FROM rtop JOIN dtop USING (doc_id))
+    SELECT 'raw' AS corpus,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM rtop) AS BIGINT) AS n_topk,
+           CAST((SELECT COUNT(DISTINCT component) FROM rtop
+                 JOIN lab USING (doc_id)) AS BIGINT) AS topk_components,
+           (SELECT c FROM shared) AS topk_shared
+    UNION ALL
+    SELECT 'dedup',
+           CAST((SELECT COUNT(*) FROM dd) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM dtop) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT component) FROM dtop
+                 JOIN lab USING (doc_id)) AS BIGINT),
+           (SELECT c FROM shared)
+    """,
+    doc="Dedup-aware retrieval evaluation — the curation ablation loop "
+        "as one query: MinHash-LSH near-dup components dedup the "
+        "corpus (min-id keeper), BM25 scores the fixed query against "
+        "the raw AND the deduplicated corpus (corpus statistics N, "
+        "avgdl, df legitimately shift under dedup), and exact-integer "
+        "metrics compare the two top-10s: distinct near-dup components "
+        "per list (redundancy — dedup provably yields one doc per "
+        "component) and list overlap. Scale shape: the banded LSH "
+        "pair join + O(log n) component contraction are the dedup "
+        "cost; each BM25 pass is one query-term-pruned postings "
+        "shuffle; the top-10s are sort-limit heaps. Every number "
+        "replayed by the oracle end-to-end.",
+    tags=("text", "retrieval", "bm25", "dedup", "eval"),
+)
+def q_bm25_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from .textmining import _bm25_scores_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, base_hash="md5"
+    ).select("a", "b")
+    comps = connected_components(pairs)
+    labels = docs.select("doc_id").join(
+        comps.select(F.col("id").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    ).localCheckpoint(eager=True)
+    keep = labels.filter(F.col("doc_id") == F.col("component")).select(
+        "doc_id"
+    )
+    dd = docs.join(keep, "doc_id", "left_semi")
+
+    def topk(bm: DataFrame) -> DataFrame:
+        return bm.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+            10
+        ).select("doc_id")
+
+    raw_top = topk(_bm25_scores_docs(docs)).localCheckpoint(eager=True)
+    dd_top = topk(_bm25_scores_docs(dd)).localCheckpoint(eager=True)
+
+    def metrics(top: DataFrame) -> tuple[int, int]:
+        row = top.join(labels, "doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("component").alias("c"),
+        ).first()
+        return int(row["n"]), int(row["c"])
+
+    n_raw_top, raw_comps = metrics(raw_top)
+    n_dd_top, dd_comps = metrics(dd_top)
+    shared = raw_top.join(dd_top, "doc_id", "left_semi").count()
+    n_docs = docs.count()
+    n_kept = dd.count()
+    return spark.createDataFrame(
+        [
+            ("raw", n_docs, n_raw_top, raw_comps, shared),
+            ("dedup", n_kept, n_dd_top, dd_comps, shared),
+        ],
+        "corpus string, n_docs bigint, n_topk bigint, "
+        "topk_components bigint, topk_shared bigint",
+    )

@@ -1,0 +1,49 @@
+"""Round-11 law pins: the dedup-aware BM25 retrieval eval and the
+streaming incremental-IVF twin."""
+
+from __future__ import annotations
+
+
+def test_bm25_dedup_eval_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.llm import (
+        q_bm25_dedup_eval,
+    )
+
+    rows = {r["corpus"]: r for r in q_bm25_dedup_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"raw", "dedup"}
+    raw, dd = rows["raw"], rows["dedup"]
+    # dedup never grows the corpus, and the fixture has near-dups
+    assert 0 < dd["n_docs"] < raw["n_docs"]
+    # the deduplicated corpus holds exactly one doc per component, so
+    # its top-k is component-distinct BY CONSTRUCTION — the law that
+    # makes "dedup removes retrieval redundancy" a theorem, not a hope
+    assert dd["topk_components"] == dd["n_topk"]
+    # raw can only tie or waste slots
+    assert raw["topk_components"] <= raw["n_topk"]
+    # shared docs are a subset of both lists
+    assert 0 <= raw["topk_shared"] <= min(raw["n_topk"], dd["n_topk"])
+    assert raw["topk_shared"] == dd["topk_shared"]
+
+
+def test_stream_ivf_incremental_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.streaming import (
+        q_stream_ivf_incremental,
+    )
+
+    rows = {
+        r["step"]: r
+        for r in q_stream_ivf_incremental(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"after_batch_0", "after_batch_1"}
+    b0, b1 = rows["after_batch_0"], rows["after_batch_1"]
+    # the natural delta must NOT fire the retrain signal; the
+    # constructed single-direction drift batch MUST
+    assert not b0["retrain_fired"]
+    assert b1["retrain_fired"]
+    # assignment mass conserves through the ledger at both checkpoints
+    assert b0["mass_ok"] and b1["mass_ok"]
+    assert 0 < b0["n_assigned"] < b1["n_assigned"]
+    # crash-after-commit redelivery refused; crashed (manifest) and
+    # control (listing) final states value-equal
+    assert b0["redelivery_refused"] and b1["redelivery_refused"]
+    assert b0["restart_equal"] and b1["restart_equal"]
