@@ -530,17 +530,66 @@ def _manifest_swap(ledger_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(ledger_dir, _MANIFEST))
 
 
+#: DDL type -> pyarrow type for the ledger fast path (flat primitive
+#: schemas only — every ledger state is bounded and primitive by
+#: design; anything else falls back to the Spark writer)
+_LEDGER_PA_TYPES = {
+    "int": "int32",
+    "integer": "int32",
+    "long": "int64",
+    "bigint": "int64",
+    "string": "string",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+}
+
+
+def _ledger_pa_fields(schema: str):
+    """Parse a flat DDL schema string into [(name, pyarrow type)], or
+    None when any column type is outside the fast-path set."""
+    import pyarrow as pa
+
+    fields = []
+    for part in schema.split(","):
+        bits = part.strip().split()
+        if len(bits) != 2:
+            return None
+        name, typ = bits
+        pa_name = _LEDGER_PA_TYPES.get(typ.lower())
+        if pa_name is None:
+            return None
+        fields.append((name, getattr(pa, pa_name)()))
+    return fields
+
+
 def rows_ledger_read(
     spark, ledger_dir: str, protocol: str = "listing"
 ) -> tuple[list, int]:
     """Read the newest committed generation's rows (any schema) and the
-    batch id it covers. ``([], -1)`` before the first commit."""
+    batch id it covers. ``([], -1)`` before the first commit.
+
+    Reads via pyarrow directly (rows come back as dicts — every
+    consumer indexes by column name, which pyspark Rows also support):
+    ledger states are BOUNDED artifacts (k·levels rows / 256 cells / 65
+    values) by design, so paying a distributed-read Spark job per
+    micro-batch per family was pure fixed overhead — the r10 monitor
+    suite spent most of its 113s budget on exactly these driver-paced
+    sub-second jobs. The on-disk format is unchanged (parquet files in
+    a _SUCCESS-committed generation dir), so ledgers written by either
+    path read identically from both."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
     newest = _ledger_newest(ledger_dir, protocol)
     if newest < 0:
         return [], -1
-    rows = spark.read.parquet(
-        f"{ledger_dir}/{_GEN_PREFIX}{newest}"
-    ).collect()
+    rows: list = []
+    for f in sorted(
+        _glob.glob(f"{ledger_dir}/{_GEN_PREFIX}{newest}/*.parquet")
+    ):
+        rows.extend(_pq.read_table(f).to_pylist())
     return rows, newest
 
 
@@ -582,10 +631,32 @@ def rows_ledger_commit(
         applied_through = _ledger_newest(ledger_dir, protocol)
     if batch_id <= applied_through:
         return False
-    df = spark.createDataFrame(rows, schema)
-    df.coalesce(1).write.mode("overwrite").parquet(
-        f"{ledger_dir}/{_GEN_PREFIX}{batch_id}"
-    )
+    gen_dir = f"{ledger_dir}/{_GEN_PREFIX}{batch_id}"
+    fields = _ledger_pa_fields(schema)
+    if fields is not None:
+        # fast path: bounded flat-primitive state written by pyarrow —
+        # same on-disk layout (parquet + _SUCCESS marker) without a
+        # Spark job per commit (see rows_ledger_read); a crash between
+        # the parquet write and the _SUCCESS touch leaves an
+        # uncommitted generation exactly as the Spark writer would
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        os.makedirs(gen_dir, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {
+                name: pa.array(list(col), type=t)
+                for (name, t), col in zip(fields, cols)
+            }
+        )
+        _pq.write_table(table, os.path.join(gen_dir, "part-00000.parquet"))
+        with open(os.path.join(gen_dir, "_SUCCESS"), "w"):
+            pass
+    else:
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(gen_dir)
     if protocol == "manifest":
         _manifest_swap(ledger_dir, batch_id)
     keep = {batch_id}

@@ -3248,19 +3248,20 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tfidf_cosine_pairs",
-    # tf and w are MATERIALIZED: w feeds norms + BOTH sides of the
-    # Σdf² self-join, and without the hint DuckDB re-inlines the whole
-    # scan→unnest→tf→idf prelude into every consumer (three recomputes
-    # of the corpus tokenization — the bulk of the 60s oracle time at
-    # sf0.1). Same arithmetic, same decimal accumulation, identical
-    # values — only the evaluation count changes.
+    # NOTE (round 11): leave these CTEs UN-hinted. An experiment
+    # MATERIALIZED-hinting tf/w/norms (to stop presumed re-inlining)
+    # measured 41.4s vs 5.6s at sf0.1 — DuckDB's optimizer already
+    # shares the CTEs fine, and materializing w DEFEATS the pushdown
+    # into the Σdf² self-join that makes the oracle cheap. The r10
+    # sweep's 104s total for this name was the SPARK side's cold-start
+    # (~60s first-query JVM/codegen warmup), not oracle time.
     oracle="""
     WITH N AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
     terms AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term
       FROM documents
     ),
-    tf AS MATERIALIZED (
+    tf AS (
       SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
       FROM terms GROUP BY doc_id, term
     ),
@@ -3270,11 +3271,11 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(COUNT(*) AS DOUBLE) + 0.5) AS idf
       FROM tf, N GROUP BY term, n
     ),
-    w AS MATERIALIZED (
+    w AS (
       SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
       FROM tf JOIN idf USING (term)
     ),
-    norms AS MATERIALIZED (
+    norms AS (
       SELECT doc_id,
              sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
                AS nrm
