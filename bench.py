@@ -167,6 +167,15 @@ HEADLINE = (
     # shapes already represented by the knn/join entries).
     "q_pii_redact",
     "q_url_canonicalize",
+    # round-11: NOT q_bm25_dedup_eval — the evaluation composite's cost
+    # is its minhash-LSH pair stage + components (benched via
+    # minhash_neardup_pairs / q_split_lsh_summary) plus two query-term-
+    # pruned BM25 postings passes (sub-second). NOT
+    # q_stream_ivf_incremental — a crash/restart discipline harness
+    # (three checkpointed stream runs of fixed overhead, same reasoning
+    # as q_stream_percentile_restart); its recurring production path —
+    # map-side delta assignment against frozen broadcast centroids —
+    # is one narrow stage already represented by the IVF entries.
 )
 
 

@@ -104,6 +104,7 @@ _GRADE_FIRST = [
     # ---- round-11 additions / changed code or oracle
     "q_stream_ivf_incremental",
     "q_bm25_dedup_eval",
+    "q_skew_join_planner",
     "q_pii_redact",  # n_redacted now counts the chain input (ADVICE r10)
     "q_tfidf_cosine_pairs",  # oracle CTEs MATERIALIZED (headroom item)
     "q_stream_monitor_suite",  # 2-slice stream (headroom item)

@@ -911,3 +911,176 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bloom_audit_frame(orders, dim)
+
+
+@register(
+    "q_skew_join_planner",
+    # round 11 (r10 verdict item 6): the skew companion to
+    # q_kmv_join_planner — the statistic that drives the plan choice is
+    # the FACT side's hot-key share plus the dim's cardinality, both
+    # exact integers, and the chosen strategy is verified against the
+    # executed plan. The decision rule encodes the measured skew-probe
+    # ordering (tools/scale_probe.py --family skew, 6M rows, 30% hot
+    # key: broadcast 0.22s < AQE skew-split 0.74s < salted 0.95s <
+    # plain shuffle 1.16s): broadcast when the dim fits (<= 10k rows),
+    # else AQE skew handling when one key holds >= 20% of the fact
+    # side, else a plain sort-merge. Three cases exercise the rule: a
+    # 51-row dim (broadcast), a constructed hot key sending ~35% of
+    # lineitem rows to MIN(o_orderkey) against the full orders dim
+    # (aqe_skew at gate SF, where orders > 10k rows), and the natural
+    # near-unique l_orderkey join (shuffle_merge at gate SF). At
+    # sf0.001 orders fits the broadcast cap, so every case legitimately
+    # plans broadcast — the rule is replayed from data, not pinned to
+    # one SF's branch.
+    oracle=f"""
+    WITH hot AS (SELECT MIN(o_orderkey) AS k FROM orders),
+    f_small AS (SELECT CAST(l_quantity AS BIGINT) AS key,
+                       l_extendedprice AS payload FROM lineitem),
+    f_hot AS (SELECT CASE WHEN l_linenumber <= 2 THEN (SELECT k FROM hot)
+                          ELSE l_orderkey END AS key,
+                     l_extendedprice AS payload FROM lineitem),
+    f_uni AS (SELECT l_orderkey AS key, l_extendedprice AS payload
+              FROM lineitem),
+    d_small AS (SELECT CAST(range AS BIGINT) AS key,
+                       CAST(range * 3 AS BIGINT) AS dim_val
+                FROM range(0, 51)),
+    d_orders AS (SELECT o_orderkey AS key,
+                        CAST(o_orderkey % 97 AS BIGINT) AS dim_val
+                 FROM orders)
+    SELECT * FROM (
+      SELECT 'small_dim' AS which,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d_small) AS dim_rows,
+             (SELECT CAST((100 * MAX(c)) // SUM(c) AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM f_small GROUP BY key))
+               AS max_share_pct,
+             CASE WHEN (SELECT COUNT(*) FROM d_small) <= 10000
+                  THEN 'broadcast'
+                  WHEN (SELECT (100 * MAX(c)) >= 20 * SUM(c)
+                        FROM (SELECT COUNT(*) AS c FROM f_small
+                              GROUP BY key)) THEN 'aqe_skew'
+                  ELSE 'shuffle_merge' END AS strategy,
+             (SELECT COUNT(*) FROM d_small) <= 10000 AS broadcast_used,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM f_small f JOIN d_small d USING (key)) AS n_rows,
+             (SELECT {sql_dsum('f.payload + d.dim_val')}
+              FROM f_small f JOIN d_small d USING (key)) AS total
+      UNION ALL
+      SELECT 'hot_key',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d_orders),
+             (SELECT CAST((100 * MAX(c)) // SUM(c) AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM f_hot GROUP BY key)),
+             CASE WHEN (SELECT COUNT(*) FROM d_orders) <= 10000
+                  THEN 'broadcast'
+                  WHEN (SELECT (100 * MAX(c)) >= 20 * SUM(c)
+                        FROM (SELECT COUNT(*) AS c FROM f_hot
+                              GROUP BY key)) THEN 'aqe_skew'
+                  ELSE 'shuffle_merge' END,
+             (SELECT COUNT(*) FROM d_orders) <= 10000,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM f_hot f JOIN d_orders d USING (key)),
+             (SELECT {sql_dsum('f.payload + d.dim_val')}
+              FROM f_hot f JOIN d_orders d USING (key))
+      UNION ALL
+      SELECT 'uniform',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d_orders),
+             (SELECT CAST((100 * MAX(c)) // SUM(c) AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM f_uni GROUP BY key)),
+             CASE WHEN (SELECT COUNT(*) FROM d_orders) <= 10000
+                  THEN 'broadcast'
+                  WHEN (SELECT (100 * MAX(c)) >= 20 * SUM(c)
+                        FROM (SELECT COUNT(*) AS c FROM f_uni
+                              GROUP BY key)) THEN 'aqe_skew'
+                  ELSE 'shuffle_merge' END,
+             (SELECT COUNT(*) FROM d_orders) <= 10000,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM f_uni f JOIN d_orders d USING (key)),
+             (SELECT {sql_dsum('f.payload + d.dim_val')}
+              FROM f_uni f JOIN d_orders d USING (key))
+    ) ORDER BY which
+    """,
+    doc="Skew-aware join planning: the fact side's hot-key share (one "
+        "keyed count, exact integers) and the dim cardinality pick the "
+        "strategy — broadcast when the dim fits (<= 10k rows), AQE "
+        "skew handling when one key holds >= 20% of the fact rows, "
+        "plain sort-merge otherwise — and the executed plan is checked "
+        "for the broadcast node. The thresholds encode the measured "
+        "skew-probe ordering (broadcast < AQE skew-split < salted < "
+        "plain shuffle on a 30%-hot-key join). Statistic, decision, "
+        "plan check and join aggregates all value-replayed.",
+    tags=("join", "scale", "plan", "skew"),
+)
+def q_skew_join_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hot_key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+
+    facts = {
+        "small_dim": li.select(
+            F.col("l_quantity").cast("bigint").alias("key"),
+            F.col("l_extendedprice").alias("payload"),
+        ),
+        "hot_key": li.select(
+            F.when(F.col("l_linenumber") <= 2, F.lit(hot_key))
+            .otherwise(F.col("l_orderkey"))
+            .cast("bigint")
+            .alias("key"),
+            F.col("l_extendedprice").alias("payload"),
+        ),
+        "uniform": li.select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_extendedprice").alias("payload"),
+        ),
+    }
+    d_small = spark.range(0, 51).select(
+        F.col("id").alias("key"),
+        (F.col("id") * 3).cast("bigint").alias("dim_val"),
+    )
+    d_orders = orders.select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 97).cast("bigint").alias("dim_val"),
+    )
+    dims = {"small_dim": d_small, "hot_key": d_orders, "uniform": d_orders}
+
+    def run(which: str) -> DataFrame:
+        fact, dim = facts[which], dims[which]
+        dim_rows = dim.count()
+        stats = (
+            fact.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+            .collect()[0]
+        )
+        max_share_pct = (100 * int(stats["mx"])) // int(stats["n"])
+        if dim_rows <= 10_000:
+            strategy = "broadcast"
+        elif 100 * int(stats["mx"]) >= 20 * int(stats["n"]):
+            # AQE's runtime skew split beat explicit salting in the
+            # measured probe; salting stays the fallback for plans AQE
+            # cannot re-split (operators/scale.py salted_join)
+            strategy = "aqe_skew"
+        else:
+            strategy = "shuffle_merge"
+        hinted = (
+            dim.hint("broadcast") if strategy == "broadcast"
+            else dim.hint("merge")
+        )
+        agg = fact.join(hinted, "key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("payload") + F.col("dim_val")).alias("total"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return agg.select(
+            F.lit(which).alias("which"),
+            F.lit(dim_rows).cast("bigint").alias("dim_rows"),
+            F.lit(max_share_pct).cast("bigint").alias("max_share_pct"),
+            F.lit(strategy).alias("strategy"),
+            F.lit("BroadcastHashJoin" in plan).alias("broadcast_used"),
+            "n_rows",
+            "total",
+        )
+
+    out = None
+    for which in facts:
+        part = run(which)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("which")

@@ -47,3 +47,33 @@ def test_stream_ivf_incremental_laws(spark, sf_dir):
     # control (listing) final states value-equal
     assert b0["redelivery_refused"] and b1["redelivery_refused"]
     assert b0["restart_equal"] and b1["restart_equal"]
+
+
+def test_skew_join_planner_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.relational6 import (
+        q_skew_join_planner,
+    )
+
+    rows = {
+        r["which"]: r for r in q_skew_join_planner(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"small_dim", "hot_key", "uniform"}
+    # the decision rule is a pure function of the replayed statistics
+    for r in rows.values():
+        if r["dim_rows"] <= 10_000:
+            assert r["strategy"] == "broadcast"
+        elif r["max_share_pct"] >= 20:
+            assert r["strategy"] == "aqe_skew"
+        else:
+            assert r["strategy"] == "shuffle_merge"
+        # the executed plan matches the decision: broadcast iff chosen
+        assert r["broadcast_used"] == (r["strategy"] == "broadcast")
+    # the 51-row dim always broadcasts; the constructed hot key always
+    # concentrates >= 20% of lineitem rows (l_linenumber <= 2 covers
+    # first-and-second lines of every order)
+    assert rows["small_dim"]["strategy"] == "broadcast"
+    assert rows["hot_key"]["max_share_pct"] >= 20
+    # every strategy returns the same row count (plan choice never
+    # changes semantics)
+    ns = {r["n_rows"] for r in rows.values()}
+    assert len(ns) == 1

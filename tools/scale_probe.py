@@ -558,10 +558,14 @@ def build_scaled_skew(spark, mult: int, out_dir: str) -> None:
     )
     copies = []
     for k in range(mult):
+        # reduce rid BEFORE the mixing multiply: the raw
+        # monotonically_increasing_id carries the partition id in the
+        # high bits (~2^60), and rid * prime overflows ANSI bigint
+        r = F.pmod(F.col("rid"), 100_000)
         copies.append(
             li.select(
                 F.when(F.col("rid") % 10 < 3, F.lit(0))
-                .otherwise(F.pmod(F.col("rid") * 2654435761 + k, 10_000))
+                .otherwise(F.pmod(r * 7919 + k, 10_000))
                 .cast("bigint")
                 .alias("key"),
                 "payload",
