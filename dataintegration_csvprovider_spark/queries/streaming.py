@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -23,6 +23,7 @@ from ..streaming.events import (
     tumbling_agg,
 )
 from .registry import register
+from .textmining import _BM25_ORACLE_CORE
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -3014,4 +3015,268 @@ def q_stream_ivf_incremental(
         "step string, n_assigned bigint, retrain_fired boolean, "
         "mass_ok boolean, restart_equal boolean, redelivery_refused "
         "boolean",
+    )
+
+
+@register(
+    "q_stream_bm25_index",
+    # Round 11: incremental retrieval-index maintenance — the
+    # train-once/maintain-forever discipline applied to BM25. The
+    # corpus arrives as a STREAM; each micro-batch folds its query-term
+    # postings (doc_id, term, tf, dl — disjoint docs, so merge = union)
+    # and its corpus statistics (n_docs, total_dl — additive exact
+    # integers) into TWO generation ledgers; the final top-20 is scored
+    # ENTIRELY from ledger state. Because every ledger value is an
+    # exact integer and the scoring arithmetic mirrors q_bm25_topk's
+    # (rational Robertson idf, identical parenthesization, decimal
+    # accumulation), the incrementally-built index's scores are
+    # BIT-EQUAL to a from-scratch batch build — so the oracle is the
+    # full q_bm25_topk replay, a complete value pin, not a gate. One
+    # crash is injected between the two ledgers' commits of batch 1
+    # (stats committed, postings not — the torn-composite window); the
+    # restart heals asymmetrically (stats refuses the re-delivery,
+    # postings applies it) and the crashed index is pinned value-equal
+    # to an uninterrupted control build (manifest vs listing protocol,
+    # so the equality also pins cross-protocol equivalence).
+    oracle=f"""
+    WITH {_BM25_ORACLE_CORE}
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           TRUE AS restart_equal, TRUE AS stats_refused,
+           TRUE AS postings_applied
+    FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="Streaming incremental BM25 index: micro-batches fold "
+        "query-term postings and additive corpus statistics into two "
+        "generation ledgers; the top-20 is scored from ledger state "
+        "alone and is bit-equal to a from-scratch batch build (exact "
+        "integer state + identical rational-idf arithmetic), so the "
+        "whole ranking is value-replayed — the incremental-indexing "
+        "production shape with a full oracle instead of a gate. A "
+        "crash torn between the stats and postings commits is healed "
+        "asymmetrically on restart and the result pinned equal to an "
+        "uninterrupted control run. Recurring cost per batch: one "
+        "query-term-pruned scan of the BATCH plus bounded ledger I/O.",
+    tags=("streaming", "retrieval", "bm25", "incremental", "checkpoint"),
+)
+def q_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.sketches import rows_ledger_commit, rows_ledger_read
+    from .textmining import _BM25_K1, _BM25_B, _BM25_QUERY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="bm25_stage_")
+    roots = [tempfile.mkdtemp(prefix="bm25_run_") for _ in range(2)]
+    protocols = {roots[0]: "manifest", roots[1]: "listing"}
+
+    def write_slice(df: DataFrame, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="bm25_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    skipped: dict[str, dict[str, list[int]]] = {
+        r: {"stats": [], "post": []} for r in roots
+    }
+
+    def run_stream(root: str, crash_in_batch: int | None) -> None:
+        proto = protocols[root]
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.persist()
+            # ledger 1: additive corpus statistics (exact integers)
+            prev, applied = rows_ledger_read(
+                spark, f"{root}/stats", protocol=proto
+            )
+            batch_stats = bdf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                ).alias("tot"),
+            ).first()
+            if batch_id <= applied:
+                skipped[root]["stats"].append(batch_id)
+            else:
+                n0 = int(prev[0]["n_docs"]) if prev else 0
+                t0 = int(prev[0]["total_dl"]) if prev else 0
+                rows_ledger_commit(
+                    spark, f"{root}/stats",
+                    [(n0 + int(batch_stats["n"]),
+                      t0 + int(batch_stats["tot"]))],
+                    "n_docs long, total_dl long", batch_id,
+                    applied_through=applied, protocol=proto,
+                )
+            # the torn-composite crash window: stats committed this
+            # batch, postings have not
+            if batch_id == crash_in_batch:
+                bdf.unpersist()
+                raise RuntimeError("injected crash between ledgers")
+            # ledger 2: query-term postings (disjoint docs per batch,
+            # so the merge is a plain union of exact integer rows)
+            prev, applied = rows_ledger_read(
+                spark, f"{root}/post", protocol=proto
+            )
+            if batch_id <= applied:
+                skipped[root]["post"].append(batch_id)
+            else:
+                state = {
+                    (int(r["doc_id"]), r["term"]): (int(r["tf"]),
+                                                    int(r["dl"]))
+                    for r in prev
+                }
+                batch_post = (
+                    bdf.select(
+                        "doc_id",
+                        F.size(
+                            F.split(F.trim(F.col("text")), r"\s+")
+                        ).alias("dl"),
+                        F.explode(
+                            F.split(F.trim(F.col("text")), r"\s+")
+                        ).alias("term"),
+                    )
+                    .filter(F.col("term").isin(*_BM25_QUERY))
+                    .groupBy("doc_id", "dl", "term")
+                    .agg(F.count(F.lit(1)).alias("tf"))
+                ).collect()
+                for r in batch_post:
+                    state[(int(r["doc_id"]), r["term"])] = (
+                        int(r["tf"]), int(r["dl"])
+                    )
+                rows_ledger_commit(
+                    spark, f"{root}/post",
+                    [
+                        (d, t, tf, dl)
+                        for (d, t), (tf, dl) in sorted(state.items())
+                    ],
+                    "doc_id long, term string, tf long, dl long",
+                    batch_id, applied_through=applied, protocol=proto,
+                )
+            bdf.unpersist()
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if crash_in_batch is None:
+                raise
+
+    try:
+        write_slice(
+            docs.filter(F.col("doc_id") % 2 == 0), "a.parquet",
+            1_000_000_000,
+        )
+        write_slice(
+            docs.filter(F.col("doc_id") % 2 == 1), "b.parquet",
+            1_000_010_000,
+        )
+        run_stream(roots[0], crash_in_batch=1)
+        run_stream(roots[0], crash_in_batch=None)
+        run_stream(roots[1], crash_in_batch=None)
+
+        finals = {}
+        for root in roots:
+            proto = protocols[root]
+            srows, sgen = rows_ledger_read(
+                spark, f"{root}/stats", protocol=proto
+            )
+            prows, pgen = rows_ledger_read(
+                spark, f"{root}/post", protocol=proto
+            )
+            finals[root] = (
+                sorted((int(r["n_docs"]), int(r["total_dl"]))
+                       for r in srows),
+                sgen,
+                sorted(
+                    (int(r["doc_id"]), r["term"], int(r["tf"]),
+                     int(r["dl"]))
+                    for r in prows
+                ),
+                pgen,
+            )
+        stats_rows, _ = rows_ledger_read(
+            spark, f"{roots[0]}/stats", protocol="manifest"
+        )
+        post_rows, _ = rows_ledger_read(
+            spark, f"{roots[0]}/post", protocol="manifest"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    restart_equal = bool(finals[roots[0]] == finals[roots[1]])
+    stats_refused = bool(
+        skipped[roots[0]]["stats"] == [1]
+        and skipped[roots[1]]["stats"] == []
+    )
+    postings_applied = bool(
+        skipped[roots[0]]["post"] == []
+        and skipped[roots[1]]["post"] == []
+    )
+
+    # score ENTIRELY from ledger state, mirroring _bm25_scores_docs'
+    # arithmetic exactly (same parenthesization, decimal accumulation)
+    n_docs = int(stats_rows[0]["n_docs"])
+    avgdl = int(stats_rows[0]["total_dl"]) / n_docs
+    post = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), r["term"], float(r["tf"]), int(r["dl"]))
+            for r in post_rows
+        ],
+        "doc_id long, term string, tf double, dl long",
+    )
+    df_t = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    odds = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfpart = (F.col("tf") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    per_term = post.join(F.broadcast(df_t), "term").select(
+        "doc_id", (odds * tfpart).alias("s")
+    )
+    bm = per_term.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
+        ).alias("score")
+    )
+    top = bm.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.lit(restart_equal).alias("restart_equal"),
+        F.lit(stats_refused).alias("stats_refused"),
+        F.lit(postings_applied).alias("postings_applied"),
     )

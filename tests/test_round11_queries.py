@@ -77,3 +77,26 @@ def test_skew_join_planner_laws(spark, sf_dir):
     # changes semantics)
     ns = {r["n_rows"] for r in rows.values()}
     assert len(ns) == 1
+
+
+def test_stream_bm25_index_matches_batch(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.streaming import (
+        q_stream_bm25_index,
+    )
+    from dataintegration_csvprovider_spark.queries.textmining import (
+        q_bm25_topk,
+    )
+
+    inc = q_stream_bm25_index(spark, sf_dir).collect()
+    batch = q_bm25_topk(spark, sf_dir).collect()
+    # the incrementally-maintained index reproduces the from-scratch
+    # batch build BIT-FOR-BIT — scores, order and ranks
+    assert [
+        (r["doc_id"], r["score"], r["rank"]) for r in inc
+    ] == [(r["doc_id"], r["score"], r["rank"]) for r in batch]
+    # the torn-composite crash healed: stats refused the re-delivery,
+    # postings applied it, final state equal to the control build
+    for r in inc:
+        assert r["restart_equal"]
+        assert r["stats_refused"]
+        assert r["postings_applied"]
