@@ -131,3 +131,83 @@ def connected_components_stats(
         .distinct()
     )
     return labels, rounds
+
+
+def incremental_components(
+    labels: DataFrame | None,
+    batch_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """One incremental connected-components maintenance step: fold a
+    BATCH of new edges into an existing min-id label table (round 11 —
+    the dedup-components maintenance story for a growing corpus).
+
+    The global contraction never re-runs: batch endpoints are relabeled
+    through the current labels (two left joins against the label
+    table), large-star/small-star runs only on the CONTRACTED batch
+    graph — whose node set is component ids + genuinely new nodes, size
+    bounded by the batch, not the corpus — and the resulting
+    component-of-component mapping composes back over the label table
+    with one keyed join. Composition preserves the global min-id
+    convention: existing component ids ARE their groups' minimum node
+    ids, new nodes enter as their own ids, so the contracted CC's
+    min-reachable label is the merged group's true global minimum.
+
+    ``labels``: (node, component) or None before the first batch.
+    Returns the new (node, component) covering every previously
+    labeled node plus all batch endpoints. Per-batch cost: O(batch)
+    contraction + two label-table-keyed shuffles — the work a 100 TB
+    corpus pays for a daily edge delta, instead of re-clustering the
+    world.
+    """
+    e = batch_edges.select(
+        F.col(src).cast("bigint").alias("a"),
+        F.col(dst).cast("bigint").alias("b"),
+    ).distinct()
+    batch_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    if labels is None:
+        base_labels = batch_nodes.select(
+            "node", F.col("node").alias("component")
+        )
+        rel = e
+    else:
+        la = labels.select(
+            F.col("node").alias("a"), F.col("component").alias("ca")
+        )
+        lb = labels.select(
+            F.col("node").alias("b"), F.col("component").alias("cb")
+        )
+        rel = (
+            e.join(la, "a", "left")
+            .join(lb, "b", "left")
+            .select(
+                F.coalesce(F.col("ca"), F.col("a")).alias("a"),
+                F.coalesce(F.col("cb"), F.col("b")).alias("b"),
+            )
+        )
+        new_nodes = batch_nodes.join(
+            labels.select("node"), "node", "left_anti"
+        )
+        base_labels = labels.unionByName(
+            new_nodes.select("node", F.col("node").alias("component"))
+        )
+    contracted = rel.filter(F.col("a") != F.col("b")).distinct()
+    if contracted.limit(1).count() == 0:
+        return base_labels
+    mapping = connected_components(
+        contracted, src="a", dst="b", max_iter=max_iter
+    ).select(
+        F.col("node").alias("old_c"), F.col("component").alias("new_c")
+    )
+    return base_labels.join(
+        mapping, base_labels.component == mapping.old_c, "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("new_c"), F.col("component")).alias("component"),
+    )

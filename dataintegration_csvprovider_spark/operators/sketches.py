@@ -726,6 +726,65 @@ def sketch_ledger_apply(
     )
 
 
+def table_ledger_read(
+    spark, ledger_dir: str, protocol: str = "listing"
+):
+    """Read the newest committed generation as a DATAFRAME (not driver
+    rows) plus the batch id it covers — ``(None, -1)`` before the first
+    commit. The data-scaled companion of :func:`rows_ledger_read`: a
+    label table, an index snapshot or any other state that grows with
+    the data must never round-trip through the driver, so this variant
+    keeps the state distributed end to end. Same on-disk layout and
+    protocols (generation dirs, _SUCCESS, optional MANIFEST swap)."""
+    newest = _ledger_newest(ledger_dir, protocol)
+    if newest < 0:
+        return None, -1
+    return (
+        spark.read.parquet(f"{ledger_dir}/{_GEN_PREFIX}{newest}"),
+        newest,
+    )
+
+
+def table_ledger_commit(
+    df: DataFrame,
+    ledger_dir: str,
+    batch_id: int,
+    keep_generations: int = 2,
+    applied_through: int | None = None,
+    protocol: str = "listing",
+) -> bool:
+    """Commit a DATA-SCALED state DataFrame as generation ``batch_id``,
+    idempotently (same contract as :func:`rows_ledger_commit`). The
+    generation is written by the distributed DataFrame writer — the
+    state never visits the driver; Spark's own _SUCCESS marker commits
+    the listing protocol, and the manifest swap runs after the write
+    for the object-store-safe variant. ``keep_generations >= 2`` is
+    required when the new state is DERIVED from the previous
+    generation's DataFrame: the read of gen N must stay valid while
+    gen N+1 is being written."""
+    import os
+    import shutil
+
+    if applied_through is None:
+        applied_through = _ledger_newest(ledger_dir, protocol)
+    if batch_id <= applied_through:
+        return False
+    gen_dir = f"{ledger_dir}/{_GEN_PREFIX}{batch_id}"
+    df.write.mode("overwrite").parquet(gen_dir)
+    if protocol == "manifest":
+        _manifest_swap(ledger_dir, batch_id)
+    keep = {batch_id}
+    if protocol == "manifest":
+        keep.add(_ledger_newest(ledger_dir, protocol))
+    for g in _ledger_generations(ledger_dir)[:-keep_generations]:
+        if g not in keep:
+            shutil.rmtree(
+                os.path.join(ledger_dir, f"{_GEN_PREFIX}{g}"),
+                ignore_errors=True,
+            )
+    return True
+
+
 def grouped_kmv_sketch_rows(
     df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
 ) -> DataFrame:

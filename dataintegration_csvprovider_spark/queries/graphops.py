@@ -486,3 +486,197 @@ def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1c.cast("bigint").alias("cold3_l1_nano"),
         (l1w < l1c).alias("warm_closer"),
     )
+
+
+@register(
+    "q_stream_components_incremental",
+    # Round 11: incremental connected-components maintenance — the last
+    # operator family without a maintain-forever twin (sketches, ANN,
+    # retrieval, curation and PageRank already have theirs). The edge
+    # set arrives as a STREAM of two batches; each foreachBatch folds
+    # its edges into the persisted min-id label TABLE via
+    # incremental_components (contracted-batch CC + one label-keyed
+    # composition join — the global contraction never re-runs) and
+    # commits the new label table through the DISTRIBUTED table ledger
+    # (operators/sketches.py table_ledger_commit: the state is
+    # data-scaled, so generations are written by the DataFrame writer
+    # and never visit the driver). A crash injected AFTER batch 0's
+    # generation commit but BEFORE the stream checkpoint exercises the
+    # crash-after-commit window: the restart's re-delivery is refused
+    # by the ledger's batch-id check, and the final label table is
+    # pinned value-equal to an uninterrupted listing-protocol control
+    # run. The oracle recomputes every label from scratch with a
+    # recursive-CTE transitive closure over the FULL edge set — the
+    # incremental composition must land on the identical min-id fixed
+    # point, label for label.
+    # the edge fixture confines every edge to its source's 50-node
+    # block (dst = block_start + o_orderkey % 50), so the 20 blocks
+    # can NEVER inter-connect and the label table keeps >= 20 true
+    # components at every SF — a plain mod-1000 cross graph saturates
+    # to ONE component even at sf0.001 (measured), which would make
+    # the label pin vacuous
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT CAST(o_custkey % 1000 AS BIGINT) AS src,
+             CAST((o_custkey % 1000) // 50 * 50 + o_orderkey % 50
+                  AS BIGINT) AS dst
+      FROM orders),
+    e AS (SELECT src AS a, dst AS b FROM base WHERE src <> dst
+          UNION
+          SELECT dst, src FROM base WHERE src <> dst),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    -- NB: inside a WITH RECURSIVE block DuckDB gives ANY CTE with a
+    -- top-level UNION the recursive-union treatment (no dedup even
+    -- without a self-reference) — hence the explicit DISTINCT over
+    -- UNION ALL here
+    allnodes AS (SELECT DISTINCT n FROM (
+      SELECT src AS n FROM base UNION ALL SELECT dst FROM base))
+    SELECT n AS node, COALESCE(c.component, n) AS component,
+           TRUE AS restart_equal, TRUE AS redelivery_refused
+    FROM allnodes LEFT JOIN comp c ON n = c.node
+    """,
+    doc="Streaming incremental connected components: edge batches fold "
+        "into a persisted min-id label table via contracted-batch CC "
+        "plus one composition join (incremental_components) — the "
+        "daily-delta shape where re-clustering the accumulated corpus "
+        "graph is never paid. State is data-scaled, so it rides the "
+        "distributed table ledger (generations written by the "
+        "DataFrame writer, never the driver). Crash-after-commit "
+        "redelivery refused on restart; final labels value-equal to "
+        "an uninterrupted control run AND to the oracle's from-scratch "
+        "transitive closure, label for label.",
+    tags=("streaming", "graph", "components", "incremental",
+          "checkpoint"),
+)
+def q_stream_components_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.components import incremental_components
+    from ..operators.sketches import (
+        table_ledger_commit,
+        table_ledger_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = (F.col("o_custkey") % 1000).cast("bigint")
+    edges = orders.select(
+        src.alias("src"),
+        (
+            F.expr("(o_custkey % 1000) div 50") * 50
+            + F.col("o_orderkey") % 50
+        ).cast("bigint").alias("dst"),
+    ).distinct()
+
+    stage = tempfile.mkdtemp(prefix="cc_stage_")
+    roots = [tempfile.mkdtemp(prefix="cc_run_") for _ in range(2)]
+    protocols = {roots[0]: "manifest", roots[1]: "listing"}
+
+    def write_slice(df: DataFrame, name: str, mtime: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="cc_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = f"{stage}/{name}"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    skipped: dict[str, list[int]] = {r: [] for r in roots}
+
+    def run_stream(root: str, crash_in_batch: int | None) -> None:
+        proto = protocols[root]
+        schema = spark.read.parquet(stage).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            ledger = f"{root}/labels"
+            labels, applied = table_ledger_read(
+                spark, ledger, protocol=proto
+            )
+            if batch_id <= applied:
+                skipped[root].append(batch_id)
+                return
+            new_labels = incremental_components(labels, bdf)
+            table_ledger_commit(
+                new_labels, ledger, batch_id,
+                applied_through=applied, protocol=proto,
+            )
+            # the crash-after-commit window: generation committed, the
+            # stream checkpoint has not recorded the batch
+            if batch_id == crash_in_batch:
+                raise RuntimeError("injected crash after table commit")
+
+        q = (
+            feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if crash_in_batch is None:
+                raise
+
+    try:
+        write_slice(
+            edges.filter((F.col("src") + F.col("dst")) % 2 == 0),
+            "a.parquet", 1_000_000_000,
+        )
+        write_slice(
+            edges.filter((F.col("src") + F.col("dst")) % 2 == 1),
+            "b.parquet", 1_000_010_000,
+        )
+        run_stream(roots[0], crash_in_batch=0)
+        run_stream(roots[0], crash_in_batch=None)
+        run_stream(roots[1], crash_in_batch=None)
+
+        finals = {}
+        for root in roots:
+            df, gen = table_ledger_read(
+                spark, f"{root}/labels", protocol=protocols[root]
+            )
+            finals[root] = (
+                sorted(
+                    (int(r["node"]), int(r["component"]))
+                    for r in df.collect()
+                ),
+                gen,
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    try:
+        restart_equal = bool(finals[roots[0]] == finals[roots[1]])
+        redelivery_refused = bool(
+            skipped[roots[0]] == [0] and skipped[roots[1]] == []
+        )
+        return spark.createDataFrame(
+            [
+                (n, c, restart_equal, redelivery_refused)
+                for n, c in finals[roots[0]][0]
+            ],
+            "node long, component long, restart_equal boolean, "
+            "redelivery_refused boolean",
+        )
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)

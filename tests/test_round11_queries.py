@@ -100,3 +100,42 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir):
         assert r["restart_equal"]
         assert r["stats_refused"]
         assert r["postings_applied"]
+
+
+def test_incremental_components_merges_across_batches(spark):
+    from dataintegration_csvprovider_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    e0 = spark.createDataFrame([(1, 2), (3, 4), (10, 11)],
+                               "src long, dst long")
+    lab0 = {
+        r["node"]: r["component"]
+        for r in incremental_components(None, e0).collect()
+    }
+    assert lab0 == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
+    # batch 1 bridges the two chains, adds a fresh singleton pair and
+    # an edge internal to an existing component (a no-op merge)
+    lab0_df = spark.createDataFrame(
+        list(lab0.items()), "node long, component long"
+    )
+    e1 = spark.createDataFrame(
+        [(2, 3), (20, 21), (10, 11)], "src long, dst long"
+    )
+    lab1 = {
+        r["node"]: r["component"]
+        for r in incremental_components(lab0_df, e1).collect()
+    }
+    assert lab1 == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20}
+    # the incremental fixed point equals a from-scratch contraction
+    # over the accumulated edges
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e0.unionByName(e1).selectExpr("src as a", "dst as b"),
+            src="a", dst="b",
+        ).collect()
+    }
+    assert lab1 == full
