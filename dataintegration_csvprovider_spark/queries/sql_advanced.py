@@ -224,3 +224,69 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
     return skyline(orders, minimize=["o_totalprice"], maximize=["o_orderdate"])
+
+
+@register(
+    "q_orc_pushdown",
+    # round 11: the q_orc_roundtrip companion (relational7.py covers
+    # the basic value roundtrip) — this one pins the SCAN DISCIPLINE
+    # through the format conversion: dates and decimals survive, AND the
+    # filter below is checked against the executed ORC scan's pushed
+    # filters, so a regression to a full-scan-then-filter plan fails
+    # the hash gate, not just a benchmark. The oracle replays the
+    # aggregate from the parquet fixture — equal results pin the
+    # format conversion as lossless for every column the aggregate
+    # touches.
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+             AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS min_ship,
+           CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship,
+           TRUE AS filter_pushed
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="ORC round-trip with pushdown check: lineitem is written to "
+        "ORC, read back, filtered on l_shipdate and aggregated; the "
+        "executed plan must show the predicate pushed into the ORC "
+        "scan (checked in-query, oracle-pinned TRUE), and the "
+        "aggregate — counts, decimal-accumulated sums, date min/max "
+        "rendered as strings — must equal the parquet fixture's, "
+        "pinning the format conversion lossless. Spark's ORC writer "
+        "is the same distributed sink path as parquet; nothing "
+        "driver-side.",
+    tags=("source", "orc", "format", "pushdown"),
+)
+def q_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="orc_pd_")
+    try:
+        li.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        filtered = back.filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
+        agg = filtered.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.min("l_shipdate").cast("string").alias("min_ship"),
+            F.max("l_shipdate").cast("string").alias("max_ship"),
+        )
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        pushed = ("PushedFilters: [" in plan) and (
+            "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split(
+                "]", 1
+            )[0]
+        )
+        return agg.select(
+            "*", F.lit(bool(pushed)).alias("filter_pushed")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
