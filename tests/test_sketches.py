@@ -479,3 +479,60 @@ def test_manifest_and_listing_states_value_equal(spark, tmp_path):
     for g in sa:
         assert mrl_total_weight(sa[g]) == mrl_total_weight(sb[g])
         assert mrl_quantiles(sa[g], [0.5]) == mrl_quantiles(sb[g], [0.5])
+
+
+def test_table_ledger_laws(spark, tmp_path):
+    """The distributed table-ledger variant (round 11: data-scaled
+    state written by the DataFrame writer, never the driver) obeys the
+    same protocol laws as the rows ledger: commit/read round-trip,
+    crash-after-commit re-delivery refused, stale id refused, pruning,
+    manifest naming the newest generation, and a torn generation
+    (parquet written, manifest not swapped) invisible to readers."""
+    import os
+
+    from dataintegration_csvprovider_spark.operators.sketches import (
+        table_ledger_commit,
+        table_ledger_read,
+    )
+
+    ledger = str(tmp_path / "tledger")
+    df0, applied = table_ledger_read(spark, ledger, protocol="manifest")
+    assert df0 is None and applied == -1
+
+    s1 = spark.createDataFrame([(1, 1), (2, 1)], "node long, component long")
+    s2 = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "node long, component long"
+    )
+    assert table_ledger_commit(s1, ledger, 0, protocol="manifest")
+    assert table_ledger_commit(s2, ledger, 1, protocol="manifest")
+    with open(os.path.join(ledger, "MANIFEST")) as fh:
+        assert fh.read().strip() == "1"
+    df, applied = table_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 1
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 1), (2, 1), (3, 3)]
+
+    # re-delivery of batch 1 and a stale batch 0: both refused
+    junk = spark.createDataFrame([(9, 9)], "node long, component long")
+    assert not table_ledger_commit(junk, ledger, 1, protocol="manifest")
+    assert not table_ledger_commit(junk, ledger, 0, protocol="manifest")
+    df, applied = table_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 1
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 1), (2, 1), (3, 3)]
+
+    # pruning keeps the newest keep_generations
+    s3 = spark.createDataFrame([(4, 4)], "node long, component long")
+    assert table_ledger_commit(s3, ledger, 2, protocol="manifest")
+    gens = sorted(d for d in os.listdir(ledger) if d.startswith("gen-"))
+    assert gens == ["gen-1", "gen-2"]
+
+    # torn write: generation 5 parquet lands but the manifest does not
+    # swap — the manifest reader must stay on generation 2
+    s5 = spark.createDataFrame([(5, 5)], "node long, component long")
+    s5.write.mode("overwrite").parquet(f"{ledger}/gen-5")
+    df, applied = table_ledger_read(spark, ledger, protocol="manifest")
+    assert applied == 2
+    assert sorted(tuple(r) for r in df.collect()) == [(4, 4)]
+    # ...while the listing protocol (Spark wrote _SUCCESS) sees it —
+    # the documented difference between the two commit points
+    _, applied_listing = table_ledger_read(spark, ledger)
+    assert applied_listing == 5
