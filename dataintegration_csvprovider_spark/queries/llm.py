@@ -5121,22 +5121,32 @@ def q_curation_incremental_pruned(
     )
 
 
-def _duck_logreg_sql(T: int = 3, lr: float = 1.0) -> str:
+def _duck_logreg_sql(
+    T: int = 3,
+    lr: float = 1.0,
+    feat: str = "feat",
+    nrows: str = "nrows",
+    pfx: str = "w",
+    gpfx: str = "g",
+    init: str = (
+        "SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3, 0.0 AS a4"
+    ),
+) -> str:
     """Unrolled logistic-style training chain in DuckDB SQL: T gradient
-    steps from w=0, every per-row product in IEEE double with PINNED
-    parenthesization, every cross-row sum decimal-accumulated (order-
-    independent) — the same arithmetic contract the Spark side runs, so
-    the learned weights and all downstream scores replay bit-for-bit.
-    The squash is the RATIONAL sigmoid 0.5*(1 + z/(1+|z|)) — only
-    +,*,/,abs, no transcendental exp to diverge between libms."""
+    steps from ``init`` weights (zeros by default — round 11 added the
+    parameters so the warm-restart query can chain a second phase off a
+    previous phase's final weights over a different feature CTE), every
+    per-row product in IEEE double with PINNED parenthesization, every
+    cross-row sum decimal-accumulated (order-independent) — the same
+    arithmetic contract the Spark side runs, so the learned weights and
+    all downstream scores replay bit-for-bit. The squash is the
+    RATIONAL sigmoid 0.5*(1 + z/(1+|z|)) — only +,*,/,abs, no
+    transcendental exp to diverge between libms."""
     feats = ["1.0", "f.x1", "f.x2", "f.x3", "f.x4"]
     z = ("((((w.a0 + (w.a1 * f.x1)) + (w.a2 * f.x2)) + (w.a3 * f.x3))"
          " + (w.a4 * f.x4))")
     sig = f"(0.5 * (1.0 + {z} / (1.0 + abs({z}))))"
-    blocks = [
-        "w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3,"
-        " 0.0 AS a4)"
-    ]
+    blocks = [f"{pfx}0 AS ({init})"]
     for t in range(T):
         sums = ", ".join(
             f"CAST(SUM(CAST(({sig} - f.y) * {x} AS DECIMAL(28,12)))"
@@ -5147,17 +5157,17 @@ def _duck_logreg_sql(T: int = 3, lr: float = 1.0) -> str:
         # w/g chain at every reference and the plan doubles per step
         # (2^T feat scans — measured as a hang at T=16)
         blocks.append(
-            f"g{t} AS MATERIALIZED "
-            f"(SELECT {sums} FROM feat f CROSS JOIN w{t} w)"
+            f"{gpfx}{t} AS MATERIALIZED "
+            f"(SELECT {sums} FROM {feat} f CROSS JOIN {pfx}{t} w)"
         )
         upd = ", ".join(
-            f"(w.a{j} - ({lr} * (g.g{j} / (SELECT nn FROM nrows))))"
+            f"(w.a{j} - ({lr} * (g.g{j} / (SELECT nn FROM {nrows}))))"
             f" AS a{j}"
             for j in range(5)
         )
         blocks.append(
-            f"w{t + 1} AS MATERIALIZED "
-            f"(SELECT {upd} FROM w{t} w CROSS JOIN g{t} g)"
+            f"{pfx}{t + 1} AS MATERIALIZED "
+            f"(SELECT {upd} FROM {pfx}{t} w CROSS JOIN {gpfx}{t} g)"
         )
     return ",\n    ".join(blocks)
 
@@ -5185,10 +5195,49 @@ _DUCK_QC_FEAT = """
     nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM feat)"""
 
 
-def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _duck_qc_feat_sql(
+    pred: str = "TRUE",
+    toks: str = "toks",
+    feat: str = "feat",
+    nrows: str = "nrows",
+) -> str:
+    """_DUCK_QC_FEAT parametrized on a doc_id predicate and CTE names —
+    round 11, so the warm-restart query can build snapshot and full
+    feature frames side by side. Arithmetic identical to the fixed
+    template."""
+    return f"""
+    {toks} AS (
+      SELECT doc_id, n_chars,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND ({pred})
+    ),
+    {feat} AS MATERIALIZED (
+      SELECT CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END AS y,
+             CAST(len(tk) AS DOUBLE) / 100.0 AS x1,
+             (CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE)) / 10.0 AS x2,
+             CAST(len(list_distinct(tk)) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS x3,
+             CAST(len(list_filter(tk,
+                    t -> list_contains(['the', 'a'], t))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS x4
+      FROM {toks} WHERE len(tk) >= 1
+    ),
+    {nrows} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM {feat})"""
+
+
+def _qc_features(
+    spark: SparkSession, sf_dir: str, pred=None
+) -> DataFrame:
     """The classifier's feature frame (y, x1..x4) — localCheckpointed:
-    read once per gradient pass + once for scoring, bounded columns."""
+    read once per gradient pass + once for scoring, bounded columns.
+    ``pred``: optional extra Column predicate on the documents scan
+    (round 11 — the warm-restart query's snapshot slice)."""
     docs = load_table(spark, sf_dir, "documents")
+    if pred is not None:
+        docs = docs.filter(pred)
     tk = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
     )
@@ -5243,13 +5292,20 @@ def _qc_sig(w: list[float]):
     return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
 
 
-def _qc_train(feats: DataFrame, T: int = 16, lr: float = 16.0) -> list[float]:
+def _qc_train(
+    feats: DataFrame,
+    T: int = 16,
+    lr: float = 16.0,
+    w0: list[float] | None = None,
+) -> list[float]:
     """T distributed gradient passes, each reducing the corpus to 5
-    decimal-exact sums; weights update driver-side (bounded artifact)."""
+    decimal-exact sums; weights update driver-side (bounded artifact).
+    ``w0``: warm-start weights (round 11) — the persisted
+    corpus-version artifact; zeros when absent."""
     n = float(feats.count())
     dec = "decimal(28,12)"
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
-    w = [0.0] * 5
+    w = list(w0) if w0 is not None else [0.0] * 5
     for _ in range(T):
         sig = _qc_sig(w)
         g = feats.agg(
@@ -6449,4 +6505,143 @@ def q_bm25_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "corpus string, n_docs bigint, n_topk bigint, "
         "topk_components bigint, topk_shared bigint",
+    )
+
+
+@register(
+    "q_classifier_incremental",
+    # Round 11: warm-restart maintenance for the TRAINED-model artifact
+    # — the q_pagerank_incremental discipline applied to the CCNet-style
+    # quality classifier. Yesterday's weights (16 passes on the 80%
+    # snapshot — the persisted corpus-version artifact) warm-start 4
+    # passes on the grown corpus; an equal-work cold start (4 passes
+    # from zeros) prices what the warm start buys. BOTH trajectories —
+    # 16 snapshot passes, 4 warm passes chained off s16's weights, 4
+    # cold passes — are bit-replayed by the oracle's unrolled
+    # MATERIALIZED CTE chains (the round-11 parametrization of
+    # _duck_logreg_sql: per-phase feature CTEs and an init clause
+    # reading the previous phase's final weights). warm_better compares
+    # the two variants' label-separation on UN-rounded bit-exact means,
+    # so the pinned claim "the warm restart separates at least as well
+    # as equal cold work" is computed, not asserted.
+    oracle=f"""
+    WITH
+    {_duck_qc_feat_sql("doc_id % 5 <> 0", "toks_s", "feat_s", "nrows_s")},
+    {_duck_qc_feat_sql("TRUE", "toks_f", "feat_f", "nrows_f")},
+    {_duck_logreg_sql(16, 16.0, feat="feat_s", nrows="nrows_s",
+                      pfx="s", gpfx="gs")},
+    {_duck_logreg_sql(4, 16.0, feat="feat_f", nrows="nrows_f",
+                      pfx="wm", gpfx="gw",
+                      init="SELECT a0, a1, a2, a3, a4 FROM s16")},
+    {_duck_logreg_sql(4, 16.0, feat="feat_f", nrows="nrows_f",
+                      pfx="cd", gpfx="gc")},
+    scored AS (
+      SELECT w.variant, f.y,
+             (0.5 * (1.0 + ((((w.a0 + (w.a1 * f.x1)) + (w.a2 * f.x2))
+                             + (w.a3 * f.x3)) + (w.a4 * f.x4))
+                    / (1.0 + abs((((w.a0 + (w.a1 * f.x1))
+                                   + (w.a2 * f.x2)) + (w.a3 * f.x3))
+                                 + (w.a4 * f.x4))))) AS s
+      FROM feat_f f
+      CROSS JOIN (SELECT 'warm' AS variant, * FROM wm4
+                  UNION ALL SELECT 'cold', * FROM cd4) w
+    ),
+    agg AS MATERIALIZED (
+      SELECT variant, y,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+             CAST(COUNT(*) FILTER (WHERE s >= 0.5) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS frac_raw
+      FROM scored GROUP BY variant, y
+    ),
+    sep AS (
+      SELECT
+        (SELECT MAX(CASE WHEN y = 1.0 THEN mean_raw END)
+              - MAX(CASE WHEN y = 0.0 THEN mean_raw END)
+         FROM agg WHERE variant = 'warm')
+        >=
+        (SELECT MAX(CASE WHEN y = 1.0 THEN mean_raw END)
+              - MAX(CASE WHEN y = 0.0 THEN mean_raw END)
+         FROM agg WHERE variant = 'cold') AS warm_better
+    )
+    SELECT variant, CAST(y AS INT) AS label, n,
+           ROUND(mean_raw, 9) AS mean_score,
+           ROUND(frac_raw, 9) AS frac_ge_half,
+           (SELECT warm_better FROM sep) AS warm_better
+    FROM agg
+    """,
+    doc="Warm-restart incremental classifier maintenance: 16 gradient "
+        "passes on the 80% snapshot produce the persisted weights; 4 "
+        "warm passes on the grown corpus continue from them, priced "
+        "against 4 equal-work cold passes from zeros. All three "
+        "trajectories bit-replay through unrolled decimal-exact CTE "
+        "chains; per-variant per-label score aggregates and the "
+        "warm>=cold separation comparison (on un-rounded bit-exact "
+        "means) are pinned. Completes warm-restart maintenance for "
+        "the trained-model artifact family — the recurring cost of "
+        "keeping the filter current is 4 corpus passes, not 16.",
+    tags=("llm", "quality", "classifier", "incremental"),
+)
+def q_classifier_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats_s = _qc_features(
+        spark, sf_dir, pred=(F.col("doc_id") % 5 != 0)
+    )
+    feats_f = _qc_features(spark, sf_dir)
+    w_snap = _qc_train(feats_s, 16, 16.0)
+    w_warm = _qc_train(feats_f, 4, 16.0, w0=w_snap)
+    w_cold = _qc_train(feats_f, 4, 16.0)
+    dec = "decimal(28,12)"
+
+    def agg(variant: str, w: list[float]) -> DataFrame:
+        return (
+            feats_f.select("y", _qc_sig(w).alias("s"))
+            .groupBy("y")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                (
+                    F.sum(F.col("s").cast(dec)).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("mean_raw"),
+                (
+                    F.sum((F.col("s") >= 0.5).cast("double"))
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("frac_raw"),
+            )
+            .select(F.lit(variant).alias("variant"), "y", "n",
+                    "mean_raw", "frac_raw")
+        )
+
+    both = agg("warm", w_warm).unionByName(agg("cold", w_cold))
+    rows = {
+        (r["variant"], float(r["y"])): r for r in both.collect()
+    }
+    sep_w = (
+        rows[("warm", 1.0)]["mean_raw"] - rows[("warm", 0.0)]["mean_raw"]
+    )
+    sep_c = (
+        rows[("cold", 1.0)]["mean_raw"] - rows[("cold", 0.0)]["mean_raw"]
+    )
+    warm_better = bool(sep_w >= sep_c)
+    return spark.createDataFrame(
+        [
+            (
+                v,
+                int(y),
+                int(r["n"]),
+                float(r["mean_raw"]),
+                float(r["frac_raw"]),
+                warm_better,
+            )
+            for (v, y), r in sorted(rows.items())
+        ],
+        "variant string, label int, n bigint, mean_raw double, "
+        "frac_raw double, warm_better boolean",
+    ).select(
+        "variant",
+        "label",
+        "n",
+        F.round("mean_raw", 9).alias("mean_score"),
+        F.round("frac_raw", 9).alias("frac_ge_half"),
+        "warm_better",
     )

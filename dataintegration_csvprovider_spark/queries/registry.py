@@ -108,6 +108,9 @@ _GRADE_FIRST = [
     "q_stream_bm25_index",
     "q_stream_components_incremental",
     "q_orc_pushdown",
+    "q_classifier_incremental",
+    "q_quality_classifier",  # logreg SQL builder parametrized (ws-only)
+    "q_threshold_sweep",  # same
     "q_pii_redact",  # n_redacted now counts the chain input (ADVICE r10)
     "q_tfidf_cosine_pairs",  # oracle CTEs MATERIALIZED (headroom item)
     "q_stream_monitor_suite",  # 2-slice stream (headroom item)

@@ -139,3 +139,35 @@ def test_incremental_components_merges_across_batches(spark):
         ).collect()
     }
     assert lab1 == full
+
+
+def test_classifier_incremental_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.llm import (
+        q_classifier_incremental,
+    )
+
+    rows = {
+        (r["variant"], r["label"]): r
+        for r in q_classifier_incremental(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("warm", 0), ("warm", 1), ("cold", 0), ("cold", 1)
+    }
+    # both variants score the SAME corpus — label populations equal
+    for lbl in (0, 1):
+        assert rows[("warm", lbl)]["n"] == rows[("cold", lbl)]["n"]
+    # the warm restart separates at least as well as equal cold work,
+    # and the flag is consistent across all rows
+    flags = {r["warm_better"] for r in rows.values()}
+    assert flags == {True}
+    sep_w = (
+        rows[("warm", 1)]["mean_score"] - rows[("warm", 0)]["mean_score"]
+    )
+    sep_c = (
+        rows[("cold", 1)]["mean_score"] - rows[("cold", 0)]["mean_score"]
+    )
+    assert sep_w >= sep_c
+    # scores live in the sigmoid's (0, 1) range
+    for r in rows.values():
+        assert 0.0 <= r["mean_score"] <= 1.0
+        assert 0.0 <= r["frac_ge_half"] <= 1.0
