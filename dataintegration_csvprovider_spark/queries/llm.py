@@ -45,16 +45,25 @@ from .registry import register
 # single-space-separated.
 _DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
 
+# The n-gram templates bind the token array ONCE per row via a
+# single-element list_transform (w is the split result) — inlining
+# _DUCK_WORDS into the per-gram lambda makes DuckDB re-run the regexp
+# split for EVERY gram, an O(tokens²)-per-doc blowup that dominated the
+# exact-Jaccard oracle family at sf0.1 (measured round 11: the bigram
+# ip_ge stage alone cost 15.5s; the whole q_dedup_components oracle
+# dropped 106s → ~35s with the bound form). Values are identical: same
+# split, same concatenations, same distinct.
 _DUCK_TRIGRAMS = (
-    f"list_distinct(list_transform(range(1, len({_DUCK_WORDS}) - 1), "
-    f"i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1] "
-    f"|| ' ' || {_DUCK_WORDS}[i+2]))"
+    f"flatten(list_transform([{_DUCK_WORDS}], "
+    "w -> list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))))"
 )
 
 
 _DUCK_BIGRAMS = (
-    f"list_distinct(list_transform(range(1, len({_DUCK_WORDS})), "
-    f"i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1]))"
+    f"flatten(list_transform([{_DUCK_WORDS}], "
+    "w -> list_distinct(list_transform(range(1, len(w)), "
+    "i -> w[i] || ' ' || w[i+1]))))"
 )
 
 
@@ -4841,10 +4850,10 @@ _DUCK_KMV_LANG_MATRIX = """
              CAST(len(list_filter(
                regexp_split_to_array(trim(text), '\\s+'),
                t -> t <> '')) AS BIGINT) AS n_tokens,
-             list_distinct(list_transform(
-               range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
-               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
-                    || regexp_split_to_array(trim(text), '\\s+')[i + 1]))
+             flatten(list_transform(
+               [regexp_split_to_array(trim(text), '\\s+')],
+               w -> list_distinct(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1]))))
                AS grams
       FROM documents WHERE n_chars >= 60
     ), c AS MATERIALIZED (SELECT * FROM base WHERE NOT is_delta),

@@ -111,6 +111,19 @@ _GRADE_FIRST = [
     "q_classifier_incremental",
     "q_quality_classifier",  # logreg SQL builder parametrized (ws-only)
     "q_threshold_sweep",  # same
+    # ---- round-11 oracle-template speedup: the n-gram builders now
+    # bind the token split once per row — all 14 template users were
+    # verified HASH-IDENTICAL at sf0.001/0.01/0.1 this round (the
+    # change is evaluation-count only), so five representatives
+    # covering the bigram/trigram/cross/composed variants take window
+    # slots here and the other nine sit after the stale block (keeping
+    # >= 30 stale names in the driver's 50-name window, the r10
+    # verdict's rotation target)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_minhash",
+    "q_contamination",
+    "q_curation_incremental_pruned",
     "q_pii_redact",  # n_redacted now counts the chain input (ADVICE r10)
     "q_tfidf_cosine_pairs",  # oracle CTEs MATERIALIZED (headroom item)
     "q_stream_monitor_suite",  # 2-slice stream (headroom item)
@@ -206,6 +219,18 @@ _GRADE_FIRST = [
     "q_text_normalize",
     "q_text_quality",
     "q_trailing_features",
+    # ---- round-11 template users (rest of the 14; hash-identity
+    # verified at 3 SFs this round — see the representative block at
+    # the top of the window)
+    "q_dedup_quality_gate",
+    "q_dedup_incremental",
+    "q_curation_pipeline",
+    "q_curation_keep_best",
+    "q_contrastive_pairs",
+    "q_leakage_safe_split",
+    "q_soft_dedup",
+    "q_triangle_count",
+    "q_dedup_simhash",
     # ---- round-10 additions
     "q_pii_audit",
     "q_url_canonicalize",
