@@ -1709,10 +1709,9 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
              source IN ('src0','src1','src2','src3','src4') AS is_delta,
              CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
                   AS BIGINT) AS n_tokens,
-             list_distinct(list_transform(
-               range(1, len(string_split(text, ' '))),
-               i -> string_split(text, ' ')[i] || ' '
-                    || string_split(text, ' ')[i + 1])) AS grams
+             flatten(list_transform([string_split(text, ' ')],
+               w -> list_distinct(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])))) AS grams
       FROM documents WHERE n_chars >= 60
     ), c AS MATERIALIZED (SELECT * FROM base WHERE NOT is_delta),
     b AS MATERIALIZED (SELECT * FROM base WHERE is_delta),

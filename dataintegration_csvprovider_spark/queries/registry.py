@@ -124,6 +124,7 @@ _GRADE_FIRST = [
     "q_dedup_minhash",
     "q_contamination",
     "q_curation_incremental_pruned",
+    "q_curation_incremental",
     "q_pii_redact",  # n_redacted now counts the chain input (ADVICE r10)
     "q_tfidf_cosine_pairs",  # oracle CTEs MATERIALIZED (headroom item)
     "q_stream_monitor_suite",  # 2-slice stream (headroom item)
