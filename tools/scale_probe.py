@@ -134,6 +134,7 @@ def build_scaled_edges(spark, mult: int, out_dir: str) -> None:
 def probe_graph(spark, path: str) -> dict[str, float]:
     from dataintegration_csvprovider_spark.operators.components import (
         connected_components,
+        incremental_components,
     )
     from dataintegration_csvprovider_spark.operators.graph import (
         bfs_levels,
@@ -142,9 +143,23 @@ def probe_graph(spark, path: str) -> dict[str, float]:
 
     edges = spark.read.parquet(path)
     sources = spark.createDataFrame([(0,)], "node long")
+
+    def inc_cc(e):
+        # round 11: the incremental-maintenance step — labels built
+        # from the first half, second half folded in as the delta; the
+        # DELTA fold (contracted-batch CC + one composition join) is
+        # the recurring production cost this measures
+        half0 = e.filter((F.col("src") + F.col("dst")) % 2 == 0)
+        half1 = e.filter((F.col("src") + F.col("dst")) % 2 == 1)
+        labels = incremental_components(None, half0).localCheckpoint(
+            eager=True
+        )
+        return incremental_components(labels, half1)
+
     ops = {
         "pagerank_5it": lambda e: pagerank(e, iterations=5),
         "components": lambda e: connected_components(e, src="src", dst="dst"),
+        "inc_components": inc_cc,
         "bfs_depth8": lambda e: bfs_levels(
             e, sources, max_depth=8, allow_partial=True
         ),
