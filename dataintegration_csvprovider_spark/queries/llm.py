@@ -6653,3 +6653,224 @@ def q_classifier_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("frac_raw", 9).alias("frac_ge_half"),
         "warm_better",
     )
+
+
+@register(
+    "q_semdedup_knn_eval",
+    # Round 11: the embedding-side mirror of q_bm25_dedup_eval — the
+    # SemDeDup ablation "does semantic dedup improve retrieval
+    # diversity?" run end-to-end and fully value-replayed. The fixture
+    # embeddings are uniform random (no true near-dup structure: at
+    # cosine 0.25 the pair graph percolates into ONE giant cluster, at
+    # 0.5 it is empty — measured), so the corpus is built IN-QUERY by
+    # both engines: every third sample vector gets a planted twin
+    # (dimension vec_id % 64 halved — float-exact in both engines, and
+    # the twin's cosine to its original is provably >= 0.943 for ANY
+    # vector while random pairs measured < 0.6, so threshold 0.9
+    # separates planted from random with margin at every SF).
+    # Composition: exact cosine pairs >= 0.9 -> components -> min-id
+    # representative dedups the corpus; exact top-5 retrieval (ties by
+    # vec_id, self excluded) runs for every representative query
+    # against BOTH variants; exact-integer metrics aggregate over
+    # queries: redundant slots (k minus distinct clusters per top-5 —
+    # raw wastes slots on twin pairs, dedup provably cannot) and
+    # per-query list overlap. Every cosine bit-replays (dimension-
+    # sequential float64 fold), so ranks and all metrics are a full
+    # value oracle.
+    oracle=f"""
+    WITH RECURSIVE s0 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ), corpus AS (
+      SELECT vec_id, embedding FROM s0
+      UNION ALL
+      SELECT vec_id + 10000000,
+             list_transform(embedding, (x, i) ->
+               CASE WHEN i = vec_id % 64 + 1
+                    THEN CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT)
+                    ELSE x END)
+      FROM s0 WHERE vec_id % 3 = 0
+    ), p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.9
+    ), und AS (
+      SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p
+    ), reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+      UNION
+      SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+    ), comp AS (
+      SELECT u AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY u
+    ), lab AS (
+      SELECT c.vec_id, c.embedding,
+             COALESCE(cp.cluster, c.vec_id) AS cluster
+      FROM corpus c LEFT JOIN comp cp USING (vec_id)
+    ), dd AS (SELECT * FROM lab WHERE vec_id = cluster),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM dd
+          WHERE query_id % 40 = 0 AND query_id < 10000000),
+    rtop AS (
+      SELECT query_id, vec_id, cluster FROM (
+        SELECT q.query_id, l.vec_id, l.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('l.embedding', 'q.qv')} DESC,
+                          l.vec_id) AS rnk
+        FROM lab l CROSS JOIN q WHERE l.vec_id <> q.query_id) t
+      WHERE rnk <= 5
+    ),
+    dtop AS (
+      SELECT query_id, vec_id, cluster FROM (
+        SELECT q.query_id, d.vec_id, d.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('d.embedding', 'q.qv')} DESC,
+                          d.vec_id) AS rnk
+        FROM dd d CROSS JOIN q WHERE d.vec_id <> q.query_id) t
+      WHERE rnk <= 5
+    ),
+    shared AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM rtop JOIN dtop USING (query_id, vec_id)
+    )
+    SELECT 'raw' AS corpus,
+           CAST((SELECT COUNT(*) FROM lab) AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           CAST((SELECT COUNT(*) FROM rtop) AS BIGINT) AS topk_slots,
+           CAST((SELECT COUNT(*) FROM rtop)
+              - COALESCE((SELECT CAST(SUM(dc) AS BIGINT) FROM (
+                   SELECT COUNT(DISTINCT cluster) AS dc FROM rtop
+                   GROUP BY query_id)), 0)
+                AS BIGINT) AS redundant_slots,
+           (SELECT c FROM shared) AS shared_slots
+    UNION ALL
+    SELECT 'dedup',
+           CAST((SELECT COUNT(*) FROM dd) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM dtop) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM dtop)
+              - COALESCE((SELECT CAST(SUM(dc) AS BIGINT) FROM (
+                   SELECT COUNT(DISTINCT cluster) AS dc FROM dtop
+                   GROUP BY query_id)), 0)
+                AS BIGINT),
+           (SELECT c FROM shared)
+    """,
+    doc="SemDeDup retrieval ablation — the embedding-side curation "
+        "loop as one query, on a corpus with PLANTED near-dup twins "
+        "(one dimension halved; cosine to the original provably "
+        ">= 0.943 while random pairs stay < 0.6, so the 0.9 threshold "
+        "separates with margin — built in-query because the uniform "
+        "fixture has no true cluster structure): exact-cosine "
+        "components dedup the corpus (min-id representative), exact "
+        "top-5 retrieval runs for every representative query against "
+        "the raw AND deduplicated corpus, and exact-integer metrics "
+        "compare them — redundant slots per query (twin pairs wasting "
+        "result positions; provably zero after dedup) and list "
+        "overlap. Every cosine and rank bit-replays: a full value "
+        "oracle, not a gate.",
+    tags=("embedding", "dedup", "similarity", "eval"),
+)
+def q_semdedup_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.similarity import knn_batch
+
+    s0 = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    ).select("vec_id", "embedding")
+    twins = s0.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(64)),
+                (x.cast("double") * F.lit(0.5)).cast("float"),
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = s0.unionByName(twins).localCheckpoint(eager=True)
+    l = corpus.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    r = corpus.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine", cosine_similarity_expr(F.col("va"), F.col("vb"))
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, src="a", dst="b").select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    lab = (
+        corpus.join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            "embedding",
+            F.coalesce("component", "vec_id").alias("cluster"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dd = lab.filter(F.col("vec_id") == F.col("cluster"))
+    queries = dd.filter(
+        (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 10_000_000)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def top5(c: DataFrame) -> DataFrame:
+        scored = knn_batch(c, queries, k=6)
+        # rank on the self-free shortlist: the self row is always the
+        # unique cosine-1.0 maximum on this corpus, so the k=6
+        # shortlist minus self covers the true top-5
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            scored.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "vec_id")
+        )
+
+    rtop = top5(lab.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    dtop = top5(dd.select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    clusters = lab.select("vec_id", "cluster")
+
+    def metrics(top: DataFrame) -> tuple[int, int]:
+        agg = (
+            top.join(clusters, "vec_id")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.countDistinct("cluster").alias("dc"),
+            )
+            .agg(
+                F.sum("k").alias("slots"),
+                F.sum(F.col("k") - F.col("dc")).alias("redundant"),
+            )
+            .first()
+        )
+        return int(agg["slots"] or 0), int(agg["redundant"] or 0)
+
+    r_slots, r_red = metrics(rtop)
+    d_slots, d_red = metrics(dtop)
+    shared = rtop.join(dtop, ["query_id", "vec_id"], "inner").count()
+    n_vec = lab.count()
+    n_dd = dd.count()
+    n_q = queries.count()
+    return spark.createDataFrame(
+        [
+            ("raw", n_vec, n_q, r_slots, r_red, shared),
+            ("dedup", n_dd, n_q, d_slots, d_red, shared),
+        ],
+        "corpus string, n_vectors bigint, n_queries bigint, "
+        "topk_slots bigint, redundant_slots bigint, shared_slots bigint",
+    )

@@ -109,6 +109,7 @@ _GRADE_FIRST = [
     "q_stream_components_incremental",
     "q_orc_pushdown",
     "q_classifier_incremental",
+    "q_semdedup_knn_eval",
     "q_quality_classifier",  # logreg SQL builder parametrized (ws-only)
     "q_threshold_sweep",  # same
     # ---- round-11 oracle-template speedup: the n-gram builders now

@@ -171,3 +171,27 @@ def test_classifier_incremental_laws(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r["mean_score"] <= 1.0
         assert 0.0 <= r["frac_ge_half"] <= 1.0
+
+
+def test_semdedup_knn_eval_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.llm import (
+        q_semdedup_knn_eval,
+    )
+
+    rows = {
+        r["corpus"]: r for r in q_semdedup_knn_eval(spark, sf_dir).collect()
+    }
+    raw, dd = rows["raw"], rows["dedup"]
+    # planted twins exist, so dedup strictly shrinks the corpus
+    assert 0 < dd["n_vectors"] < raw["n_vectors"]
+    assert raw["n_queries"] == dd["n_queries"] > 0
+    # the deduplicated corpus holds one vector per cluster, so its
+    # top-k can NEVER waste a slot — the theorem the ablation rests on
+    assert dd["redundant_slots"] == 0
+    # the raw corpus provably wastes slots: every query has a planted
+    # twin pair near it in cosine space on this constructed corpus
+    assert raw["redundant_slots"] > 0
+    assert 0 <= raw["shared_slots"] <= min(
+        raw["topk_slots"], dd["topk_slots"]
+    )
+    assert raw["shared_slots"] == dd["shared_slots"]
