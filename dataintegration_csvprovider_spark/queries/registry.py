@@ -92,15 +92,82 @@ def register(
 
 
 #: Names surfaced first to the driver's correctness gate (which grades a
-#: 50-name prefix of the registry per round; confirmed 50 in r1-r10).
-#: Round-11 window policy (per the r10 verdict): (1) names whose code or
-#: oracle changed THIS round lead, then (2) the stalest names — every
-#: name last driver-graded in rounds 1-2 (the CORRECTNESS_r*.json union
-#: shows 169 names last graded <= r4; the 90 r1-r2 names fill the
-#: remaining prefix slots so the external grading signal stops aging).
-#: The prior round-10/9/8 blocks follow for stable ordering (the dict
-#: build dedups; first occurrence wins).
+#: 50-name prefix of the registry per round; confirmed 50 in r1-r11).
+#: Round-12 window policy (per the r11 verdict item 3): (1) names whose
+#: code or oracle changed THIS round lead, then (2) the 59 names whose
+#: latest driver grade is still r1-r2 fill the window (~46 fit; the
+#: rest lead r13, finishing the rotation so no name's latest grade
+#: stays older than r3 after r13). The prior round blocks follow for
+#: stable ordering (the dict build dedups; first occurrence wins).
 _GRADE_FIRST = [
+    # ---- round-12 additions / changed code or oracle
+    "q_semantic_dedup",  # IVF-blocked candidate stage (r11 weak flag)
+    "q_semdedup_knn_eval",  # same swap + pinned pair gate columns
+    # ---- round-12 stale-rotation tail: the 59 names whose latest
+    # driver grade is r1-r2 (CORRECTNESS_r*.json union). With the
+    # changed block above, ~46 of them fit the 50-name window this
+    # round; the remainder lead the r13 window (first occurrence wins
+    # in the dict build, so re-listing names that also appear in the
+    # historical blocks below is harmless).
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_array_agg",
+    "q_bucketed_join",
+    "q_csv_datetime_format",
+    "q_csv_decimal_comma",
+    "q_csv_dialects",
+    "q_csv_mapping_pipeline",
+    "q_csv_null_sentinel",
+    "q_csv_roundtrip",
+    "q_date_spine",
+    "q_embedding_centroid",
+    "q_embedding_neardup",
+    "q_except_all",
+    "q_first_last_value",
+    "q_grouped_fit",
+    "q_histogram",
+    "q_intersect_all",
+    "q_jsonl_roundtrip",
+    "q_jsonl_skip_corrupt",
+    "q_knn_bruteforce",
+    "q_lateral_topk",
+    "q_map_column",
+    "q_mode_per_group",
+    "q_null_ordering",
+    "q_part_supplier_stats",
+    "q_salted_join",
+    "q_semijoin",
+    "q_sessionize_batch",
+    "q_sql_recursive_cte",
+    "q_sql_window",
+    "q_stream_csv_source",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_string_functions",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_langid",
+    "q_text_normalize",
+    "q_text_quality",
+    "q_topk",
+    "q_topk_per_group_agg",
+    "q_trailing_features",
+    "q_union",
+    "q_unpivot",
+    "q_window_distribution",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank_dense",
+    "q_window_running",
+    "q_window_topk_per_group",
     # ---- round-11 additions / changed code or oracle
     "q_stream_ivf_incremental",
     "q_bm25_dedup_eval",

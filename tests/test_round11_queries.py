@@ -195,3 +195,32 @@ def test_semdedup_knn_eval_laws(spark, sf_dir):
         raw["topk_slots"], dd["topk_slots"]
     )
     assert raw["shared_slots"] == dd["shared_slots"]
+    # round 12: the IVF-blocked candidate stage recovered every planted
+    # pair and invented none — the recall gate the bucketed SemDeDup
+    # swap is pinned by
+    assert raw["pair_recall_ok"] and raw["pair_exact_ok"]
+
+
+def test_semantic_dedup_bucketed_gate(spark, sf_dir):
+    """q_semantic_dedup (round 12: IVF-blocked candidates): planted
+    twins cluster with their originals, representatives are min-id, and
+    the blocking gate holds."""
+    from dataintegration_csvprovider_spark.queries.llm import (
+        q_semantic_dedup,
+    )
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert all(r["pair_recall_ok"] and r["pair_exact_ok"] for r in rows)
+    twins = [r for r in rows if r["vec_id"] >= 10_000_000]
+    assert twins  # non-vacuous: the corpus has planted twins
+    for t in twins:
+        orig = by_id[t["vec_id"] - 10_000_000]
+        # each twin clusters with its original, whose id is smaller, so
+        # the original is the representative and the twin never is
+        assert t["cluster"] == orig["cluster"] == orig["vec_id"]
+        assert orig["is_representative"] and not t["is_representative"]
+    # untwinned sample vectors are their own singleton cluster
+    for r in rows:
+        if r["vec_id"] < 10_000_000 and r["vec_id"] % 3 != 0:
+            assert r["cluster"] == r["vec_id"] and r["is_representative"]

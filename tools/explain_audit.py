@@ -12,6 +12,15 @@ are skipped — their plan is the batch result of ``run_to_completion``):
          detail section, so these counts are ~2x the node count — compare
          across queries, not against an absolute budget.
 
+Round 12 (r11 verdict item 2): the audit also inspects every plan
+EXECUTED while the query function ran, read back from the JVM
+``SQLAppStatusStore`` — composite queries that collect intermediate
+metrics and return a ``createDataFrame`` literal used to audit as
+``shuffles=0 scans=0`` because only the returned frame's lazy plan was
+visible. Executed plans go through the same flag rules (same NLJ_OK /
+ROW_PY_OK allowlists) and are reported as ``exec=N/S`` (N executed
+statements, S total shuffles across them).
+
 Usage: python tools/explain_audit.py [names...]
 """
 
@@ -74,6 +83,14 @@ NLJ_OK = {
     "q_zipf_coverage",  # single-row total-tokens broadcast cross
     "q_t_closeness",  # bounded bucket-domain cross + 1-row totals/max broadcasts
     "q_bloom_semijoin",  # single-row bloom-bitmap broadcast cross (the probe)
+    # round 12 (executed-plan audit): both SemDeDup names block
+    # candidates through embedding_near_dup_pairs, whose IVF assignment
+    # crosses each vector with the BROADCAST trained-centroid table
+    # (k <= 64 rows — bounded by construction, the same pattern as
+    # q_embedding_neardup_trained above); the candidate PAIR stage
+    # itself is an equi-join on centroid_id
+    "q_semantic_dedup",
+    "q_semdedup_knn_eval",
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
@@ -85,6 +102,26 @@ ROW_PY_OK = {
 }
 
 
+def _executed_plans(spark, since_id: int) -> tuple[list[str], int]:
+    """Formatted plan descriptions of every SQL execution the JVM's
+    status store recorded with id > since_id, plus the new high-water
+    id. Execution ids are monotonic, so tracking the max id isolates
+    exactly the statements each query function ran (eager
+    localCheckpoints, counts, first()s — the composite-query work the
+    lazy returned-frame explain never sees)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    plans: list[str] = []
+    max_id = since_id
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        eid = e.executionId()
+        if eid > since_id:
+            plans.append(e.physicalPlanDescription())
+            max_id = max(max_id, eid)
+    return plans, max_id
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from dataintegration_csvprovider_spark.session import get_spark
@@ -93,6 +130,7 @@ def main() -> int:
     names = sys.argv[1:] or sorted(entry.queries())
     qs = entry.queries()
     n_err = 0
+    _, last_id = _executed_plans(spark, -1)  # drop session-warmup noise
     for name in names:
         if name.startswith("q_stream"):
             print(f"skip  {name}: streaming (plan is the finished batch)")
@@ -107,11 +145,18 @@ def main() -> int:
             print(f"ERROR {name}: {type(exc).__name__}: {exc}")
             n_err += 1
             continue
+        executed, last_id = _executed_plans(spark, last_id)
         flags = []
-        if "BatchEvalPython" in plan and name not in ROW_PY_OK:
+        all_plans = [plan] + executed
+        if any(
+            "BatchEvalPython" in p for p in all_plans
+        ) and name not in ROW_PY_OK:
             flags.append("ROW-PYTHON-UDF")
             n_err += 1
-        has_nlj = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        has_nlj = any(
+            "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+            for p in all_plans
+        )
         if has_nlj and name not in NLJ_OK:
             flags.append("UNEXPECTED-NLJ")
             n_err += 1
@@ -120,9 +165,11 @@ def main() -> int:
         n_pushed = plan.count("PushedFilters: [") - plan.count(
             "PushedFilters: []"
         )
+        n_exec_shuf = sum(p.count("Exchange") for p in executed)
         status = " ".join(flags) if flags else "clean"
         print(f"{'FLAG ' if flags else 'ok   '}{name}: {status} "
-              f"[shuffles={n_exchange} scans={n_scans} pushed={n_pushed}]")
+              f"[shuffles={n_exchange} scans={n_scans} pushed={n_pushed} "
+              f"exec={len(executed)}/{n_exec_shuf}]")
     print(f"\n{n_err} flagged")
     return 1 if n_err else 0
 
