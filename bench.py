@@ -323,7 +323,12 @@ def main() -> None:
     # drives load1 to ~4 by its own work (measured — the first flag
     # implementation tripped on itself), so end-load cannot
     # distinguish the bench from a competitor.
-    CONTENDED_LOAD1 = 2.0
+    # env override exists so the solo_probe path can be exercised on an
+    # idle machine (set SPARK_GRAFT_CONTENDED_LOAD1=-1) — the default
+    # stays the measured 2.0 threshold
+    CONTENDED_LOAD1 = float(
+        os.environ.get("SPARK_GRAFT_CONTENDED_LOAD1", "2.0")
+    )
     # Round-11 close-out (solo, load1 0.53 at start, contended false):
     # 65.9s total; common-63 vs the r10 DRIVER bench 1.000x. The
     # ledger fast path + 2-slice monitor suite show up in the sweep
@@ -353,6 +358,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ambient_end = _ambient()
     contended = ambient_start["load1"] > CONTENDED_LOAD1
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ambient_start": ambient_start,
+        "ambient_end": ambient_end,
+        "contended": contended,
+    }
     if contended:
         # WARN to stderr so a human watching the run sees it even when
         # only the JSON line is captured
@@ -362,20 +377,57 @@ def main() -> None:
             "noise-band notes; re-run solo before adjudicating deltas",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ambient_start": ambient_start,
-                "ambient_end": ambient_end,
-                "contended": contended,
-            }
-        )
-    )
+        # Round 12 (r11 verdict item 6): a contended run adjudicates
+        # itself — re-time the 5 largest risers vs the latest recorded
+        # BENCH_r*.json 3x each so the per-query noise evidence lives
+        # in the artifact instead of a follow-up session. The probes
+        # run LAST (the transient load that tripped the flag has often
+        # drained by then); BASELINE.md's adjudication rule keys off
+        # this block.
+        payload["solo_probe"] = _solo_probe(spark, sf_dir, fns, timings)
+    print(json.dumps(payload))
+
+
+def _solo_probe(spark, sf_dir, fns, timings) -> dict:
+    import glob
+
+    benches = sorted(glob.glob(str(REPO / "BENCH_r*.json")))
+    prior: dict = {}
+    for path in reversed(benches):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            if rec.get("queries"):
+                prior = rec["queries"]
+                prior_file = Path(path).name
+                break
+        except (OSError, ValueError):
+            continue
+    if not prior:
+        return {}
+    common = [
+        n for n in timings
+        if isinstance(prior.get(n), (int, float)) and prior[n] > 0
+    ]
+    risers = sorted(
+        common, key=lambda n: timings[n] / prior[n], reverse=True
+    )[:5]
+    out: dict = {"prior_bench": prior_file}
+    for name in risers:
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _force(fns[name](spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        out[name] = {
+            "prior": prior[name],
+            "suite": timings[name],
+            "ratio": round(timings[name] / prior[name], 3),
+            "solo3": runs,
+            "load1_at_probe": round(os.getloadavg()[0], 2),
+        }
+    return out
 
 
 if __name__ == "__main__":

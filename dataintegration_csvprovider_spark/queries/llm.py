@@ -6978,3 +6978,410 @@ def q_semdedup_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_slots bigint, pair_recall_ok boolean, "
         "pair_exact_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval evaluation (round 12) — BM25 + dense + RRF fusion,
+# raw vs deduplicated corpus, as ONE fully value-replayed query.
+# --------------------------------------------------------------------------
+
+_HB_R = 50  # fusion shortlist depth (production hybrid fuses shortlists)
+
+
+def _hb_variant_sql(p: str, c: str) -> str:
+    """Oracle CTE chain for one corpus variant (prefix ``p``, corpus CTE
+    ``c``): BM25 postings restricted to query terms, dense cosine ranks,
+    RRF fusion of the two top-50 shortlists, per-ranker best-rank and
+    top-5 redundancy metric inputs."""
+    cos = _duck_cos("c.embedding", "q.qv")
+    cluster = "CASE WHEN id >= 10000000 THEN id - 10000000 ELSE id END"
+    return f"""
+    {p}stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(len({_hb_words('text')})) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM {c}),
+    {p}tok AS (
+      SELECT id, len(w) AS dl, unnest(w) AS term
+      FROM (SELECT id, {_hb_words('text')} AS w FROM {c}) t),
+    {p}tf AS (
+      SELECT tok.id, tok.dl, tok.term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM {p}tok tok JOIN (SELECT DISTINCT term FROM qt) qq USING (term)
+      GROUP BY tok.id, tok.dl, tok.term),
+    {p}df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      FROM {p}tf GROUP BY term),
+    {p}per AS (
+      SELECT qt.query_id, tf.id,
+             ((s.n - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                                 / s.avgdl)))) AS sc
+      FROM qt
+      JOIN {p}tf tf USING (term)
+      JOIN {p}df df ON tf.term = df.term
+      CROSS JOIN {p}stats s),
+    {p}lex AS (
+      SELECT query_id, id,
+             round(CAST(SUM(CAST(sc AS DECIMAL(28,12))) AS DOUBLE), 9)
+               AS score
+      FROM {p}per GROUP BY query_id, id),
+    {p}lrank AS (
+      SELECT query_id, id, r FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS r
+        FROM {p}lex) t WHERE r <= {_HB_R}),
+    {p}drank AS (
+      SELECT query_id, id, r FROM (
+        SELECT q.query_id, c.id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.id) AS r
+        FROM {c} c CROSS JOIN q) t WHERE r <= {_HB_R}),
+    {p}frank AS (
+      SELECT query_id, id, r FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, id) AS r
+        FROM (
+          SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                 COALESCE(a.id, b.id) AS id,
+                 COALESCE(1.0 / (60.0 + a.r), 0.0)
+                 + COALESCE(1.0 / (60.0 + b.r), 0.0) AS rrf
+          FROM {p}drank a
+          FULL OUTER JOIN {p}lrank b
+            ON a.query_id = b.query_id AND a.id = b.id) f) t
+      WHERE r <= {_HB_R}),
+    {p}lex_best AS (
+      SELECT query_id, MIN(r) AS br FROM {p}lrank
+      WHERE {cluster} = query_id GROUP BY query_id),
+    {p}den_best AS (
+      SELECT query_id, MIN(r) AS br FROM {p}drank
+      WHERE {cluster} = query_id GROUP BY query_id),
+    {p}fus_best AS (
+      SELECT query_id, MIN(r) AS br FROM {p}frank
+      WHERE {cluster} = query_id GROUP BY query_id),
+    {p}lex_red AS (
+      SELECT query_id,
+             COUNT(*) - COUNT(DISTINCT {cluster}) AS d
+      FROM {p}lrank WHERE r <= 5 GROUP BY query_id),
+    {p}den_red AS (
+      SELECT query_id,
+             COUNT(*) - COUNT(DISTINCT {cluster}) AS d
+      FROM {p}drank WHERE r <= 5 GROUP BY query_id),
+    {p}fus_red AS (
+      SELECT query_id,
+             COUNT(*) - COUNT(DISTINCT {cluster}) AS d
+      FROM {p}frank WHERE r <= 5 GROUP BY query_id)"""
+
+
+def _hb_words(col: str) -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+def _hb_metric_select(variant: str, ranker: str, p: str, rk: str) -> str:
+    return f"""
+    SELECT '{variant}' AS corpus, '{ranker}' AS ranker,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+           (SELECT COALESCE(CAST(SUM(CAST(br <= 1 AS INT)) AS BIGINT), 0)
+            FROM {p}{rk}_best) AS hits_at1,
+           (SELECT COALESCE(CAST(SUM(CAST(br <= 3 AS INT)) AS BIGINT), 0)
+            FROM {p}{rk}_best) AS hits_at3,
+           (SELECT COALESCE(CAST(SUM(CAST(br <= 5 AS INT)) AS BIGINT), 0)
+            FROM {p}{rk}_best) AS hits_at5,
+           (SELECT COALESCE(CAST(SUM(d) AS BIGINT), 0)
+            FROM {p}{rk}_red) AS redundant_slots,
+           TRUE AS pair_gate_ok"""
+
+
+_HB_ORACLE = f"""
+    WITH base AS (
+      SELECT d.doc_id AS id,
+             d.text || ' k' || CAST(d.doc_id AS VARCHAR) AS text,
+             e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    rawc AS (
+      SELECT id, text, embedding FROM base
+      UNION ALL
+      SELECT id + 10000000, 'xdup ' || text,
+             list_transform(embedding, (x, i) ->
+               CASE WHEN i = id % 64 + 1
+                    THEN CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT)
+                    ELSE x END)
+      FROM base WHERE id % 3 = 0),
+    ddc AS (SELECT id, text, embedding FROM base),
+    q AS (
+      SELECT id AS query_id,
+             list_transform(embedding, (x, i) ->
+               CASE WHEN i = (id + 7) % 64 + 1
+                    THEN CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT)
+                    ELSE x END) AS qv
+      FROM base WHERE id % 20 = 0),
+    bt AS (
+      SELECT id, unnest(list_distinct({_hb_words('text')})) AS term
+      FROM base),
+    bdf AS (SELECT term, COUNT(*) AS bdf FROM bt GROUP BY term),
+    qt AS (
+      SELECT query_id, term FROM (
+        SELECT bt.id AS query_id, bt.term,
+               ROW_NUMBER() OVER (PARTITION BY bt.id
+                                  ORDER BY bdf.bdf, bt.term) AS rn
+        FROM bt JOIN bdf USING (term) WHERE bt.id % 20 = 0) t
+      WHERE rn <= 3),
+    {_hb_variant_sql('r_', 'rawc')},
+    {_hb_variant_sql('d_', 'ddc')}
+    {_hb_metric_select('raw', 'bm25', 'r_', 'lex')}
+    UNION ALL {_hb_metric_select('raw', 'dense', 'r_', 'den')}
+    UNION ALL {_hb_metric_select('raw', 'rrf', 'r_', 'fus')}
+    UNION ALL {_hb_metric_select('dedup', 'bm25', 'd_', 'lex')}
+    UNION ALL {_hb_metric_select('dedup', 'dense', 'd_', 'den')}
+    UNION ALL {_hb_metric_select('dedup', 'rrf', 'd_', 'fus')}
+"""
+
+
+@register(
+    "q_hybrid_retrieval_eval",
+    # Round 12 (r11 verdict item 7): system-level retrieval evaluation
+    # — the engine's two ranking families COMPOSED. A hybrid corpus
+    # (documents ⋈ embeddings on id) gets planted near-dup twins (text:
+    # one prepended token, so lexical stats shift but stay near-dup;
+    # embedding: one dimension halved, cosine >= 0.943). Three rankers
+    # run per query over the raw AND deduplicated corpus: BM25
+    # (rational Robertson idf, postings restricted to query terms),
+    # exact dense cosine (knn_batch shortlist), and their RRF fusion
+    # (1/(60+r), shortlist depth 50 — production hybrid retrieval
+    # fuses shortlists, not full rankings). Queries are derived probes
+    # of known items (first-3-words + a differently-perturbed vector),
+    # so relevance is by construction: the query's own cluster.
+    # Metrics are pure integers (hits@1/3/5 of the relevant cluster,
+    # redundant top-5 slots) — no float columns in the output; the
+    # dedup corpus is structural (originals) but VERIFIED in-query by
+    # the IVF-blocked pair gate (blocked pairs == planted twins), which
+    # the oracle pins TRUE via its own exact all-pairs replay.
+    oracle=_HB_ORACLE,
+    doc="Hybrid retrieval ablation: BM25, exact dense top-k and their "
+        "RRF fusion evaluated on a planted-twin hybrid corpus, raw vs "
+        "SemDeDup'd — answers 'does fusion beat either signal alone, "
+        "and does dedup help all three?' with exact-integer metrics "
+        "(hits@k of the provably-relevant cluster, redundant top-5 "
+        "slots). Every rank bit-replays: BM25 scores fold through "
+        "DECIMAL(28,12) and round at 9 (q_bm25_topk convention), "
+        "cosines are dimension-sequential float64 folds, RRF is rank "
+        "arithmetic; the full SQL oracle replays all six "
+        "(corpus x ranker) metric rows from scratch.",
+    tags=("text", "retrieval", "fusion", "embedding", "eval"),
+)
+def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.similarity import knn_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # each doc carries a planted UNIQUE marker token (' k<id>') — the
+    # fixture vocabulary is 31 words, far too small for lexical
+    # known-item retrieval to be meaningful, so lexical ground truth is
+    # constructed the same way the embedding twins are: the marker has
+    # df=1 (df=2 in raw: the twin inherits it), making BM25 informative
+    # while the 30 common-word terms stay realistic noise
+    base = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.col("text"), F.lit(" k"), F.col("doc_id").cast("string")
+            ).alias("text"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def halved(dim_col):
+        return F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == dim_col,
+                (x.cast("double") * F.lit(0.5)).cast("float"),
+            ).otherwise(x),
+        )
+
+    twins = base.filter(F.col("id") % 3 == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.concat(F.lit("xdup "), F.col("text")).alias("text"),
+        halved(F.pmod(F.col("id"), F.lit(64))).alias("embedding"),
+    )
+    raw = base.unionByName(twins).localCheckpoint(eager=True)
+    queries = (
+        base.filter(F.col("id") % 20 == 0)
+        .select(
+            F.col("id").alias("query_id"),
+            halved(F.pmod(F.col("id") + 7, F.lit(64))).alias("query_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # query terms = the 3 RAREST distinct words of the query doc by
+    # BASE-corpus df (rarity makes the lexical signal informative —
+    # first-k words are stopword-dominated and reduce fusion to noise);
+    # df ties break by term so the pick is deterministic in both engines
+    base_toks = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))
+        ).alias("term"),
+    )
+    base_df = base_toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bdf")
+    )
+    wq = Window.partitionBy("id").orderBy("bdf", "term")
+    qt = (
+        base_toks.filter(F.col("id") % 20 == 0)
+        .join(base_df, "term")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("id").alias("query_id"), "term")
+        .localCheckpoint(eager=True)
+    )
+
+    # dedup corpus is structural (originals), VERIFIED: the IVF-blocked
+    # pair set must equal the planted twin set exactly
+    rawv = raw.select(F.col("id").alias("vec_id"), "embedding")
+    blocked = embedding_near_dup_pairs(rawv, threshold=0.9, n_probe=2)
+    g = _planted_pair_gate(rawv, blocked).first()
+    gate_ok = bool(g["pair_recall_ok"] and g["pair_exact_ok"])
+
+    def lex_rank(c: DataFrame) -> DataFrame:
+        stats = c.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("tot"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n_docs = int(stats["n"])
+        avgdl = int(stats["tot"]) / n_docs  # IEEE double division
+        toks = c.select(
+            "id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("dl"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+        )
+        tf = (
+            toks.join(qt.select("term").distinct(), "term")
+            .groupBy("id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        )
+        dft = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        odds = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+            F.col("df") + F.lit(0.5)
+        )
+        tfpart = (F.col("tf") * F.lit(2.2)) / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        )
+        per = (
+            qt.join(tf, "term")
+            .join(dft, "term")
+            .select("query_id", "id", (odds * tfpart).alias("s"))
+        )
+        scores = per.groupBy("query_id", "id").agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
+            ).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("id")
+        )
+        return (
+            scores.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _HB_R)
+            .select("query_id", "id", "r")
+        )
+
+    def den_rank(c: DataFrame) -> DataFrame:
+        sc = knn_batch(
+            c.select(F.col("id").alias("vec_id"), "embedding"),
+            queries.select("query_id", "query_vec"),
+            k=_HB_R,
+        )
+        return sc.select(
+            "query_id",
+            F.col("vec_id").alias("id"),
+            F.col("rank").cast("int").alias("r"),
+        )
+
+    def fus_rank(ra: DataFrame, rb: DataFrame) -> DataFrame:
+        f = ra.select(
+            "query_id", "id", F.col("r").alias("ra")
+        ).join(
+            rb.select("query_id", "id", F.col("r").alias("rb")),
+            ["query_id", "id"],
+            "full_outer",
+        )
+        rrf = F.coalesce(
+            F.lit(1.0) / (F.lit(60.0) + F.col("ra")), F.lit(0.0)
+        ) + F.coalesce(
+            F.lit(1.0) / (F.lit(60.0) + F.col("rb")), F.lit(0.0)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("rrf").desc(), F.col("id")
+        )
+        return (
+            f.select("query_id", "id", rrf.alias("rrf"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _HB_R)
+            .select("query_id", "id", "r")
+        )
+
+    cluster = F.when(
+        F.col("id") >= 10_000_000, F.col("id") - 10_000_000
+    ).otherwise(F.col("id"))
+
+    def metrics(ranked: DataFrame) -> tuple[int, int, int, int]:
+        red_row = (
+            ranked.filter(F.col("r") <= 5)
+            .withColumn("cluster", cluster)
+            .groupBy("query_id")
+            .agg(
+                (
+                    F.count(F.lit(1)) - F.countDistinct("cluster")
+                ).alias("d")
+            )
+            .agg(F.sum("d").alias("red"))
+            .first()
+        )
+        best = (
+            ranked.withColumn("cluster", cluster)
+            .filter(F.col("cluster") == F.col("query_id"))
+            .groupBy("query_id")
+            .agg(F.min("r").alias("br"))
+        )
+        h = best.agg(
+            F.sum((F.col("br") <= 1).cast("int")).alias("h1"),
+            F.sum((F.col("br") <= 3).cast("int")).alias("h3"),
+            F.sum((F.col("br") <= 5).cast("int")).alias("h5"),
+        ).first()
+        return (
+            int(h["h1"] or 0),
+            int(h["h3"] or 0),
+            int(h["h5"] or 0),
+            int(red_row["red"] or 0),
+        )
+
+    n_q = queries.count()
+    rows = []
+    for variant, c in (("raw", raw), ("dedup", base)):
+        lr = lex_rank(c).localCheckpoint(eager=True)
+        dr = den_rank(c).localCheckpoint(eager=True)
+        fr = fus_rank(dr, lr)
+        for ranker, ranked in (("bm25", lr), ("dense", dr), ("rrf", fr)):
+            h1, h3, h5, red = metrics(ranked)
+            rows.append((variant, ranker, n_q, h1, h3, h5, red, gate_ok))
+    return spark.createDataFrame(
+        rows,
+        "corpus string, ranker string, n_queries bigint, "
+        "hits_at1 bigint, hits_at3 bigint, hits_at5 bigint, "
+        "redundant_slots bigint, pair_gate_ok boolean",
+    )

@@ -8,11 +8,16 @@ registry to the driver.
 
 Cross-engine determinism rules (so order-insensitive value hashes match):
 
-- Money/measure sums go through exact decimal arithmetic:
-  ``sum(cast(x as decimal(18,6)))`` then cast back to double. Per-row
-  double expressions are IEEE-identical across engines; decimal sums are
-  order-independent; the final decimal->double cast is deterministic.
-- Averages are derived as exact-decimal-sum / count in double.
+- Money/measure sums go through exact integer arithmetic: each value is
+  quantized to DECIMAL(18,6), scaled to an exact BIGINT of micro-units,
+  summed as integers, then converted by ONE int->double conversion and
+  ONE IEEE division (``dsum``/``sql_dsum``). Per-row double expressions
+  are IEEE-identical across engines; integer sums are order-independent;
+  int->double and double division are IEEE-defined identically in both
+  engines. (The pre-round-12 ``CAST(SUM(decimal) AS DOUBLE)`` form
+  diverged by 1 ulp once |sum| > 2^33: the engines implement
+  decimal->double differently — caught by the local sf1 fixture.)
+- Averages are the same micro-unit sum /1e6 /count in double.
 - Every computed column is explicitly aliased, identically in both the
   Spark plan and the oracle SQL (driver compares by sorted column name).
 - Ties in top-k / window ranks are broken by a unique key column.
@@ -103,6 +108,9 @@ _GRADE_FIRST = [
     # ---- round-12 additions / changed code or oracle
     "q_semantic_dedup",  # IVF-blocked candidate stage (r11 weak flag)
     "q_semdedup_knn_eval",  # same swap + pinned pair gate columns
+    "q_hybrid_retrieval_eval",  # NEW: BM25+dense+RRF ablation raw vs dedup
+    "q1_pricing_summary",  # dsum/davg micros form (sf1 drift fix)
+    "q11_important_parts",  # same + the DECIMAL(30,6) widen
     # ---- round-12 stale-rotation tail: the 59 names whose latest
     # driver grade is r1-r2 (CORRECTNESS_r*.json union). With the
     # changed block above, ~46 of them fit the 50-name window this
@@ -486,24 +494,65 @@ def all_queries() -> dict[str, Query]:
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent sum of a double expression: exact decimal
-    accumulation, double result (see module docstring)."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Order-independent sum of a double expression, DOUBLE result that
+    is bit-reproducible across engines at ANY scale factor: each value
+    is cast to DECIMAL(18,6) (exact 6-dp quantum), scaled to an exact
+    BIGINT of micro-units, summed as integers, then converted through
+    ONE int->double conversion and ONE IEEE division — both defined
+    identically by Spark and DuckDB.
+
+    Why not ``CAST(SUM(decimal) AS DOUBLE)`` (the pre-round-12 form):
+    the two engines implement decimal->double differently (DuckDB goes
+    hugeint->double THEN divides by 10^scale — two roundings; Spark's
+    BigDecimal.doubleValue() rounds once), which diverges by 1 ulp as
+    soon as |sum| is large enough that a double ulp exceeds the 1e-6
+    quantum (|sum| > 2^33) — surfaced by the round-12 local sf1 fixture
+    on TPC-H Q1's sum_charge. Domain: |sum| < 2^63/10^6 ~ 9.2e12
+    micro-exact (sf1 revenue sums are ~3e10 — 300x headroom; overflow
+    is loud, not silently wrong: Spark nulls / DuckDB errors, either
+    way the gate goes red)."""
+    micros = F.sum((col.cast(DEC) * F.lit(1_000_000)).cast("long"))
+    return (micros.cast("double") / F.lit(1_000_000.0)).cast("double")
 
 
 def davg(col: Column) -> Column:
-    """Order-independent mean: exact decimal sum / count, double result."""
-    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).cast("double")
+    """Order-independent mean: exact micro-unit integer sum, then
+    int->double, /1e6, /count — the identical IEEE op sequence in both
+    engines (see :func:`dsum` for why decimal->double casts can't
+    appear anywhere on this path)."""
+    micros = F.sum((col.cast(DEC) * F.lit(1_000_000)).cast("long"))
+    return (
+        micros.cast("double") / F.lit(1_000_000.0) / F.count(col)
+    ).cast("double")
 
 
 def sql_dsum(expr: str) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+    """DuckDB oracle twin of :func:`dsum` — same op sequence, same
+    roundings: per-row DECIMAL(18,6) quantize, exact BIGINT micro-unit
+    sum (DuckDB widens integer SUM to HUGEINT, so the outer BIGINT cast
+    keeps the int->double conversion identical), one division."""
+    micros = (
+        # the DECIMAL(30,6) widen matters: DuckDB's decimal multiply
+        # keeps the input width, so DECIMAL(18,6) * 1000000 overflows
+        # on per-row values >= 1e6 (surfaced by q11's price*qty at the
+        # r12 gate); Spark widens automatically
+        f"CAST(SUM(CAST(CAST(CAST({expr} AS DECIMAL(18,6)) "
+        f"AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+    )
+    return f"(CAST({micros} AS DOUBLE) / 1000000.0)"
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB oracle twin of :func:`davg`."""
+    micros = (
+        # the DECIMAL(30,6) widen matters: DuckDB's decimal multiply
+        # keeps the input width, so DECIMAL(18,6) * 1000000 overflows
+        # on per-row values >= 1e6 (surfaced by q11's price*qty at the
+        # r12 gate); Spark widens automatically
+        f"CAST(SUM(CAST(CAST(CAST({expr} AS DECIMAL(18,6)) "
+        f"AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+    )
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS DOUBLE)"
+        f"CAST(CAST({micros} AS DOUBLE) / 1000000.0 "
+        f"/ COUNT({expr}) AS DOUBLE)"
     )

@@ -91,6 +91,16 @@ NLJ_OK = {
     # itself is an equi-join on centroid_id
     "q_semantic_dedup",
     "q_semdedup_knn_eval",
+    # round 12: names whose EXECUTED intermediate plans (newly visible
+    # to the audit) contain a documented-benign bounded cross; each is
+    # an instance of a class already allowlisted above
+    "q_ivf_incremental",  # <=64-row frozen/retrained centroid broadcast crosses
+    "q_artifact_reuse",  # reloaded IVF/PQ snapshot centroid + query-vector crosses
+    "q_zorder_layout",  # single-row global min/max bounds broadcast cross
+    "q_parquet_codecs",  # 1-row roundtrip-vs-source aggregate comparison cross
+    "q_training_shard_manifest",  # single-row Σtokens broadcast (token_balanced_shards, as q_shard_balanced)
+    "q_entity_resolution",  # bounded 400x400 length-pruned edit-distance theta self-join (q_fuzzy_match class)
+    "q_hybrid_retrieval_eval",  # knn_batch broadcast query-matrix cross (q_knn_batch class) + IVF centroid cross (gate)
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
