@@ -7385,3 +7385,154 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits_at1 bigint, hits_at3 bigint, hits_at5 bigint, "
         "redundant_slots bigint, pair_gate_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# ANN operating curve (round 12) — IVF shortlist recall vs probe count,
+# fully value-replayed (seed centroids make the assignment SQL-exact).
+# --------------------------------------------------------------------------
+
+_APC_K = 16  # seed centroid count (first-k by vec_id — deterministic)
+_APC_PROBES = (1, 2, 4)
+
+
+_APC_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT {_APC_K}),
+    assign AS (
+      SELECT vec_id, centroid_id, rn FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos('e.embedding', 'c.centroid')} DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c) t),
+    cell AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 25 = 0),
+    exact10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('e.embedding', 'q.qv')} DESC,
+                          e.vec_id) AS r
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id) t WHERE r <= 10),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.centroid_id, a.rn
+      FROM assign a JOIN q ON a.vec_id = q.query_id),
+    {', '.join(f'''cand{p} AS (
+      SELECT DISTINCT pr.query_id, cl.vec_id AS cand_id
+      FROM probes pr JOIN cell cl USING (centroid_id)
+      WHERE pr.rn <= {p} AND cl.vec_id <> pr.query_id)''' for p in (1, 2, 4))}
+    {' UNION ALL '.join(f'''
+    SELECT {p} AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact10 x
+            JOIN cand{p} c ON x.query_id = c.query_id
+                          AND x.vec_id = c.cand_id) AS recall_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact10) AS exact_slots,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{p})
+             AS candidate_rows''' for p in (1, 2, 4))}
+    ORDER BY n_probe
+"""
+
+
+@register(
+    "q_ann_probe_curve",
+    # Round 12: the evaluation tier extended to the ANN OPERATING CURVE
+    # — the measurement behind choosing n_probe. Seed centroids
+    # (first-16 by vec_id) make the IVF assignment itself replayable
+    # SQL (argmax cosine, ties by centroid_id), so unlike the trained-
+    # IVF recall GATES (q_knn_recall_gate et al.) every number here —
+    # candidate counts and shortlist recall hits per probe depth — is
+    # a full cross-engine value, not a floor assertion. Distinct
+    # (query, candidate) pairs count once even when multi-probe
+    # surfaces them twice.
+    oracle=_APC_ORACLE,
+    doc="IVF probe-depth operating curve: for n_probe in (1,2,4), the "
+        "candidate volume (cost proxy) and exact-top-10 shortlist "
+        "recall hits over a 1-in-25 query sample, seed-centroid "
+        "assignment (first-16 by id, argmax cosine) so both the index "
+        "layout and every metric bit-replay in SQL. Laws: recall and "
+        "cost are monotone in n_probe (pinned by the law test); the "
+        "curve answers 'what does each extra probe buy' — the "
+        "recall/latency knob every IVF deployment tunes.",
+    tags=("similarity", "ivf", "eval"),
+)
+def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_APC_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine_similarity_expr(F.col("embedding"), F.col("centroid"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= max(_APC_PROBES))
+        .select("vec_id", "centroid_id", "rn")
+        .localCheckpoint(eager=True)
+    )
+    cell = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"), "centroid_id"
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from ..operators.similarity import knn_batch
+
+    exact10 = (
+        knn_batch(emb, queries, k=11)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("r") <= 10)
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .localCheckpoint(eager=True)
+    )
+    probes = assign.join(
+        queries.select(F.col("query_id")),
+        assign.vec_id == F.col("query_id"),
+    ).select("query_id", "centroid_id", "rn")
+    n_q = queries.count()
+    n_exact = exact10.count()
+    rows = []
+    for p in _APC_PROBES:
+        cands = (
+            probes.filter(F.col("rn") <= p)
+            .join(cell, "centroid_id")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_cand = cands.count()
+        n_hit = exact10.join(
+            cands, ["query_id", "cand_id"], "left_semi"
+        ).count()
+        rows.append((p, n_q, n_hit, n_exact, n_cand))
+    return spark.createDataFrame(
+        rows,
+        "n_probe int, n_queries bigint, recall_hits bigint, "
+        "exact_slots bigint, candidate_rows bigint",
+    )

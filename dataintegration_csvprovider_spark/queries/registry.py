@@ -109,6 +109,7 @@ _GRADE_FIRST = [
     "q_semantic_dedup",  # IVF-blocked candidate stage (r11 weak flag)
     "q_semdedup_knn_eval",  # same swap + pinned pair gate columns
     "q_hybrid_retrieval_eval",  # NEW: BM25+dense+RRF ablation raw vs dedup
+    "q_ann_probe_curve",  # NEW: IVF probe-depth operating curve, full replay
     "q1_pricing_summary",  # dsum/davg micros form (sf1 drift fix)
     "q11_important_parts",  # same + the DECIMAL(30,6) widen
     # ---- round-12 stale-rotation tail: the 59 names whose latest

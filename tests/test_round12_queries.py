@@ -66,3 +66,35 @@ def test_dsum_davg_micros_form(spark):
     ) / 1e6
     assert row["s"] == expected_sum
     assert row["a"] == expected_sum / 5
+
+
+def test_ann_probe_curve_laws(spark, sf_dir):
+    from dataintegration_csvprovider_spark.queries.llm import (
+        q_ann_probe_curve,
+    )
+
+    rows = {
+        r["n_probe"]: r for r in q_ann_probe_curve(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    n_q = {r["n_queries"] for r in rows.values()}.pop()
+    assert n_q > 0
+    for r in rows.values():
+        assert r["exact_slots"] == rows[1]["exact_slots"] > 0
+        assert 0 <= r["recall_hits"] <= r["exact_slots"]
+        # every query contributes at most (corpus-1) candidates
+        assert r["candidate_rows"] >= 0
+    # the operating-curve laws: each extra probe can only ADD cells,
+    # so both recall and cost are monotone non-decreasing in n_probe
+    assert (
+        rows[1]["recall_hits"]
+        <= rows[2]["recall_hits"]
+        <= rows[4]["recall_hits"]
+    )
+    assert (
+        rows[1]["candidate_rows"]
+        <= rows[2]["candidate_rows"]
+        <= rows[4]["candidate_rows"]
+    )
+    # probing is non-vacuous: at least one exact neighbor is found
+    assert rows[4]["recall_hits"] > 0

@@ -101,6 +101,7 @@ NLJ_OK = {
     "q_training_shard_manifest",  # single-row Σtokens broadcast (token_balanced_shards, as q_shard_balanced)
     "q_entity_resolution",  # bounded 400x400 length-pruned edit-distance theta self-join (q_fuzzy_match class)
     "q_hybrid_retrieval_eval",  # knn_batch broadcast query-matrix cross (q_knn_batch class) + IVF centroid cross (gate)
+    "q_ann_probe_curve",  # 16-row seed-centroid broadcast cross + knn_batch query-vector cross
 }
 
 #: queries whose PURPOSE is the row-Python UDTF surface itself (API
