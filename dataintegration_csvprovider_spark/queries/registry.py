@@ -112,6 +112,7 @@ _GRADE_FIRST = [
     "q_ann_probe_curve",  # NEW: IVF probe-depth operating curve, full replay
     "q1_pricing_summary",  # dsum/davg micros form (sf1 drift fix)
     "q11_important_parts",  # same + the DECIMAL(30,6) widen
+    "q_winsorize",  # order-statistic bounds (sf1 percentile-ulp fix)
     # ---- round-12 stale-rotation tail: the 59 names whose latest
     # driver grade is r1-r2 (CORRECTNESS_r*.json union). With the
     # changed block above, ~46 of them fit the 50-name window this

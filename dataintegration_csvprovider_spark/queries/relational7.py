@@ -318,13 +318,36 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_winsorize",
+    # Round 12: bounds are exact ORDER STATISTICS, not interpolated
+    # percentiles. Interpolated quantiles (Spark percentile / DuckDB
+    # quantile_cont) agree only to ~1 ulp — at the local sf1 fixture,
+    # whose replicas duplicate each value ~10x, a 1-ulp bound shift
+    # flipped 50 boundary-tied rows of n_clipped. The k-th-smallest
+    # bound is a VALUE FROM THE DATA selected by pure integer rank
+    # arithmetic (k = (5|95)(n-1) DIV 100 + 1), so both engines pick
+    # the identical double. Computed over DISTINCT values + counts
+    # (the window rides |distinct|, not |rows| — the distributed exact
+    # percentile shape).
     oracle=f"""
-    WITH bounds AS (
-      SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY event_type
-    )
+    WITH npg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    dv AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type, value,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dv),
+    bounds AS (
+      SELECT cum.event_type,
+             MIN(CASE WHEN cum >= (5 * (n - 1)) // 100 + 1
+                      THEN value END) AS lo,
+             MIN(CASE WHEN cum >= (95 * (n - 1)) // 100 + 1
+                      THEN value END) AS hi
+      FROM cum JOIN npg USING (event_type)
+      GROUP BY cum.event_type)
     SELECT e.event_type,
            COUNT(*) AS n,
            COUNT(*) FILTER (e.value < b.lo OR e.value > b.hi) AS n_clipped,
@@ -333,18 +356,42 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.event_type
     """,
     doc="Winsorization (outlier clipping to the per-group P5/P95 band): "
-        "exact interpolated percentiles per event type (Spark "
-        "percentile == DuckDB quantile_cont, parity already pinned by "
-        "q_percentiles), broadcast back onto the stream, values clamped "
-        "with least/greatest. The robust-statistics companion to the "
+        "exact order-statistic bounds per event type (k-th smallest by "
+        "integer rank arithmetic over distinct values — engine-exact, "
+        "unlike interpolated percentiles which agree only to ~1 ulp), "
+        "broadcast back onto the stream, values clamped with "
+        "least/greatest. The robust-statistics companion to the "
         "z-score anomaly flags.",
     tags=("agg", "percentile", "quality"),
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .registry import dsum
+
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.groupBy("event_type").agg(
-        F.percentile("value", 0.05).alias("lo"),
-        F.percentile("value", 0.95).alias("hi"),
+    npg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("gn"))
+    dv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dv.withColumn("cum", F.sum("c").over(wc))
+    k_lo = F.expr("(5 * (gn - 1)) DIV 100 + 1")
+    k_hi = F.expr("(95 * (gn - 1)) DIV 100 + 1")
+    bounds = (
+        cum.join(F.broadcast(npg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= k_lo, F.col("value"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") >= k_hi, F.col("value"))
+            ).alias("hi"),
+        )
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
@@ -355,9 +402,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(
                 (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
             ).alias("n_clipped"),
-            F.sum(clipped.cast("decimal(18,6)")).cast("double").alias(
-                "total_winsorized"
-            ),
+            dsum(clipped).alias("total_winsorized"),
         )
     )
 
