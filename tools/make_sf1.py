@@ -126,8 +126,24 @@ def make_documents(con, rng) -> None:
         WHERE w <> '' GROUP BY w ORDER BY w
         """
     ).fetchall()
-    words = np.array([v[0] for v in vocab_rows])
-    p = np.array([v[1] for v in vocab_rows], dtype=np.float64)
+    # The base fixture's vocabulary is only ~31 words — dense enough
+    # that EVERY pair of 50k sampled docs would share bigrams, which
+    # turns gram-keyed joins quadratic and (measured) fills the disk
+    # with shuffle spill on the exact-Jaccard harness family. Real
+    # corpora have heavy-tailed vocabularies, so expand each base word
+    # into 20 Zipf-weighted variants (w, w2..w20): ~620 distinct words
+    # keeps common words common while giving documents enough rare
+    # surface that cross-doc overlap is realistic, not total.
+    words_l: list[str] = []
+    p_l: list[float] = []
+    zipf = [1.0 / (k + 1) for k in range(20)]
+    zs = sum(zipf)
+    for w, c in vocab_rows:
+        for k in range(20):
+            words_l.append(w if k == 0 else f"{w}{k + 1}")
+            p_l.append(c * zipf[k] / zs)
+    words = np.array(words_l)
+    p = np.array(p_l, dtype=np.float64)
     p /= p.sum()
     lengths = np.array([len(t[1].split()) for t in base])
     doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
