@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import register
+from .registry import dsum, register, sql_dsum
 
 _DEC = "decimal(28,6)"
 _COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -185,7 +185,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the deliverable and must be engine-portable. NTILE(4) over
     # (value, unique key) is deterministic; per-bin summary pins the
     # boundaries and populations.
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
       SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
              NTILE(4) OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
@@ -196,7 +196,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            MIN(price) AS lo,
            MAX(price) AS hi,
-           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {sql_dsum('price')} AS total
     FROM ranked GROUP BY bin
     """,
     doc="Quantile feature binning (quartiles over order totalprice): "
@@ -231,7 +231,7 @@ def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
-        F.sum(F.col("price").cast("decimal(18,6)")).cast("double").alias("total"),
+        dsum(F.col("price")).alias("total"),
     )
 
 

@@ -113,6 +113,9 @@ _GRADE_FIRST = [
     "q1_pricing_summary",  # dsum/davg micros form (sf1 drift fix)
     "q11_important_parts",  # same + the DECIMAL(30,6) widen
     "q_winsorize",  # order-statistic bounds (sf1 percentile-ulp fix)
+    "q_subquery_scalar",  # micros-form mean (latent >2^33 site migrated)
+    "q17_small_qty_revenue",  # same, lineitem revenue sum
+    "q_quantile_bin",  # same, per-bin price totals
     # ---- round-12 stale-rotation tail: the 59 names whose latest
     # driver grade is r1-r2 (CORRECTNESS_r*.json union). With the
     # changed block above, ~46 of them fit the 50-name window this

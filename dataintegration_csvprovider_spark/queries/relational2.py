@@ -11,28 +11,26 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.sessions import session_stats
-from .registry import dsum, register, sql_dsum
+from .registry import davg, dsum, register, sql_davg, sql_dsum
 
 
 @register(
     "q_subquery_scalar",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice > (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      SELECT {sql_davg('o_totalprice')}
       FROM orders)
     """,
-    doc="Scalar subquery: orders above the mean price (exact-decimal mean "
-        "so both engines compare against identical bits).",
+    doc="Scalar subquery: orders above the mean price (micros-form mean "
+        "— see dsum — so both engines compare against identical bits at "
+        "ANY scale factor, the order-count sum crossing 2^33 included).",
     tags=("subquery",),
 )
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    thr = orders.agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
-         / F.count(F.lit(1))).alias("thr")
-    )
+    thr = orders.agg(davg(F.col("o_totalprice")).alias("thr"))
     return (
         orders.crossJoin(F.broadcast(thr))
         .filter(F.col("o_totalprice") > F.col("thr"))

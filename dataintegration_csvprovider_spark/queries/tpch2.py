@@ -520,12 +520,12 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_qty_revenue",
-    oracle="""
+    oracle=f"""
     WITH part_avg AS (
       SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT {sql_dsum('l.l_extendedprice')}
            / 7.0 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -550,8 +550,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part_avg, li.l_partkey == part_avg.avg_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
-            .alias("avg_yearly")
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
         )
     )
 

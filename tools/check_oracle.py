@@ -119,6 +119,15 @@ def main() -> int:
         spark = get_spark(app_name="check_oracle")
 
     con = duckdb.connect()
+    # Cap the oracle's spill so a quadratic replay at a large SF skips
+    # cleanly instead of exhausting the machine's disk (round 12:
+    # q_hybrid_retrieval_eval's sf1 replay filled local temp). The cap
+    # only bounds DuckDB's own temp usage — a resource-capped oracle
+    # reports SKIP(resource), never a value verdict.
+    try:
+        con.execute("SET max_temp_directory_size = '40GiB'")
+    except duckdb.Error:
+        pass  # older DuckDB without the setting
     for t in TABLES:
         p = Path(args.sf_dir) / f"{t}.parquet"
         if p.exists():
@@ -251,6 +260,20 @@ def main() -> int:
                 print(f"SKIP  {name}: budget exceeded during oracle "
                       f"[spark={t_spark:.1f}s of "
                       f"{time.time()-t0:.1f}s total]")
+                n_skip += 1
+                continue
+            msg = str(e)
+            if (
+                "No space left" in msg
+                or "max_temp_directory_size" in msg
+                or "Out of Memory" in msg
+                or "OutOfMemory" in msg
+            ):
+                # resource exhaustion in the ORACLE phase is a harness
+                # limit, not an engine-correctness verdict — same class
+                # as a budget skip
+                print(f"SKIP  {name}: oracle resource limit "
+                      f"[{type(e).__name__}: {msg[:120]}]")
                 n_skip += 1
                 continue
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
