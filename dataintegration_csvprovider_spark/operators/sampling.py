@@ -374,18 +374,26 @@ def prototype_prune(
         ),
         bucket_col,
     )
+    # dist2 accumulates as exact FLOOR-scaled picounits: each squared
+    # term is a bit-identical IEEE double on both engines (float32
+    # coordinate minus the bit-probed-identical round-9 centroid), and
+    # FLOOR(term * 1e12) is midpoint-FREE — unlike a decimal(_,12) cast,
+    # which rounds and can land exactly on a tie where Spark goes
+    # half-up and DuckDB half-even (measured on the round-12 sf1
+    # fixture: per-term ties drifted dist2 by 1e-12s, and one value sat
+    # close enough to a 0.5e-9 boundary that even ROUND(x, 9) reported
+    # a different last digit). Integer sums are order-independent and
+    # engine-exact; the scaled total is <= 64e12, far inside bigint and
+    # exact in the final int->double conversion.
     dist2 = F.aggregate(
         F.zip_with(
             F.col(vec_col),
             F.col("__centroid"),
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
-        F.lit(0).cast(dec),
-        # re-cast each step: decimal + decimal widens to (29,12), which
-        # would break the accumulator type; values are tiny so the cast
-        # back is lossless and the sum stays order-independent
-        lambda acc, v: (acc + v.cast(dec)).cast(dec),
-    ).cast("double")
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.floor(v * F.lit(1e12)).cast("long"),
+    ).cast("double") / F.lit(1e12)
     w = W.partitionBy(bucket_col).orderBy(
         F.col("__dist2").desc(), F.col(id_col).asc()
     )

@@ -4169,8 +4169,8 @@ def q_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
     ), per_doc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
-                  / COUNT(*) AS DOUBLE) AS mean_p
+             round(CAST(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE), 9) AS mean_p
       FROM scored GROUP BY doc_id
     )
     SELECT d.doc_id,

@@ -492,10 +492,11 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v, range(64) t(i) GROUP BY bucket, i
     ), dist AS (
       SELECT v.vec_id, v.bucket, MIN(cent.n_bucket) AS n_bucket,
-             CAST(SUM(CAST(
-               (CAST(e[cent.i + 1] AS DOUBLE) - cent.c)
-               * (CAST(e[cent.i + 1] AS DOUBLE) - cent.c)
-               AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+             CAST(CAST(SUM(CAST(FLOOR(
+               ((CAST(e[cent.i + 1] AS DOUBLE) - cent.c)
+                * (CAST(e[cent.i + 1] AS DOUBLE) - cent.c))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 1000000000000.0 AS dist2
       FROM v JOIN cent ON cent.bucket = v.bucket
       GROUP BY v.vec_id, v.bucket
     )

@@ -116,6 +116,8 @@ _GRADE_FIRST = [
     "q_subquery_scalar",  # micros-form mean (latent >2^33 site migrated)
     "q17_small_qty_revenue",  # same, lineitem revenue sum
     "q_quantile_bin",  # same, per-bin price totals
+    "q_lm_quality_score",  # mean_p at 9 decimals (sf1 dyadic-midpoint fix)
+    "q_prototype_prune",  # floor-scaled picounit dist2 (same class)
     # ---- round-12 stale-rotation tail: the 59 names whose latest
     # driver grade is r1-r2 (CORRECTNESS_r*.json union). With the
     # changed block above, ~46 of them fit the 50-name window this

@@ -619,9 +619,11 @@ def test_bigram_lm_score_cross_corpus_smoothing(spark):
         for r in bigram_lm_score(score, train_df=train, alpha=0.5).collect()
     }
     # train: c2(a,b)=2 c2(b,a)=2 c2(a,c)=1; c1(a)=3 c1(b)=2; V=|{b,a,c}|=3
-    assert abs(out[10]["mean_p"] - (2 + 0.5) / (3 + 1.5)) < 1e-12
+    # (mean_p reports at 9 decimals — the round-12 midpoint-free
+    # convention — so the tolerance is the rounding quantum, not 1e-12)
+    assert abs(out[10]["mean_p"] - (2 + 0.5) / (3 + 1.5)) < 1e-9
     # fully unseen first word: p = alpha / (alpha * V) = 1/V
-    assert abs(out[11]["mean_p"] - 1 / 3) < 1e-12
+    assert abs(out[11]["mean_p"] - 1 / 3) < 1e-9
     with pytest.raises(ValueError):
         bigram_lm_score(score, alpha=0.0)
 
