@@ -47,9 +47,10 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:
-        aggs.append(
-            F.sum(F.col(value_col).cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total")
-        )
+        # r13 decimal-sum migration: per-session totals are data-scaled
+        # (session row counts grow with event density), so the sum
+        # rides the exact micro-unit form (see queries/registry.dsum)
+        from ..queries.registry import dsum
+
+        aggs.append(dsum(F.col(value_col)).alias("total"))
     return sess.groupBy(key_col, "session_id").agg(*aggs)

@@ -514,11 +514,24 @@ def dsum(col: Column) -> Column:
     BigDecimal.doubleValue() rounds once), which diverges by 1 ulp as
     soon as |sum| is large enough that a double ulp exceeds the 1e-6
     quantum (|sum| > 2^33) — surfaced by the round-12 local sf1 fixture
-    on TPC-H Q1's sum_charge. Domain: |sum| < 2^63/10^6 ~ 9.2e12
-    micro-exact (sf1 revenue sums are ~3e10 — 300x headroom; overflow
-    is loud, not silently wrong: Spark nulls / DuckDB errors, either
-    way the gate goes red)."""
-    micros = F.sum((col.cast(DEC) * F.lit(1_000_000)).cast("long"))
+    on TPC-H Q1's sum_charge.
+
+    Round 13 (r12 ADVICE): the micro-unit SUM rides DECIMAL(38,0) on
+    the Spark side and HUGEINT on the DuckDB side, because Spark's
+    non-ANSI SUM over LongType silently WRAPS past 2^63 (it does not
+    null — the pre-r13 docstring was wrong), which would hand a
+    Spark-only consumer silently wrong values past |sum| ~ 9.2e12.
+    With 128-bit accumulators the sum stays EXACT to |sum| ~ 1e32
+    (decimal(38,0) / hugeint capacity over 1e6 micros), and past that
+    overflow is loud in BOTH engines (Spark nulls the decimal sum,
+    DuckDB errors). The final int->double conversion is correctly
+    rounded in both (BigDecimal.doubleValue vs hugeint cast — probed
+    bit-equal on >2^63 integers), so in-range results are bit-identical
+    to the r12 long-sum form. Per-row domain is bounded by the
+    DECIMAL(18,6) input cast itself (|value| < 1e12, nulls loudly)."""
+    micros = F.sum(
+        (col.cast(DEC) * F.lit(1_000_000)).cast("long").cast("decimal(38,0)")
+    )
     return (micros.cast("double") / F.lit(1_000_000.0)).cast("double")
 
 
@@ -526,8 +539,10 @@ def davg(col: Column) -> Column:
     """Order-independent mean: exact micro-unit integer sum, then
     int->double, /1e6, /count — the identical IEEE op sequence in both
     engines (see :func:`dsum` for why decimal->double casts can't
-    appear anywhere on this path)."""
-    micros = F.sum((col.cast(DEC) * F.lit(1_000_000)).cast("long"))
+    appear anywhere on this path, and why the accumulator is 128-bit)."""
+    micros = F.sum(
+        (col.cast(DEC) * F.lit(1_000_000)).cast("long").cast("decimal(38,0)")
+    )
     return (
         micros.cast("double") / F.lit(1_000_000.0) / F.count(col)
     ).cast("double")
@@ -535,16 +550,19 @@ def davg(col: Column) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """DuckDB oracle twin of :func:`dsum` — same op sequence, same
-    roundings: per-row DECIMAL(18,6) quantize, exact BIGINT micro-unit
-    sum (DuckDB widens integer SUM to HUGEINT, so the outer BIGINT cast
-    keeps the int->double conversion identical), one division."""
+    roundings: per-row DECIMAL(18,6) quantize, exact micro-unit sum on
+    a 128-bit accumulator (DuckDB widens integer SUM to HUGEINT; the
+    explicit HUGEINT cast — r13, was BIGINT — keeps the exact domain
+    and the loud-overflow behavior aligned with dsum's decimal(38,0)
+    accumulator; hugeint->double and BigDecimal.doubleValue are both
+    correctly rounded, probed bit-equal), one division."""
     micros = (
         # the DECIMAL(30,6) widen matters: DuckDB's decimal multiply
         # keeps the input width, so DECIMAL(18,6) * 1000000 overflows
         # on per-row values >= 1e6 (surfaced by q11's price*qty at the
         # r12 gate); Spark widens automatically
         f"CAST(SUM(CAST(CAST(CAST({expr} AS DECIMAL(18,6)) "
-        f"AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+        f"AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS HUGEINT)"
     )
     return f"(CAST({micros} AS DOUBLE) / 1000000.0)"
 
@@ -557,9 +575,94 @@ def sql_davg(expr: str) -> str:
         # on per-row values >= 1e6 (surfaced by q11's price*qty at the
         # r12 gate); Spark widens automatically
         f"CAST(SUM(CAST(CAST(CAST({expr} AS DECIMAL(18,6)) "
-        f"AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+        f"AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS HUGEINT)"
     )
     return (
         f"CAST(CAST({micros} AS DOUBLE) / 1000000.0 "
         f"/ COUNT({expr}) AS DOUBLE)"
     )
+
+
+DEC12 = "decimal(20,12)"
+
+
+def dsum12(col: Column) -> Column:
+    """12-dp-quantum sibling of :func:`dsum` for SUB-UNIT magnitudes
+    (probabilities, log-ratios, cosine scores, per-token weights):
+    each value is quantized to an exact DECIMAL(20,12) (1e-12 quantum),
+    scaled to exact BIGINT pico-units, summed on a 128-bit
+    DECIMAL(38,0) accumulator, then converted through ONE int->double
+    conversion and ONE IEEE division — identical in both engines.
+
+    Why it exists (round 13, r12 verdict item 1): the old inline form
+    ``CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)`` hits the
+    decimal->double double-rounding divergence as soon as a double ulp
+    exceeds the 1e-12 quantum — |sum| > ~2^12 (4096), which data-scaled
+    score sums cross near sf1. Domain: per-row |value| < 9.2e6
+    (pico-units must fit the per-row BIGINT; score-like inputs are
+    O(1)), total |sum| exact to ~1e26."""
+    picos = F.sum(
+        (col.cast(DEC12) * F.lit(1_000_000_000_000)).cast("long")
+        .cast("decimal(38,0)")
+    )
+    return (
+        picos.cast("double") / F.lit(1_000_000_000_000.0)
+    ).cast("double")
+
+
+def sql_dsum12(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum12` — same op sequence, same
+    roundings (see :func:`sql_dsum` for the widen + HUGEINT notes;
+    DECIMAL(32,12) widen keeps the *1e12 product in range for per-row
+    values up to ~1e6)."""
+    picos = (
+        f"CAST(SUM(CAST(CAST(CAST({expr} AS DECIMAL(20,12)) "
+        f"AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT)"
+    )
+    return f"(CAST({picos} AS DOUBLE) / 1000000000000.0)"
+
+
+def sql_dsum_shared(expr: str) -> str:
+    """Dialect-NEUTRAL micros form of :func:`dsum` — the same string
+    runs on Spark SQL and DuckDB with bit-identical results, for
+    queries whose Spark side is ``spark.sql(...)`` text (the SQL-API
+    surface). Spark has no HUGEINT keyword, so the 128-bit accumulator
+    is spelled ``SUM(CAST(... AS DECIMAL(38,0)))`` — both engines sum
+    DECIMAL(38,0) exactly (128-bit), and the final decimal->double
+    conversion of an INTEGER-valued decimal is the same correctly-
+    rounded int->double sql_dsum performs (probed equal to the HUGEINT
+    path). The DECIMAL(30,6) widen before the multiply is required by
+    DuckDB (keeps width) and harmless in Spark (widens automatically);
+    the multiply result is integral (6-dp input * 1e6), so the
+    DECIMAL(38,0) cast is exact."""
+    micros = (
+        f"SUM(CAST(CAST(CAST({expr} AS DECIMAL(18,6)) AS DECIMAL(30,6))"
+        f" * 1000000 AS DECIMAL(38,0)))"
+    )
+    return f"(CAST({micros} AS DOUBLE) / 1000000.0)"
+
+
+def dsum_win(col: Column, w) -> Column:
+    """Windowed :func:`dsum`: the same exact micro-unit pipeline under
+    an analytic frame. The accumulator must be DECIMAL(38,0) (not
+    LONG) for the same wrap-vs-exact reason as dsum, and the micros
+    column is built per-row BEFORE the window so the frame sums exact
+    integers."""
+    micros = (col.cast(DEC) * F.lit(1_000_000)).cast("long").cast(
+        "decimal(38,0)"
+    )
+    return (
+        F.sum(micros).over(w).cast("double") / F.lit(1_000_000.0)
+    ).cast("double")
+
+
+def sql_dsum_over(expr: str, over: str) -> str:
+    """Oracle twin of :func:`dsum_win` — dialect-neutral (DECIMAL(38,0)
+    accumulator; DuckDB window SUM over DECIMAL(38,0) stays 128-bit
+    exact, same as Spark). ``over`` is the literal window clause, e.g.
+    ``"OVER w"`` or ``"OVER (PARTITION BY k ORDER BY t)"``."""
+    micros = (
+        f"SUM(CAST(CAST(CAST({expr} AS DECIMAL(18,6)) AS DECIMAL(30,6))"
+        f" * 1000000 AS DECIMAL(38,0))) {over}"
+    )
+    return f"(CAST({micros} AS DOUBLE) / 1000000.0)"

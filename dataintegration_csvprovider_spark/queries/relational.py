@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import davg, dsum, register, sql_davg, sql_dsum
+from .registry import davg, dsum, dsum_win, register, sql_davg, sql_dsum, sql_dsum_over
 
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (scan -> filter -> agg -> sort).
@@ -424,14 +424,20 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_W = (
+    "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
 @register(
     "q_window_running",
-    oracle="""
+    # r13 decimal-sum migration: a cumulative per-customer frame is a
+    # full-history prefix sum — data-scaled — so it rides the windowed
+    # micros form.
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           {sql_dsum_over("o_totalprice", _RUNNING_W)}
              AS running_spend
     FROM orders
     """,
@@ -448,10 +454,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
+        dsum_win(F.col("o_totalprice"), w).alias("running_spend"),
     )
 
 

@@ -302,9 +302,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {dsum_v} AS total
     FROM sessions GROUP BY user_id, sid
-    """,
+    """.format(dsum_v=sql_dsum("value")),
     doc="Batch sessionization (gaps-and-islands windows) matching the "
         "streaming session_window contract.",
     tags=("window", "session"),
@@ -327,11 +327,11 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           {dsum_v} AS total,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1, 2
-    """,
+    """.format(dsum_v=sql_dsum("value")),
     doc="Event-stream rollup: hourly counts/sums/actives per type (batch "
         "twin of the streaming tumbling agg).",
     tags=("agg", "events"),
@@ -342,7 +342,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        dsum(F.col("value")).alias("total"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
-from .registry import register, dsum, sql_dsum
+from .registry import register, dsum, dsum_win, sql_dsum, sql_dsum_over
 
 
 @register(
@@ -112,18 +112,20 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corr_decimal",
-    oracle="""
+    # r13 decimal-sum migration: all five moment sums are data-scaled
+    # (per-returnflag lineitem sums; syy ~ 1e16 at sf1) — micros form.
+    # price^2 carries 4 exact decimals, qty*price 4, so the 6-dp
+    # quantum is EXACT for every moment; per-row micros peak at
+    # ~2.5e17 < 2^63.
+    oracle=f"""
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(20,6)))
-                  AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
-                  AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)))
-                  AS DOUBLE) AS syy
+             {sql_dsum("l_quantity")} AS sx,
+             {sql_dsum("l_extendedprice")} AS sy,
+             {sql_dsum("l_quantity * l_extendedprice")} AS sxy,
+             {sql_dsum("l_quantity * l_quantity")} AS sxx,
+             {sql_dsum("l_extendedprice * l_extendedprice")} AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            ROUND(CAST((n * sxy - sx * sy)
@@ -147,11 +149,11 @@ def q_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
-        F.sum((x * y).cast("decimal(20,6)")).cast("double").alias("sxy"),
-        F.sum((x * x).cast("decimal(18,6)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(24,4)")).cast("double").alias("syy"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
     )
     n = F.col("n")
     corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -353,11 +355,13 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_trailing_features",
-    oracle="""
+    # r13 decimal-sum migration: the trailing frame's row count scales
+    # with event density (data-scaled at higher tiers), so the frame
+    # sum rides the windowed micros form.
+    oracle=f"""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_1h,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             AS sum_prev_1h
+           {sql_dsum_over("value", "OVER w")} AS sum_prev_1h
     FROM events
     WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
@@ -381,10 +385,7 @@ def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_prev_1h"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_prev_1h"),
+        dsum_win(F.col("value"), w).alias("sum_prev_1h"),
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.frequent import heavy_hitters
-from .registry import register, sql_dsum
+from .registry import davg, dsum, register, sql_davg, sql_dsum
 
 
 @register(
@@ -205,10 +205,7 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t1").cast("bigint").alias("n_first"),
             F.max("t2").cast("bigint").alias("n_second"),
             F.count(F.lit(1)).alias("n_buckets"),
-            (
-                F.lit(0.5)
-                * F.sum(absdiff.cast("decimal(18,6)")).cast("double")
-            ).alias("tvd"),
+            (F.lit(0.5) * dsum(absdiff)).alias("tvd"),
         )
     )
 
@@ -238,9 +235,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.groupBy("l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("sum_qty"),
+                dsum(F.col("l_quantity")).alias("sum_qty"),
             )
             .localCheckpoint(eager=True)
         )
@@ -258,21 +253,23 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # power-of-two count) lands exactly on the cast midpoint where
     # Spark rounds half-up and DuckDB half-even (one 8e-6 divergence
     # surfaced at sf0.1; the registry's documented midpoint class).
-    oracle="""
+    # r13 decimal-sum migration: per-user sums are generator-bounded
+    # today (~66 events/user at every SF), but the micros form removes
+    # the dependence on that generator invariant.
+    oracle=f"""
     WITH masked AS (
       SELECT user_id, event_type,
              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
       FROM events
     ), means AS (
       SELECT user_id,
-             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v)
-               AS user_mean
+             {sql_davg("v")} AS user_mean
       FROM masked GROUP BY user_id
     )
     SELECT m.user_id,
            COUNT(*) AS n,
            COUNT(*) FILTER (m.v IS NULL) AS n_imputed,
-           CAST(SUM(CAST(m.v AS DECIMAL(18,6))) AS DOUBLE)
+           {sql_dsum("m.v")}
              + COUNT(*) FILTER (m.v IS NULL) * MAX(s.user_mean)
              AS total_after_impute
     FROM masked m JOIN means s ON m.user_id = s.user_id
@@ -297,10 +294,7 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     means = masked.groupBy("user_id").agg(
-        (
-            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
-            / F.count("v")
-        ).alias("user_mean")
+        davg(F.col("v")).alias("user_mean")
     )
     return (
         masked.join(means, "user_id")
@@ -309,7 +303,7 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.col("v").isNull()).alias("n_imputed"),
             (
-                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                dsum(F.col("v"))
                 + F.count_if(F.col("v").isNull()) * F.max("user_mean")
             ).alias("total_after_impute"),
         )
@@ -328,13 +322,20 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical double. Computed over DISTINCT values + counts
     # (the window rides |distinct|, not |rows| — the distributed exact
     # percentile shape).
+    # Round 13 (r12 ADVICE, latent): bound selection is NULL-proof —
+    # npg/dv ride only observed values. Without the filter, Spark's
+    # window ORDER BY value sorts NULLs FIRST while DuckDB defaults to
+    # NULLs LAST, shifting cum and the selected k-th value, and gn
+    # would count NULLs the old percentile ignored. Current fixtures
+    # have zero NULL values; this pins the semantics before one does.
     oracle=f"""
     WITH npg AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type),
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
     dv AS (
       SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY event_type, value),
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, value),
     cum AS (
       SELECT event_type, value,
              SUM(c) OVER (PARTITION BY event_type ORDER BY value
@@ -369,8 +370,12 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import dsum
 
     ev = load_table(spark, sf_dir, "events")
-    npg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("gn"))
-    dv = ev.groupBy("event_type", "value").agg(
+    # NULL-proof bound selection (mirrors the oracle CTE filters): the
+    # rank arithmetic must ride observed values only, or cross-engine
+    # NULL sort order shifts the selected k-th value
+    evn = ev.filter(F.col("value").isNotNull())
+    npg = evn.groupBy("event_type").agg(F.count(F.lit(1)).alias("gn"))
+    dv = evn.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
     wc = (
@@ -490,11 +495,11 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_xml_roundtrip",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           {dsum_v} AS sum_value,
            CAST(MIN(event_id) AS BIGINT) AS min_id,
            CAST(MAX(event_id) AS BIGINT) AS max_id
     FROM events WHERE event_id < 2000 GROUP BY event_type
-    """,
+    """.format(dsum_v=sql_dsum("value")),
     doc="XML data-source roundtrip (Spark 4 NATIVE XML, the Databricks "
         "spark-xml donation — no external package): an events slice "
         "written as element-per-row XML (rowTag) and read back with "
@@ -525,8 +530,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("double")
+                dsum(F.col("value"))
                 .alias("sum_value"),
                 F.min("event_id").cast("bigint").alias("min_id"),
                 F.max("event_id").cast("bigint").alias("max_id"),

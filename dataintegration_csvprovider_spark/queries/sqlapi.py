@@ -9,7 +9,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from .registry import register
+from .registry import register, sql_dsum_shared
+
+# r13 decimal-sum migration: every revenue/price sum in this module is
+# data-scaled (global or large-group lineitem/orders sums cross the
+# 2^33 decimal->double double-rounding threshold from sf0.1 up), so all
+# go through the dialect-neutral 128-bit micros form — the SAME string
+# in the Spark SQL text and the DuckDB oracle.
+_REV = sql_dsum_shared("l_extendedprice * l_discount")
+_PROMO_NUM = sql_dsum_shared(
+    "CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+)
+_PROMO_DEN = sql_dsum_shared("l_extendedprice * (1 - l_discount)")
+_TOTPRICE = sql_dsum_shared("o_totalprice")
+_EXTPRICE = sql_dsum_shared("l_extendedprice")
+_DISC_REV = sql_dsum_shared("l_extendedprice * (1.0 - l_discount)")
 
 
 def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
@@ -19,9 +34,8 @@ def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 
 @register(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
+    oracle=f"""
+    SELECT {_REV} AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -33,9 +47,8 @@ def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, "lineitem")
-    return spark.sql("""
-        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                    AS DOUBLE) AS revenue
+    return spark.sql(f"""
+        SELECT {_REV} AS revenue
         FROM lineitem
         WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -44,12 +57,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_effect",
-    oracle="""
-    SELECT CAST(100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-               AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-               AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    oracle=f"""
+    SELECT CAST(100.00 * {_PROMO_NUM}
+             / {_PROMO_DEN} AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
     """,
@@ -59,12 +69,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, "lineitem", "part")
-    return spark.sql("""
-        SELECT CAST(100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                   AS DECIMAL(18,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                   AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    return spark.sql(f"""
+        SELECT CAST(100.00 * {_PROMO_NUM}
+                 / {_PROMO_DEN} AS DOUBLE) AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
     """)
@@ -96,10 +103,9 @@ def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_parameterized_sql",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-             AS total
+           {_TOTPRICE} AS total
     FROM orders
     WHERE o_orderdate >= DATE '1994-01-01' AND o_totalprice > 1000.0
     GROUP BY o_orderpriority
@@ -115,10 +121,9 @@ def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, "orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                 AS total
+               {_TOTPRICE} AS total
         FROM orders
         WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
         GROUP BY o_orderpriority
@@ -129,10 +134,9 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sql_scripting",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
-      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-               AS total,
+      SELECT {_EXTPRICE} AS total,
              COUNT(*) AS n
       FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
     )
@@ -152,13 +156,12 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.scripting.enabled", "true")
     try:
         return spark.sql(
-            """
+            f"""
             BEGIN
               DECLARE total DOUBLE;
               DECLARE n BIGINT;
               SET (total, n) = (
-                SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                            AS DOUBLE),
+                SELECT {_EXTPRICE},
                        COUNT(*)
                 FROM lineitem WHERE l_shipdate < DATE '1995-01-01');
               SELECT total, n, CAST(total / n AS DOUBLE) AS avg_price;
@@ -174,13 +177,12 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sql_udf",
-    oracle="""
+    oracle=f"""
     SELECT CASE WHEN l_extendedprice < 10000.0 THEN 'low'
                 WHEN l_extendedprice < 40000.0 THEN 'mid'
                 ELSE 'high' END AS band,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           {_DISC_REV} AS revenue
     FROM lineitem
     GROUP BY 1
     """,
@@ -212,11 +214,11 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(
-        """
+        f"""
         SELECT price_band(l_extendedprice) AS band,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               {sql_dsum_shared("disc_price(l_extendedprice, l_discount)")}
+                 AS revenue
         FROM lineitem
         GROUP BY price_band(l_extendedprice)
         """
