@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.cdc import apply_changeset, scd2
-from .registry import register
+from .registry import register, sql_dsum
 
 
 def _feed(orders: DataFrame) -> DataFrame:
@@ -136,11 +136,10 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-             AS total_spend
+           {dsum_p} AS total_spend
     FROM orders
     GROUP BY o_custkey
-    """,
+    """.format(dsum_p=sql_dsum("o_totalprice")),
     doc="Incremental aggregate maintenance: a per-customer rollup built "
         "from a pre-cutoff base aggregate merged with a post-cutoff "
         "delta aggregate (full-outer join on the key, partial sums kept "
@@ -158,11 +157,18 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2000-01-01").cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
-        # keep the sum in decimal — double rounding must happen ONCE,
-        # after the merge, or base+delta drifts from a full recompute
+        # r13: partials are exact integer MICRO-UNITS on a 128-bit
+        # accumulator — mergeable by plain addition; the single
+        # int->double conversion happens ONCE, after the merge, so
+        # base+delta equals a full dsum() recompute bit-for-bit
+        micros = (
+            (F.col("o_totalprice").cast("decimal(18,6)") * F.lit(1_000_000))
+            .cast("long")
+            .cast("decimal(38,0)")
+        )
         return df.groupBy("o_custkey").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+            F.sum(micros).alias("s"),
         )
 
     base = partial(orders.filter(F.col("o_orderdate") < cutoff)).select(
@@ -171,7 +177,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = partial(orders.filter(F.col("o_orderdate") >= cutoff)).select(
         F.col("o_custkey"), F.col("n").alias("n_delta"), F.col("s").alias("s_delta")
     )
-    zero = F.lit(0).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(38,0)")
     return (
         base.join(delta, "o_custkey", "full_outer")
         .select(
@@ -181,8 +187,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.coalesce(F.col("n_delta"), F.lit(0))
             ).cast("bigint").alias("n_orders"),
             (
-                F.coalesce(F.col("s_base"), zero)
-                + F.coalesce(F.col("s_delta"), zero)
+                (
+                    F.coalesce(F.col("s_base"), zero)
+                    + F.coalesce(F.col("s_delta"), zero)
+                ).cast("double")
+                / F.lit(1_000_000.0)
             ).cast("double").alias("total_spend"),
         )
     )

@@ -147,13 +147,13 @@ def q_csv_decimal_comma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_csv_dialects",
     oracle="""
     SELECT 'tab' AS dialect, COUNT(*) AS n,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {d} AS total
     FROM supplier
     UNION ALL
     SELECT 'comma', COUNT(*),
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           {d}
     FROM supplier
-    """,
+    """.format(d=sql_dsum("s_acctbal")),
     doc="S1 dialect coverage: the same table round-tripped through "
         "tab-delimited/'-quoted and comma-delimited variants must agree.",
     tags=("csv", "dialect"),
@@ -182,9 +182,7 @@ def q_csv_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
                 back.agg(
                     F.lit(dialect).alias("dialect"),
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
-                    .cast("double")
-                    .alias("total"),
+                    dsum(F.col("s_acctbal")).alias("total"),
                 ).localCheckpoint(eager=True)
             )
         finally:
@@ -215,11 +213,11 @@ def q_csv_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_source_logs",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           {d} AS total,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
     FROM events WHERE user_id < 50
     GROUP BY event_type
-    """,
+    """.format(d=sql_dsum("value")),
     doc="Unstructured-text ETL: events rendered as pipe-delimited log "
         "lines, written through the text sink, re-read with "
         "spark.read.text and parsed back with one regexp_extract per "
@@ -258,9 +256,7 @@ def q_text_source_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
             parsed.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("val").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("total"),
+                dsum(F.col("val")).alias("total"),
                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
                     "last_seen"
                 ),
@@ -277,10 +273,10 @@ def q_text_source_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
                       ELSE lower(c_mktsegment) END) AS segment,
            COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+           {d} AS total_bal
     FROM customer
     GROUP BY 1
-    """,
+    """.format(d=sql_dsum("c_acctbal")),
     doc="Case-insensitive grouping via Spark 4 collations: a mixed-case "
         "segment column (case varies by customer-key parity) grouped "
         "under UTF8_LCASE merges the variants *in the grouping "
@@ -299,9 +295,7 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.collate(F.col("seg_mixed"), "UTF8_LCASE").alias("seg"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_bal"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
         )
         .select(
             F.lower(F.col("seg")).cast("string").alias("segment"),
@@ -318,12 +312,11 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(i) AS BIGINT) AS min_id,
            CAST(MAX(i) AS BIGINT) AS max_id,
-           CAST(SUM(CAST(((i * 31) % 997) / 997.0 AS DECIMAL(18,6)))
-                AS DOUBLE) AS total_x
+           {d} AS total_x
     FROM (SELECT unnest(generate_series(0, 19999)) AS i),
          LATERAL (SELECT i % 7 AS bucket)
     GROUP BY bucket
-    """,
+    """.format(d=sql_dsum("((i * 31) % 997) / 997.0")),
     doc="Custom Python DataSource (Spark 4 datasource API, "
         "sources/pyds.py): a from-scratch format with declared schema "
         "and 8 planned input partitions, each generating its slice "
@@ -347,7 +340,7 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("id").cast("bigint").alias("min_id"),
         F.max("id").cast("bigint").alias("max_id"),
-        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("total_x"),
+        dsum(F.col("x")).alias("total_x"),
     )
 
 

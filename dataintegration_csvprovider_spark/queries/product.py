@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import register
+from .registry import dsum, dsum12, register, sql_dsum, sql_dsum12
 
 
 @register(
@@ -181,11 +181,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
-             AS attributed_revenue
+           {d} AS attributed_revenue
     FROM touches WHERE rn = 1
     GROUP BY channel
-    """,
+    """.format(d=sql_dsum("revenue")),
     doc="Last-touch attribution: each purchase credits its revenue to "
         "the user's most recent view/click in the prior 24h (ties on "
         "event_id). A bounded interval join on the user key feeds one "
@@ -229,9 +228,7 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return last.groupBy("channel").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-        F.sum(F.col("revenue").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("attributed_revenue"),
+        dsum(F.col("revenue")).alias("attributed_revenue"),
     )
 
 
@@ -264,10 +261,10 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT channel,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
            CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
-           round(CAST(SUM(CAST(credit AS DECIMAL(28,12))) AS DOUBLE), 6)
+           round({d}, 6)
              AS attributed_revenue
     FROM credited GROUP BY channel
-    """,
+    """.format(d=sql_dsum12("credit")),
     doc="Position-based (U-shaped 40/20/40) multi-touch attribution — "
         "the standard middle ground between last-touch (q_last_touch_"
         "attribution) and linear credit: within each purchase's 24h "
@@ -326,7 +323,5 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return credited.groupBy("channel").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.count_distinct("purchase_id").cast("bigint").alias("n_purchases"),
-        F.round(
-            F.sum(F.col("credit").cast("decimal(28,12)")).cast("double"), 6
-        ).alias("attributed_revenue"),
+        F.round(dsum12(F.col("credit")), 6).alias("attributed_revenue"),
     )

@@ -22,7 +22,13 @@ from ..streaming.events import (
     stream_from_parquet,
     tumbling_agg,
 )
-from .registry import register
+from .registry import dsum, register, sql_dsum
+
+# r13 decimal-sum migration: per-window/per-session/per-segment event
+# value sums are data-scaled (rows per window grow with event density),
+# so every streaming total rides the exact micros form.
+_DSUM_VALUE = sql_dsum("value")
+_DSUM_EVALUE = sql_dsum("e.value")
 from .textmining import _BM25_ORACLE_CORE
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -60,7 +66,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS win_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {_DSUM_VALUE} AS total
     FROM events
     GROUP BY 1, 2
     """,
@@ -94,7 +100,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS win_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {_DSUM_VALUE} AS total
     FROM events, wm
     WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w
     GROUP BY 1, 2
@@ -166,7 +172,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(ts), '{_TS_FMT_DUCK}.%f') AS session_start,
            strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}.%f') AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {_DSUM_VALUE} AS total
     FROM sessions, wm
     GROUP BY user_id, sid, wm.w
     HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
@@ -245,7 +251,7 @@ def q_stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(ts), '{_TS_FMT_DUCK}.%f') AS session_start,
            strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}.%f') AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {_DSUM_VALUE} AS total
     FROM sessions
     GROUP BY user_id, sid
     """,
@@ -314,9 +320,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("exact_total")
+            dsum(F.col("value")).alias("exact_total")
         )
     )
     tol = F.greatest(F.abs(F.col("exact_total")), F.lit(1.0)) * 1e-6
@@ -376,9 +380,9 @@ def q_stream_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_static_join",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           {_DSUM_EVALUE} AS total
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -396,7 +400,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = events.join(cust, events.user_id == cust.c_custkey)
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        dsum(F.col("value")).alias("total"),
     )
     return run_to_completion(agg, output_mode="complete")
 
@@ -617,6 +621,7 @@ def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(i % 7 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
+           -- bounded-sum: fixed 100-row synthetic stream, |sum| < 100
            CAST(SUM(CAST(((i * 31) % 997) / 997.0 AS DECIMAL(18,6)))
                 AS DOUBLE) AS total_x
     FROM (SELECT unnest(generate_series(0, 99)) AS i)
@@ -653,6 +658,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df.groupBy("bucket")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
+                    # bounded-sum: fixed 100-row synthetic stream
                     F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
                 )
                 .write.mode("append")

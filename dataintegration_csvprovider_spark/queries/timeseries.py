@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import dsum, register, sql_dsum
+from .registry import dsum, dsum_win, register, sql_dsum, sql_dsum_over
 
 
 @register(
@@ -95,7 +95,7 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOURLY_SQL = """
     hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+             {dsum_v} AS x
       FROM events WHERE user_id < 10
       GROUP BY user_id, date_trunc('hour', ts)
     ), numbered AS (
@@ -103,7 +103,7 @@ _HOURLY_SQL = """
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket_hour) AS i
       FROM hourly
     )
-"""
+""".format(dsum_v=sql_dsum("value"))
 
 
 @register(
@@ -118,6 +118,11 @@ _HOURLY_SQL = """
     oracle=f"""
     WITH {_HOURLY_SQL}
     SELECT a.user_id, a.bucket_hour, a.x,
+           -- decimal-sum-ok: fixed 24-lag frame of bounded hourly sums
+           -- times exact integer weights; |sum| < 2^23 * 24 * max(x),
+           -- structurally below the 2^33 double-rounding threshold
+           -- relative to its 2^23-scaled quantum (num/denom ratio is
+           -- what is reported)
            CAST(SUM(CAST(b.x AS DECIMAL(19,6))
                     * CAST((CAST(1 AS BIGINT)
                             << CAST(23 - (a.i - b.i) AS INT))
@@ -152,6 +157,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = numbered.alias("a"), numbered.alias("b")
     # exact integer weight 2^(23-lag): SQL-form shiftleft accepts a
     # column shift amount (the Python API requires a literal)
+    # decimal-sum-ok: fixed 24-lag frame, exact integer weights (see
+    # the oracle note)
     num = F.expr(
         "cast(sum(cast(b.x as decimal(19,6)) * "
         "cast(shiftleft(1L, cast(23 - (a.i - b.i) as int)) "
@@ -184,8 +191,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     , stats AS (
       SELECT user_id, bucket_hour, x,
              COUNT(x) OVER w AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
-             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+             {sql_dsum_over("x", "OVER w")} AS s,
+             {sql_dsum_over("x * x", "OVER w")} AS s2
       FROM numbered
       WINDOW w AS (PARTITION BY user_id ORDER BY i
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
@@ -224,11 +231,8 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_hour",
         "x",
         F.count("x").over(w).alias("n"),
-        F.sum(F.col("x").cast("decimal(18,6)")).over(w).cast("double").alias("s"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)"))
-        .over(w)
-        .cast("double")
-        .alias("s2"),
+        dsum_win(F.col("x"), w).alias("s"),
+        dsum_win(F.col("x") * F.col("x"), w).alias("s2"),
     )
     mean = F.col("s") / F.col("n")
     var = F.greatest(
@@ -248,21 +252,19 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
-                           AS DECIMAL(18,6))) AS DOUBLE) AS x,
-             CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
-                           AS DECIMAL(18,6))) AS DOUBLE) AS y
+             {x} AS x,
+             {y} AS y
       FROM events GROUP BY date_trunc('hour', ts)
     ), filled AS (
       SELECT h, COALESCE(x, 0.0) AS x, COALESCE(y, 0.0) AS y FROM hourly
     ), stats AS (
       SELECT h, x, y,
              COUNT(*) OVER w AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy
+             {sx} AS sx,
+             {sy} AS sy,
+             {sxy} AS sxy,
+             {sxx} AS sxx,
+             {syy} AS syy
       FROM filled
       WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     )
@@ -271,7 +273,15 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(greatest(n * sxx - sx * sx, 1e-12))
                 * sqrt(greatest(n * syy - sy * sy, 1e-12))) AS corr_24h
     FROM stats WHERE n >= 24
-    """,
+    """.format(
+        x=sql_dsum("CASE WHEN event_type = 'view' THEN value END"),
+        y=sql_dsum("CASE WHEN event_type = 'click' THEN value END"),
+        sx=sql_dsum_over("x", "OVER w"),
+        sy=sql_dsum_over("y", "OVER w"),
+        sxy=sql_dsum_over("x * y", "OVER w"),
+        sxx=sql_dsum_over("x * x", "OVER w"),
+        syy=sql_dsum_over("y * y", "OVER w"),
+    ),
     doc="Trailing-24h rolling Pearson correlation between the hourly "
         "view-value and click-value series: all five moments come from "
         "decimal-accumulated window sums (order-independent), the "
@@ -293,16 +303,12 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
         .agg(
-            F.sum(
-                F.when(F.col("event_type") == "view", F.col("value")).cast(dec)
-            )
-            .cast("double")
-            .alias("x"),
-            F.sum(
-                F.when(F.col("event_type") == "click", F.col("value")).cast(dec)
-            )
-            .cast("double")
-            .alias("y"),
+            dsum(
+                F.when(F.col("event_type") == "view", F.col("value"))
+            ).alias("x"),
+            dsum(
+                F.when(F.col("event_type") == "click", F.col("value"))
+            ).alias("y"),
         )
         .select(
             "h",
@@ -329,11 +335,11 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "__carry",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(F.col("x").cast(dec)).over(w).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).over(w).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).over(w).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).over(w).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).cast("double").alias("syy"),
+        dsum_win(F.col("x"), w).alias("sx"),
+        dsum_win(F.col("y"), w).alias("sy"),
+        dsum_win(F.col("x") * F.col("y"), w).alias("sxy"),
+        dsum_win(F.col("x") * F.col("x"), w).alias("sxx"),
+        dsum_win(F.col("y") * F.col("y"), w).alias("syy"),
     ).filter(~F.col("__carry"))
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(
@@ -539,6 +545,11 @@ def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
+           -- decimal-sum-ok: documented dyadic-midpoint class — v*2^-k
+           -- terms land EXACTLY on the decimal-cast midpoint, so the
+           -- micros form would carry the same per-row half-up vs
+           -- half-even split; the 6-decimal reporting convention
+           -- absorbs it (registry module docstring)
            ROUND(CAST(SUM(CAST(value * power(0.5, LEAST(age, 60))
                          AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_sum
     FROM w GROUP BY event_type
@@ -567,6 +578,9 @@ def q_time_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("dmax"), F.col("ts").cast("date")).alias("age"),
     )
     dec = "decimal(28,12)"
+    # decimal-sum-ok: documented dyadic-midpoint class (see the oracle
+    # note) — the 6-decimal reporting convention absorbs the per-row
+    # half-up vs half-even cast split the micros form would inherit
     return w.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(

@@ -20,6 +20,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..queries.registry import dsum
 from pyspark.sql import types as T
 
 from ..sources.csv_source import CsvSource
@@ -65,7 +67,7 @@ def tumbling_agg(
         .groupBy(F.window(ts_col, window), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            dsum(F.col("value")).alias("total"),
         )
     )
 
@@ -100,7 +102,7 @@ def session_agg(
         .groupBy(F.session_window(ts_col, gap), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            dsum(F.col("value")).alias("total"),
         )
     )
 
