@@ -29,6 +29,9 @@ from .registry import register
       UNION ALL
       SELECT p.iter + 1, e.dst,
              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 50
+             -- decimal-sum-ok: rank conservation bounds every per-node
+             -- in-sum by the total rank mass (~1); |sum| can never
+             -- approach the 2^33 double-rounding threshold
              + CAST(0.85 AS DOUBLE)
                * CAST(SUM(CAST(p.rank / od.deg AS DECIMAL(18,9))) AS DOUBLE)
       FROM pr p
@@ -226,6 +229,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN e.dst IN (0, 1, 2)
                   THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 3
                   ELSE CAST(0 AS DOUBLE) END
+             -- decimal-sum-ok: rank conservation (see q_pagerank note)
              + CAST(0.85 AS DOUBLE)
                * CAST(SUM(CAST(p.rank / od.deg AS DECIMAL(18,9))) AS DOUBLE)
       FROM pr p

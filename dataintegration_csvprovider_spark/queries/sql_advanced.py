@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.skyline import skyline
-from .registry import dsum, register, sql_dsum
+from .registry import dsum, register, sql_dsum, sql_dsum_shared
 
 
 def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
@@ -57,14 +57,14 @@ def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 )
 def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, "orders")
-    return spark.sql("""
+    return spark.sql(f"""
         WITH RECURSIVE spine(d) AS (
           SELECT DATE '1995-03-01'
           UNION ALL
           SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-04-30'
         )
         SELECT s.d AS day, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               {sql_dsum_shared("o.o_totalprice")}
                  AS day_revenue
         FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.d
         GROUP BY s.d
@@ -226,6 +226,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(orders, minimize=["o_totalprice"], maximize=["o_orderdate"])
 
 
+_SUM_QTY = sql_dsum("l_quantity")
+
+
 @register(
     "q_orc_pushdown",
     # round 11: the q_orc_roundtrip companion (relational7.py covers
@@ -240,8 +243,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
-             AS sum_qty,
+           {_SUM_QTY} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_price,
            CAST(MIN(l_shipdate) AS VARCHAR) AS min_ship,
            CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship,
@@ -272,9 +274,7 @@ def q_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered = back.filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
         agg = filtered.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(28,12)"))
-            .cast("double")
-            .alias("sum_qty"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_price"),
             F.min("l_shipdate").cast("string").alias("min_ship"),
             F.max("l_shipdate").cast("string").alias("max_ship"),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import register
+from .registry import dsum12, register, sql_dsum12
 
 
 def _doc_terms(docs: DataFrame) -> DataFrame:
@@ -493,9 +493,7 @@ def _bm25_scores_docs(docs: DataFrame) -> DataFrame:
         "doc_id", (odds * tfpart).alias("s")
     )
     return per_term.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
-        ).alias("score")
+        F.round(dsum12(F.col("s")), 9).alias("score")
     )
 
 
@@ -527,7 +525,7 @@ _BM25_ORACLE_CORE = """
       FROM tf JOIN dft USING (term) CROSS JOIN N n),
     bm AS (
       SELECT doc_id,
-             round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 9)
+             round((CAST(CAST(SUM(CAST(CAST(CAST(s AS DECIMAL(20,12)) AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000000000.0), 9)
                AS score
       FROM per GROUP BY doc_id)
 """
@@ -573,10 +571,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bm),
     dens AS (
       SELECT doc_id,
-             round(CAST(SUM(CAST(CASE WHEN term IN ('spark', 'hash',
-                                                    'vector')
-                                      THEN 1.0 ELSE 0.0 END
-                                 AS DECIMAL(28,12))) AS DOUBLE)
+             round((CAST(CAST(SUM(CAST(CAST(CAST(CASE WHEN term IN ('spark', 'hash', 'vector') THEN 1.0 ELSE 0.0 END AS DECIMAL(20,12)) AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000000000.0)
                    / CAST(MIN(dl) AS DOUBLE), 12) AS dens
       FROM t0 GROUP BY doc_id),
     rb AS (
@@ -631,11 +626,10 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(
+                dsum12(
                     F.when(F.col("term").isin(*_BM25_QUERY), F.lit(1.0))
                     .otherwise(F.lit(0.0))
-                    .cast("decimal(28,12)")
-                ).cast("double")
+                )
                 / F.min("dl").cast("double"),
                 12,
             ).alias("dens")
@@ -762,7 +756,7 @@ _BM25_BATCH = (
       CROSS JOIN N n),
     bm AS (
       SELECT qid, doc_id,
-             round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 9)
+             round((CAST(CAST(SUM(CAST(CAST(CAST(s AS DECIMAL(20,12)) AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000000000.0), 9)
                AS score
       FROM per GROUP BY qid, doc_id),
     ranked AS (
@@ -824,9 +818,7 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", (odds * tfpart).alias("s"))
     )
     bm = per.groupBy("qid", "doc_id").agg(
-        F.round(
-            F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
-        ).alias("score")
+        F.round(dsum12(F.col("s")), 9).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
