@@ -70,26 +70,27 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.col("x").cast("double").alias("x"),
         F.posexplode("vv").alias("j", "y"),
     ).filter(F.col("j") >= F.col("i"))
+    # r13 decimal-sum migration: component sums are data-scaled, so
+    # they ride the pico-unit 128-bit form (same 12-dp per-row
+    # quantization as the old DECIMAL(28,12) accumulator); the /n
+    # divisions stay in double (IEEE-exact both engines)
+    from ..queries.registry import dsum12
+
     sums = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast(_DEC)).alias("sx"),
-        F.sum(F.col("y").cast("double").cast(_DEC)).alias("sy"),
-        F.sum(
-            (F.col("x") * F.col("y").cast("double")).cast(_DEC)
-        ).alias("sxy"),
+        dsum12(F.col("x")).alias("sx"),
+        dsum12(F.col("y").cast("double")).alias("sy"),
+        dsum12(F.col("x") * F.col("y").cast("double")).alias("sxy"),
     )
-    # cov = E[xy] - E[x]E[y]; decimal sums cast to double BEFORE the /n
-    # division (the registry's sql_davg convention — decimal-division
-    # scale rules differ between engines, double division is IEEE-exact)
-    mx = F.col("sx").cast("double") / F.col("n")
-    my = F.col("sy").cast("double") / F.col("n")
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
     return sums.select(
         F.col("i").cast("int").alias("i"),
         F.col("j").cast("int").alias("j"),
         F.col("n").cast("bigint").alias("n"),
         mx.alias("mean_i"),
         my.alias("mean_j"),
-        (F.col("sxy").cast("double") / F.col("n") - mx * my).alias("cov"),
+        (F.col("sxy") / F.col("n") - mx * my).alias("cov"),
     )
 
 

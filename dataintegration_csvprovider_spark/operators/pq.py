@@ -157,8 +157,13 @@ def train_pq_codebooks(
             assigned.select("j", "code", F.posexplode("subvec").alias("dim", "x"))
             .groupBy("j", "code", "dim")
             .agg(
+                # r13: data-scaled component mean — 128-bit micros sum
+                # (same 6-dp per-row quantization), one int->double
                 (
-                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    F.sum(
+                        (F.col("x").cast("decimal(18,6)") * F.lit(1_000_000))
+                        .cast("long").cast("decimal(38,0)")
+                    ).cast("double") / F.lit(1_000_000.0)
                     / F.count(F.lit(1))
                 ).alias("c")
             )

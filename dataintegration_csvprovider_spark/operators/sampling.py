@@ -352,13 +352,16 @@ def prototype_prune(
         raise ValueError(f"embedding lengths not unique: {[r['d'] for r in d]}")
     d = d[0]["d"]
 
-    dec = "decimal(28,12)"
+    # r13 decimal-sum migration: per-bucket component sums are
+    # data-scaled — pico-unit 128-bit form (same 12-dp per-row
+    # quantization as the old DECIMAL(28,12) accumulator)
+    from ..queries.registry import dsum12
+
     cent = df.groupBy(bucket_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.round(
-                F.sum(F.col(vec_col)[i].cast("double").cast(dec))
-                .cast("double")
+                dsum12(F.col(vec_col)[i].cast("double"))
                 / F.count(F.lit(1)),
                 9,
             ).alias(f"__c{i}")

@@ -588,8 +588,13 @@ def trained_ivf_centroids(
         joined.select("cluster", F.posexplode("v").alias("dim", "x"))
         .groupBy("cluster", "dim")
         .agg(
+            # r13: data-scaled component mean — 128-bit micros sum
+            # (same 6-dp per-row quantization), one int->double
             (
-                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                F.sum(
+                    (F.col("x").cast("decimal(18,6)") * F.lit(1_000_000))
+                    .cast("long").cast("decimal(38,0)")
+                ).cast("double") / F.lit(1_000_000.0)
                 / F.count(F.lit(1))
             ).alias("m")
         )

@@ -322,6 +322,7 @@ def bigram_lm_score(
     # round-12 sf1 fixture (V=620) — and there Spark rounds half-up
     # while DuckDB rounds half-even. Rounding the mean at 9 sits three
     # orders above the 1e-12 midpoint noise.
+    # decimal-sum-ok: per-document frame, p <= 1 (see q_lm_quality_score)
     per_doc = scored.groupBy("__id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(
@@ -577,12 +578,12 @@ def dsir_importance(
             ),
         )
     )
+    from ..queries.registry import dsum12
+
     per_doc = scored.groupBy("__id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        (
-            F.sum(F.col("lr").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).cast("double").alias("mean_lr"),
+        (dsum12(F.col("lr")) / F.count(F.lit(1)))
+        .cast("double").alias("mean_lr"),
     )
     ids = df.select(F.col(id_col).alias("__id")).distinct()
     return ids.join(per_doc, "__id", "left").select(

@@ -65,12 +65,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_BIGRAMS} AS grams FROM documents
     ),
     {duck_jaccard_pair_sql("g", "p", 0.5)}
+    -- r13 (r12 verdict item 5): the canonical 3-way self-join blew
+    -- the sf1 oracle budget; this is the SAME degree-oriented wedge
+    -- form the Spark side runs (orient each edge low-degree ->
+    -- high-degree, enumerate wedges at the low end, close against the
+    -- edge set) — identical count, Chiba-Nishizeki-bounded work.
+    , deg AS (
+      SELECT n, COUNT(*) AS deg
+      FROM (SELECT a AS n FROM p UNION ALL SELECT b FROM p) t
+      GROUP BY n
+    ), o AS (
+      SELECT CASE WHEN d1.deg < d2.deg
+                    OR (d1.deg = d2.deg AND p.a < p.b)
+                  THEN p.a ELSE p.b END AS u,
+             CASE WHEN d1.deg < d2.deg
+                    OR (d1.deg = d2.deg AND p.a < p.b)
+                  THEN p.b ELSE p.a END AS v
+      FROM p JOIN deg d1 ON d1.n = p.a JOIN deg d2 ON d2.n = p.b
+    )
     SELECT (SELECT COUNT(*) FROM p) AS n_edges,
            (SELECT COUNT(*) FROM (SELECT a FROM p UNION SELECT b FROM p) t)
              AS n_nodes,
            (SELECT COUNT(*)
-            FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
-                      JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b)
+            FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+            JOIN p ON LEAST(o1.v, o2.v) = p.a
+                  AND GREATEST(o1.v, o2.v) = p.b)
              AS n_triangles
     """,
     doc="Exact triangle count over the near-dup graph (bigram Jaccard "

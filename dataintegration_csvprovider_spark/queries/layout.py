@@ -210,7 +210,7 @@ def _files_scanned(df: DataFrame, col: str, hi) -> tuple[int, int]:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            {sql_dsum('l_extendedprice')} AS total_price,
-           TRUE AS linear_scans_all,
+           TRUE AS zorder_not_worse,
            TRUE AS zorder_skips_half
     FROM lineitem WHERE l_partkey <= (SELECT hi FROM b)
     """,
@@ -283,7 +283,14 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 dsum(F.col("l_extendedprice")).alias("total_price"),
             )
-            .withColumn("linear_scans_all", F.lit(lin_scan == lin_total))
+            # r13 (r12 verdict item 4): the old absolute pin
+            # linear_scans_all flipped on larger fixtures whose
+            # range-sorted baseline happens to cluster partkeys; the
+            # RELATIVE bound (z-order never scans more files than the
+            # linear layout) is the property the layout actually
+            # promises and holds at every tier, while skips-half stays
+            # as the absolute z-order quality floor
+            .withColumn("zorder_not_worse", F.lit(z_scan <= lin_scan))
             .withColumn("zorder_skips_half", F.lit(z_scan <= z_total // 2))
             .localCheckpoint(eager=True)
         )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import dsum, register, sql_dsum
+from .registry import dsum, dsum12, register, sql_dsum, sql_dsum12
 
 _DEC = "decimal(28,6)"
 _COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -36,13 +36,15 @@ _COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       {pairs}
     ) p
     """.format(
+        # r13 decimal-sum migration: lineitem moment sums are
+        # data-scaled (price^2 sums ~1e16 at sf1) — 128-bit micros form
         sums=",\n             ".join(
-            f"CAST(SUM(CAST({a} AS DECIMAL(28,6))) AS DOUBLE) AS s_{a}"
+            f"{sql_dsum(a)} AS s_{a}"
             for a in _COLS
         )
         + ",\n             "
         + ",\n             ".join(
-            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(28,6))) AS DOUBLE) AS s_{a}_{b}"
+            f"{sql_dsum(f'{a} * {b}')} AS s_{a}_{b}"
             for i, a in enumerate(_COLS)
             for b in _COLS[i:]
         ),
@@ -66,16 +68,10 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n")]
     for a in _COLS:
-        aggs.append(
-            F.sum(F.col(a).cast(_DEC)).cast("double").alias(f"s_{a}")
-        )
+        aggs.append(dsum(F.col(a)).alias(f"s_{a}"))
     for i, a in enumerate(_COLS):
         for b in _COLS[i:]:
-            aggs.append(
-                F.sum((F.col(a) * F.col(b)).cast(_DEC))
-                .cast("double")
-                .alias(f"s_{a}_{b}")
-            )
+            aggs.append(dsum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}"))
     m = li.agg(*aggs)
     rows = []
     for i, a in enumerate(_COLS):
@@ -351,19 +347,13 @@ def q_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+           ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*), 9)
              AS mean_i,
-           ROUND(CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+           ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*), 9)
              AS mean_j,
-           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                         * CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-           - (CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
-             * (CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
-                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)), 9)
+           ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) * CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*)
+           - ((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*))
+             * ((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*)), 9)
              AS cov
     FROM v, range(64) t(i), range(64) u(j)
     WHERE j >= i
@@ -485,12 +475,14 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT bucket, CAST(i AS INT) AS i,
-             ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                                 AS DECIMAL(28,12))) AS DOUBLE)
+             ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0)
                    / COUNT(*), 9) AS c,
              COUNT(*) AS n_bucket
       FROM v, range(64) t(i) GROUP BY bucket, i
     ), dist AS (
+      -- decimal-sum-ok: exact-integer picounit sum (FLOOR to BIGINT
+      -- per row, summed losslessly, ONE int->double at the end — the
+      -- r12 floor-scaled form; d-bounded: <= 64 terms per (vec,bucket))
       SELECT v.vec_id, v.bucket, MIN(cent.n_bucket) AS n_bucket,
              CAST(CAST(SUM(CAST(FLOOR(
                ((CAST(e[cent.i + 1] AS DOUBLE) - cent.c)
@@ -782,11 +774,12 @@ def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT label, CAST(i AS INT) AS i,
-             ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                                 AS DECIMAL(28,12))) AS DOUBLE)
+             ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0)
                    / COUNT(*), 9) AS c
       FROM v, range(64) t(i) GROUP BY label, i
     ), dots AS (
+      -- decimal-sum-ok: fixed 64-term frames of unit-scale centroid
+      -- components; |sum| <= 64, far below the 2^12 pico threshold
       SELECT a.label AS label_a, b.label AS label_b,
              CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,12))) AS DOUBLE) AS dot,
              CAST(SUM(CAST(a.c * a.c AS DECIMAL(28,12))) AS DOUBLE) AS na,
@@ -816,10 +809,11 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     xi = emb.select(
         "label", F.posexplode("embedding").alias("i", "x")
     )
+    # r13 decimal-sum migration: per-label component sums are
+    # data-scaled — pico-unit form (same 12-dp per-row quantization)
     cent = xi.groupBy("label", "i").agg(
         F.round(
-            F.sum(F.col("x").cast("double").cast(dec)).cast("double")
-            / F.count(F.lit(1)),
+            dsum12(F.col("x").cast("double")) / F.count(F.lit(1)),
             9,
         ).alias("c")
     )
@@ -840,6 +834,7 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("label_a") < F.col("label_b")),
         )
         .groupBy("label_a", "label_b")
+        # decimal-sum-ok: fixed 64-term frames (see the oracle note)
         .agg(
             F.sum((F.col("ca") * F.col("cb")).cast(dec)).cast("double").alias("dot"),
             F.sum((F.col("ca") * F.col("ca")).cast(dec)).cast("double").alias("na"),
@@ -1069,19 +1064,13 @@ def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+           ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*), 9)
              AS mean_i,
-           ROUND(CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+           ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*), 9)
              AS mean_j,
-           ROUND(CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                         * CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-           - (CAST(SUM(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
-                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
-             * (CAST(SUM(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE)
-                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)), 9)
+           ROUND((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) * CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*)
+           - ((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*))
+             * ((CAST(CAST(SUM(CAST(CAST(CAST(CAST(e[CAST(j AS INT) + 1] AS DOUBLE) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) / COUNT(*)), 9)
              AS cov
     FROM v, range(8) t(i), range(8) u(j)
     WHERE j >= i

@@ -815,9 +815,7 @@ BLOOM_AUDIT_ORACLE = """
                AS n_exact,
              CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
-             CAST(SUM(CASE WHEN is_member
-                           THEN CAST(o_totalprice AS DECIMAL(18,6))
-                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             (CAST(CAST(SUM(CAST(CAST(CAST(CASE WHEN is_member THEN o_totalprice ELSE 0 END AS DECIMAL(18,6)) AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000.0)
                AS member_revenue
       FROM checked
     )
@@ -864,12 +862,10 @@ def bloom_audit_frame(
         F.sum(
             (F.col("is_member") & ~F.col("bloom_pass")).cast("bigint")
         ).cast("bigint").alias("n_false_neg"),
-        F.sum(
-            F.when(
-                F.col("is_member"),
-                F.col("o_totalprice").cast("decimal(18,6)"),
-            ).otherwise(F.lit(0).cast("decimal(18,6)"))
-        ).cast("double").alias("member_revenue"),
+        dsum(
+            F.when(F.col("is_member"), F.col("o_totalprice"))
+            .otherwise(F.lit(0.0))
+        ).alias("member_revenue"),
     )
     return agg.select(
         "n_fact",

@@ -22,7 +22,7 @@ from ..streaming.events import (
     stream_from_parquet,
     tumbling_agg,
 )
-from .registry import dsum, register, sql_dsum
+from .registry import dsum, dsum12, register, sql_dsum
 
 # r13 decimal-sum migration: per-window/per-session/per-segment event
 # value sums are data-scaled (rows per window grow with event density),
@@ -915,8 +915,7 @@ def _stream_minhash_perm_values() -> str:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged,
            CAST(COALESCE(SUM(n_dups), 0) AS BIGINT) AS total_dups,
-           CAST(COALESCE(SUM(CAST(max_est AS DECIMAL(18,9))), 0)
-                AS DOUBLE) AS est_sum
+           COALESCE((CAST(CAST(SUM(CAST(CAST(CAST(max_est AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0), 0.0) AS est_sum
     FROM per
     """,
     doc="STREAMING corpus dedup gate (operators/dedup.py "
@@ -967,9 +966,7 @@ def q_stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
             F.sum("n_dups").cast("bigint").alias("total_dups"),
-            F.sum(F.col("max_est").cast("decimal(18,9)"))
-            .cast("double")
-            .alias("est_sum"),
+            dsum12(F.col("max_est")).alias("est_sum"),
         )
     )
 
@@ -3272,9 +3269,7 @@ def q_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (odds * tfpart).alias("s")
     )
     bm = per_term.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 9
-        ).alias("score")
+        F.round(dsum12(F.col("s")), 9).alias("score")
     )
     top = bm.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
