@@ -1450,6 +1450,187 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_policy_picker",
+    # Round 13 (r12 verdict item 8 — the ambition item): close the loop
+    # from MEASUREMENT to CURATION DECISION. The engine already
+    # measures per-component corpus health (dup rates, quality
+    # fractions — the q_corpus_datacard / q_bm25_dedup_eval metric
+    # tier); this query USES those measurements to pick a per-component
+    # policy — keep / down-weight / drop — and then EXECUTES it into an
+    # effective token budget, the q_kmv_join_planner measure-then-plan
+    # pattern applied to curation (the data-driven version of what
+    # q_soft_dedup hardcodes). Every stage — the md5-family MinHash-LSH
+    # pair set, the per-lang metrics, the threshold policy, and the
+    # executed budget — is value-replayed by the oracle end to end.
+    # Weights ride as INTEGER half-units (weight_x2 in {0,1,2}) so the
+    # executed budget tokens_kept * weight_x2 // 2 is exact integer
+    # arithmetic in both engines (no 0.5*odd rounding split).
+    oracle=f"""
+    WITH {_DUCK_MINHASH_PAIRS},
+    t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             md5(text) AS sig, n_chars
+      FROM documents
+    ),
+    losers AS (SELECT DISTINCT b AS doc_id FROM mh_pairs),
+    endp AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a AS doc_id FROM mh_pairs
+        UNION ALL SELECT b FROM mh_pairs) u
+    ),
+    per AS (
+      SELECT t.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+             round(1.0 - CAST(COUNT(DISTINCT t.sig) AS DOUBLE)
+                   / COUNT(*), 9) AS exact_dup_rate,
+             round(CAST(COUNT(*) FILTER (e.doc_id IS NOT NULL) AS DOUBLE)
+                   / COUNT(*), 9) AS near_dup_rate,
+             round(CAST(COUNT(*) FILTER (t.n_chars < 200) AS DOUBLE)
+                   / COUNT(*), 9) AS frac_short,
+             CAST(COUNT(*) FILTER (l.doc_id IS NULL) AS BIGINT)
+               AS n_docs_kept,
+             CAST(COALESCE(SUM(t.n_tokens)
+                           FILTER (l.doc_id IS NULL), 0) AS BIGINT)
+               AS tokens_kept
+      FROM t
+      LEFT JOIN endp e ON e.doc_id = t.doc_id
+      LEFT JOIN losers l ON l.doc_id = t.doc_id
+      GROUP BY t.lang
+    ),
+    pol AS (
+      SELECT *,
+             CASE WHEN near_dup_rate > 0.30 OR frac_short > 0.60 THEN 0
+                  WHEN exact_dup_rate > 0.05 OR near_dup_rate > 0.15
+                       OR frac_short > 0.30 THEN 1
+                  ELSE 2 END AS weight_x2
+      FROM per
+    )
+    SELECT lang, n_docs, total_tokens, exact_dup_rate, near_dup_rate,
+           frac_short,
+           CASE weight_x2 WHEN 0 THEN 'drop'
+                          WHEN 1 THEN 'downweight'
+                          ELSE 'keep' END AS decision,
+           CAST(weight_x2 AS INT) AS weight_x2,
+           n_docs_kept, tokens_kept,
+           CAST(tokens_kept * weight_x2 // 2 AS BIGINT)
+             AS tokens_effective
+    FROM pol
+    """,
+    doc="Eval-driven curation policy picker: per-language corpus-health "
+        "metrics (exact-dup rate via md5 signatures, near-dup exposure "
+        "via the md5-family MinHash-LSH pair set, short-document "
+        "fraction — the established quality-gate label) feed a "
+        "deterministic threshold policy that assigns each component "
+        "keep (weight 1), down-weight (1/2) or drop (0), then the "
+        "policy is EXECUTED: greedy min-endpoint dedup (drop the larger "
+        "endpoint of every near-dup pair) and the integer half-unit "
+        "weighting produce the component's effective training-token "
+        "budget. The measure->decide->execute shape of "
+        "q_kmv_join_planner applied to data curation; at 100 TB every "
+        "stage is the banded LSH join + two broadcast-scale "
+        "per-component aggregates, never all-pairs.",
+    tags=("mlprep", "curation", "dedup", "policy", "eval"),
+)
+def q_curation_policy_picker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, base_hash="md5"
+    ).select("a", "b").localCheckpoint(eager=True)  # reused 2x
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("sig"),
+        "n_chars",
+    )
+    endp = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_endp", F.lit(True))
+    )
+    losers = (
+        pairs.select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(True))
+    )
+    per = (
+        t.join(F.broadcast(endp), "doc_id", "left")
+        .join(F.broadcast(losers), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.count_distinct("sig").cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.count_if(F.col("is_endp").isNotNull()).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("near_dup_rate"),
+            F.round(
+                F.count_if(F.col("n_chars") < 200).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("frac_short"),
+            F.count_if(F.col("is_loser").isNull())
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("is_loser").isNull(), F.col("n_tokens"))
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tokens_kept"),
+        )
+    )
+    weight_x2 = (
+        F.when(
+            (F.col("near_dup_rate") > 0.30) | (F.col("frac_short") > 0.60),
+            0,
+        )
+        .when(
+            (F.col("exact_dup_rate") > 0.05)
+            | (F.col("near_dup_rate") > 0.15)
+            | (F.col("frac_short") > 0.30),
+            1,
+        )
+        .otherwise(2)
+    )
+    pol = per.withColumn("weight_x2", weight_x2)
+    return pol.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "exact_dup_rate",
+        "near_dup_rate",
+        "frac_short",
+        F.when(F.col("weight_x2") == 0, "drop")
+        .when(F.col("weight_x2") == 1, "downweight")
+        .otherwise("keep")
+        .alias("decision"),
+        F.col("weight_x2").cast("int").alias("weight_x2"),
+        "n_docs_kept",
+        "tokens_kept",
+        # integer DIV keeps the halved budget exact (no double hop)
+        F.expr("tokens_kept * weight_x2 DIV 2")
+        .cast("bigint")
+        .alias("tokens_effective"),
+    )
+
+
+@register(
     "q_curation_pipeline",
     oracle=f"""
     WITH RECURSIVE

@@ -632,7 +632,7 @@ DEC12 = "decimal(24,12)"
 def dsum12(col: Column) -> Column:
     """12-dp-quantum sibling of :func:`dsum` for SUB-UNIT magnitudes
     (probabilities, log-ratios, cosine scores, per-token weights):
-    each value is quantized to an exact DECIMAL(20,12) (1e-12 quantum),
+    each value is quantized to an exact DECIMAL(24,12) (1e-12 quantum),
     scaled to exact BIGINT pico-units, summed on a 128-bit
     DECIMAL(38,0) accumulator, then converted through ONE int->double
     conversion and ONE IEEE division — identical in both engines.

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.sessions import session_stats
-from .registry import davg, dsum, register, sql_davg, sql_dsum
+from .registry import davg, dsum, register, sql_davg, sql_dsum, sql_dsum_shared
 
 
 @register(
@@ -215,13 +215,17 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
+    # sql_dsum_shared, not sql_dsum: this SQL text runs through SPARK,
+    # which has no HUGEINT keyword (r13 — the HUGEINT accumulator
+    # upgrade surfaced the dialect dependence); the shared DECIMAL(38,0)
+    # form is probed bit-equal to the oracle's HUGEINT path
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
                COUNT(*) AS n,
-               {sql_dsum('l_quantity')} AS sum_qty
+               {sql_dsum_shared('l_quantity')} AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

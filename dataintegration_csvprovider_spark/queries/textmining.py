@@ -525,7 +525,7 @@ _BM25_ORACLE_CORE = """
       FROM tf JOIN dft USING (term) CROSS JOIN N n),
     bm AS (
       SELECT doc_id,
-             round((CAST(CAST(SUM(CAST(CAST(CAST(s AS DECIMAL(20,12)) AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000000000.0), 9)
+             round((CAST(CAST(SUM(CAST(CAST(CAST(s AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0), 9)
                AS score
       FROM per GROUP BY doc_id)
 """
@@ -571,7 +571,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bm),
     dens AS (
       SELECT doc_id,
-             round((CAST(CAST(SUM(CAST(CAST(CAST(CASE WHEN term IN ('spark', 'hash', 'vector') THEN 1.0 ELSE 0.0 END AS DECIMAL(20,12)) AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000000000.0)
+             round((CAST(CAST(SUM(CAST(CAST(CAST(CASE WHEN term IN ('spark', 'hash', 'vector') THEN 1.0 ELSE 0.0 END AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0)
                    / CAST(MIN(dl) AS DOUBLE), 12) AS dens
       FROM t0 GROUP BY doc_id),
     rb AS (
@@ -756,7 +756,7 @@ _BM25_BATCH = (
       CROSS JOIN N n),
     bm AS (
       SELECT qid, doc_id,
-             round((CAST(CAST(SUM(CAST(CAST(CAST(s AS DECIMAL(20,12)) AS DECIMAL(32,12)) * 1000000000000 AS BIGINT)) AS HUGEINT) AS DOUBLE) / 1000000000000.0), 9)
+             round((CAST(CAST(SUM(CAST(CAST(CAST(s AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0), 9)
                AS score
       FROM per GROUP BY qid, doc_id),
     ranked AS (
