@@ -34,7 +34,7 @@ from ..operators.similarity import (
     knn_ivf,
 )
 from ..operators.textstats import doc_fingerprint, language_id, text_quality
-from .registry import davg, dsum, dsum12, register, sql_davg, sql_dsum, sql_dsum12
+from .registry import davg, dsum, dsum9, dsum12, register, sql_davg, sql_dsum, sql_dsum9, sql_dsum12
 
 # DuckDB fragments reused across oracles ------------------------------------
 
@@ -4737,7 +4737,7 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS BIGINT) AS n_zero,
            CAST(MIN(len(embedding)) AS INT) AS min_dim,
            CAST(MAX(len(embedding)) AS INT) AS max_dim,
-           (CAST(CAST(SUM(CAST(CAST(CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(24,12)) AS DECIMAL(38,12)) * 1000000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0) AS norm_sum
+           (CAST(CAST(SUM(CAST(CAST(CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(22,9)) AS DECIMAL(38,9)) * 1000000000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1000000000.0) AS norm_sum
     FROM embeddings GROUP BY label
     """,
     doc="Vector-column data-quality profile (the embeddings analog of "
@@ -4767,7 +4767,9 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_zero"),
         F.min(F.size("embedding")).cast("int").alias("min_dim"),
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
-        dsum12(F.sqrt(sq)).alias("norm_sum"),
+        # dsum9, not dsum12: norm_sum is an IRRATIONAL-valued sum
+        # reported raw — see the dsum9 quantum note
+        dsum9(F.sqrt(sq)).alias("norm_sum"),
     )
 
 

@@ -715,3 +715,40 @@ def sql_dsum_over(expr: str, over: str) -> str:
         f" * 1000000 AS DECIMAL(38,0))) {over}"
     )
     return f"(CAST({micros} AS DOUBLE) / 1000000.0)"
+
+
+DEC9 = "decimal(22,9)"
+
+
+def dsum9(col: Column) -> Column:
+    """9-dp-quantum sibling of :func:`dsum` for IRRATIONAL-valued sums
+    reported RAW (sqrt norms, unrounded score sums): nano-units on the
+    128-bit accumulator, ONE int->double conversion.
+
+    Why 9 dp and not 12 (round 13, found by the sf1 sweep on
+    q_embedding_profile's norm_sum): the per-row double->decimal cast
+    itself is engine-divergent at a rate set by the quantum — Spark
+    quantizes the SHORTEST decimal repr (BigDecimal.valueOf) while
+    DuckDB rounds the exact binary value, and the two disagree when
+    the repr's digits at the quantum boundary sit on a rounding tie —
+    ~1e-4 per row at 12 dp (digit 13 of a ~17-digit repr) but ~1e-8 at
+    9 dp. Raw-reported sums need the 9-dp quantum; 12-dp is for
+    rational scores under fixed-precision (ROUND 9) reporting, where
+    the rare per-row flip is absorbed."""
+    nanos = F.sum(
+        (col.cast(DEC9) * F.lit(1_000_000_000)).cast("decimal(38,0)")
+    )
+    return (
+        nanos.cast("double") / F.lit(1_000_000_000.0)
+    ).cast("double")
+
+
+def sql_dsum9(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum9` (see sql_dsum12 for the
+    widen + 128-bit accumulator notes)."""
+    nanos = (
+        f"CAST(SUM(CAST(CAST(CAST({expr} AS DECIMAL(22,9)) "
+        f"AS DECIMAL(38,9)) * 1000000000 AS DECIMAL(38,0))) "
+        f"AS DECIMAL(38,0))"
+    )
+    return f"(CAST({nanos} AS DOUBLE) / 1000000000.0)"
