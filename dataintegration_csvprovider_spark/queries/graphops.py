@@ -70,25 +70,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- form the Spark side runs (orient each edge low-degree ->
     -- high-degree, enumerate wedges at the low end, close against the
     -- edge set) — identical count, Chiba-Nishizeki-bounded work.
-    , deg AS (
+    , deg AS MATERIALIZED (
       SELECT n, COUNT(*) AS deg
-      FROM (SELECT a AS n FROM p UNION ALL SELECT b FROM p) t
+      FROM (SELECT a AS n FROM p2 UNION ALL SELECT b FROM p2) t
       GROUP BY n
-    ), o AS (
+    -- MATERIALIZED is load-bearing on p2 and o: p is referenced five
+    -- times (edge/node counts, both deg arms, orientation, closure)
+    -- and o joins itself (o1 x o2) — DuckDB would otherwise re-inline
+    -- the pair chain at every reference
+    ), p2 AS MATERIALIZED (SELECT a, b FROM p
+    ), o AS MATERIALIZED (
       SELECT CASE WHEN d1.deg < d2.deg
                     OR (d1.deg = d2.deg AND p.a < p.b)
                   THEN p.a ELSE p.b END AS u,
              CASE WHEN d1.deg < d2.deg
                     OR (d1.deg = d2.deg AND p.a < p.b)
                   THEN p.b ELSE p.a END AS v
-      FROM p JOIN deg d1 ON d1.n = p.a JOIN deg d2 ON d2.n = p.b
+      FROM p2 p JOIN deg d1 ON d1.n = p.a JOIN deg d2 ON d2.n = p.b
     )
-    SELECT (SELECT COUNT(*) FROM p) AS n_edges,
-           (SELECT COUNT(*) FROM (SELECT a FROM p UNION SELECT b FROM p) t)
+    SELECT (SELECT COUNT(*) FROM p2) AS n_edges,
+           (SELECT COUNT(*) FROM (SELECT a FROM p2 UNION SELECT b FROM p2) t)
              AS n_nodes,
            (SELECT COUNT(*)
             FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
-            JOIN p ON LEAST(o1.v, o2.v) = p.a
+            JOIN p2 p ON LEAST(o1.v, o2.v) = p.a
                   AND GREATEST(o1.v, o2.v) = p.b)
              AS n_triangles
     """,

@@ -12,10 +12,46 @@ import sys
 from pathlib import Path
 
 #: names whose non-green sf1 status has a standing classification
+#: (round 13; the fixture-gated censuses now SKIP by construction —
+#: both sides return empty off the pinned signatures — so they no
+#: longer appear as non-green at all)
+ORACLE_BUDGET = (
+    "DuckDB oracle replay exceeds the per-name budget; the Spark side "
+    "completes fast (share recorded in the log line) — the r12-"
+    "documented SKIP(oracle-budget) class: the oracle pays the exact "
+    "all-pairs/recursive-CTE spec cost the operator's production plan "
+    "exists to avoid"
+)
 CLASSIFIED = {
-    "q_compression_quality": "SKIP(fixture) — census pinned to driver "
-    "fixture signatures; off-fixture both sides return empty (clean skip)",
-    "q_bpe_tokenize": "SKIP(fixture) — same signature gate",
+    "q_embedding_profile": "FIXED mid-sweep (dsum9 9-dp nano quantum "
+    "for the raw-reported irrational norm sum); re-verified hash-green "
+    "at sf1 after the fix",
+    "q_semdedup_knn_eval": ORACLE_BUDGET,
+    "q_dedup_components": ORACLE_BUDGET,
+    "q_contamination": ORACLE_BUDGET,
+    "q_curation_incremental": ORACLE_BUDGET,
+    "q_curation_pipeline": ORACLE_BUDGET,
+    "q_soft_dedup": ORACLE_BUDGET,
+    "q_dedup_simhash": ORACLE_BUDGET,
+    "q_hybrid_retrieval_eval": ORACLE_BUDGET,
+    "q_ann_probe_curve": ORACLE_BUDGET,
+    "q_triangle_count": "oracle-budget at 240s even on the wedge form; "
+    "the shared exact-Jaccard pair CTE dominates — see the 600s retry",
+    "q_curation_incremental_pruned": "composite: Spark side itself "
+    "~227s at sf1 (three oracle-grade exact-pair verification stages "
+    "in-query) + oracle replay — budget class, production pair stage "
+    "is the LSH path",
+    "q_curation_pipeline_full": "composite: Spark side ~184s at sf1 "
+    "(oracle-grade exact near-dedup + ExactSubstr scrub in-query) — "
+    "budget class, production swap is the LSH path",
+    "q_embedding_covariance": "O(n*d^2) exact explode on BOTH sides "
+    "(the oracle fixture form; production is the one-pass mapInArrow "
+    "Gram) — see the 600s retry",
+    "q_tfidf_cosine_pairs": "see the 600s retry",
+    "q_embedding_neardup": "exact-truth pair generation over the "
+    "recall-gate sample — see the 600s retry",
+    "q_embedding_neardup_ivf": "same exact-truth sample class",
+    "q_embedding_neardup_trained": "same exact-truth sample class",
 }
 
 
@@ -23,7 +59,10 @@ def main() -> None:
     path = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_sweep_r13.raw")
     ok, fail, skip, rows = [], [], [], []
     times = {}
-    for line in path.read_text().splitlines():
+    # check_oracle's stderr progress bars glue \r-terminated fragments
+    # onto result lines; split on BOTH terminators before matching
+    text = path.read_text().replace("\r", "\n")
+    for line in text.splitlines():
         m = re.match(r"^(ok|FAIL|SKIP|ROWS)\s+(\S+?):\s*(.*)$", line)
         if not m:
             continue
