@@ -35,8 +35,9 @@ CLASSIFIED = {
     "q_dedup_simhash": ORACLE_BUDGET,
     "q_hybrid_retrieval_eval": ORACLE_BUDGET,
     "q_ann_probe_curve": ORACLE_BUDGET,
-    "q_triangle_count": "oracle-budget at 240s even on the wedge form; "
-    "the shared exact-Jaccard pair CTE dominates — see the 600s retry",
+    "q_triangle_count": "GREEN after the round-13 oracle rewrite: "
+    "degree-oriented wedge form + MATERIALIZED p2/deg/o CTEs — 179.8s "
+    "at sf1, inside the 240s budget (was: 3-way self-join, >240s)",
     "q_curation_incremental_pruned": "composite: Spark side itself "
     "~227s at sf1 (three oracle-grade exact-pair verification stages "
     "in-query) + oracle replay — budget class, production pair stage "
