@@ -559,36 +559,70 @@ def dsum(col: Column) -> Column:
     quantum (|sum| > 2^33) — surfaced by the round-12 local sf1 fixture
     on TPC-H Q1's sum_charge.
 
-    Round 13 (r12 ADVICE): the micro-unit SUM rides DECIMAL(38,0) on
-    the Spark side and HUGEINT on the DuckDB side, because Spark's
-    non-ANSI SUM over LongType silently WRAPS past 2^63 (it does not
-    null — the pre-r13 docstring was wrong), which would hand a
-    Spark-only consumer silently wrong values past |sum| ~ 9.2e12.
-    With 128-bit accumulators the sum stays EXACT to |sum| ~ 1e32
-    (decimal(38,0) / hugeint capacity over 1e6 micros), and past that
-    overflow is loud in BOTH engines (Spark nulls the decimal sum,
-    DuckDB errors). The final int->double conversion is correctly
-    rounded in both (BigDecimal.doubleValue vs hugeint cast — probed
-    bit-equal on >2^63 integers), so in-range results are bit-identical
-    to the r12 long-sum form. Per-row domain is bounded by the
-    DECIMAL(18,6) input cast itself (|value| < 1e12, nulls loudly)."""
-    micros = F.sum(
-        (col.cast(DEC) * F.lit(1_000_000)).cast("long").cast("decimal(38,0)")
+    Round 13 (r12 ADVICE): the accumulator must not silently WRAP past
+    2^63 micro-units the way the r12 LongType SUM did (Spark's
+    non-ANSI long SUM wraps; it does not null — the pre-r13 docstring
+    was wrong).
+
+    Round-13 OPTIMIZATION (guide §1.2 "per-task work"): the first r13
+    fix summed DECIMAL(38,0) per row, which drops the aggregation out
+    of the native long fast path into per-row BigDecimal adds —
+    measured 1.8-2.5x slower on the TPC-H shapes (q1 4-column agg
+    2.20s vs 1.23s at sf0.1). The exact 128-bit total is instead
+    reconstructed from TWO native long sums: each micros value m is
+    split as m = (m >> 31)*2^31 + (m & (2^31-1)) — floor shift and
+    low-bits mask, exact for negatives in two's complement — and the
+    two components are summed as plain longs (whole-stage-codegen
+    native). PROVABLY no wrap while the group has < 4e9 summed rows:
+    sum(lo) <= 4e9 * (2^31-1) < 2^63, and |m| < 1e18 (the DECIMAL(18,6)
+    per-row domain) gives sum|hi| <= 4e9 * 4.66e8 < 2^63. The group-
+    level reconstruction hi*2^31 + lo runs on DECIMAL(38,0) (one op
+    per GROUP, not per row), and a COUNT guard raises a loud error on
+    any group at >= 4e9 rows instead of ever returning a wrapped
+    value. In range the integer total — and therefore the ONE
+    int->double conversion and ONE IEEE division — is bit-identical
+    to both the r12 long form and the DECIMAL(38,0) form (probed: 0
+    diffs on the sf0.1 per-key and negative-mix shapes). Per-row
+    domain is bounded by the DECIMAL(18,6) input cast itself
+    (|value| < 1e12)."""
+    m = (col.cast(DEC) * F.lit(1_000_000)).cast("long")
+    lo = F.sum(m.bitwiseAND(F.lit(2147483647)))
+    hi = F.sum(F.shiftright(m, 31))
+    micros = hi.cast("decimal(38,0)") * F.lit(2_147_483_648) + lo.cast(
+        "decimal(38,0)"
     )
-    return (micros.cast("double") / F.lit(1_000_000.0)).cast("double")
+    val = (micros.cast("double") / F.lit(1_000_000.0)).cast("double")
+    return F.when(F.count(m) < F.lit(4_000_000_000), val).otherwise(
+        F.raise_error(
+            F.lit("dsum: split-sum guard — group exceeds 4e9 rows; "
+                  "widen to the decimal(38,0) accumulator form")
+        ).cast("double")
+    )
 
 
 def davg(col: Column) -> Column:
     """Order-independent mean: exact micro-unit integer sum, then
     int->double, /1e6, /count — the identical IEEE op sequence in both
     engines (see :func:`dsum` for why decimal->double casts can't
-    appear anywhere on this path, and why the accumulator is 128-bit)."""
-    micros = F.sum(
-        (col.cast(DEC) * F.lit(1_000_000)).cast("long").cast("decimal(38,0)")
+    appear anywhere on this path, and for the r13-optimization
+    split-sum accumulator: two native long sums reconstructed to the
+    exact DECIMAL(38,0) total per group, loud COUNT guard at 4e9
+    rows)."""
+    m = (col.cast(DEC) * F.lit(1_000_000)).cast("long")
+    lo = F.sum(m.bitwiseAND(F.lit(2147483647)))
+    hi = F.sum(F.shiftright(m, 31))
+    micros = hi.cast("decimal(38,0)") * F.lit(2_147_483_648) + lo.cast(
+        "decimal(38,0)"
     )
-    return (
+    val = (
         micros.cast("double") / F.lit(1_000_000.0) / F.count(col)
     ).cast("double")
+    return F.when(F.count(m) < F.lit(4_000_000_000), val).otherwise(
+        F.raise_error(
+            F.lit("davg: split-sum guard — group exceeds 4e9 rows; "
+                  "widen to the decimal(38,0) accumulator form")
+        ).cast("double")
+    )
 
 
 def sql_dsum(expr: str) -> str:
