@@ -1374,13 +1374,31 @@ _DUCK_CENTROID = ", ".join(
     tags=("embedding", "agg"),
 )
 def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-13 optimization (guide §1.2 distributed-algorithm first):
+    # 64 inline dsum columns compile to ~192 aggregate buffers (hi/lo
+    # split + guard count per dim) in ONE hash aggregate — measured
+    # 3.4s at sf0.1 vs 1.8s for the pre-migration unsafe long form.
+    # posexplode to (label, pos, v) rows + ONE dsum + a max/when pivot
+    # back to flat columns runs the identical exact integer micro-unit
+    # sums (bit-equal, probed) in 1.1s: the explode is codegen'd and
+    # the shuffle carries the same 64 partial sums per label either
+    # way. n (COUNT(*) incl. null-embedding rows — the oracle's
+    # semantics) comes from a separate tiny base aggregate because
+    # posexplode drops null/empty arrays, exactly like element_at's
+    # null exclusion in the sums.
     emb = load_table(spark, sf_dir, "embeddings")
-    sums = [
-        dsum(F.element_at("embedding", i + 1).cast("double"))
-        .alias(f"__s{i}")
-        for i in range(_DIM)
-    ]
-    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per = ex.groupBy("label", "pos").agg(
+        dsum(F.col("v").cast("double")).alias("s")
+    )
+    piv = per.groupBy("label").agg(
+        *[
+            F.max(F.when(F.col("pos") == i, F.col("s"))).alias(f"__s{i}")
+            for i in range(_DIM)
+        ]
+    )
+    agg = cnt.join(piv, "label", "left")
     return agg.select(
         "label",
         "n",
