@@ -3664,18 +3664,52 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    idf = tf.groupBy("term").agg(
+    # ONE vocab pass now carries df, the BM25 idf AND an integer term
+    # id (round-13 optimization, guide §2.3 "narrower types": the
+    # shared-term explosion below probes its hash tables 280M+ times at
+    # sf0.1, and hashing/comparing a fixed-width long instead of a
+    # UTF8String key measurably cuts that stage; the id also folds the
+    # old separate df_t aggregate into this dictionary). xxhash64 ids
+    # are VERIFIED collision-free over the vocabulary before use (loud
+    # error otherwise) — group-by-tid is then exactly group-by-term,
+    # so every downstream value is unchanged.
+    tdict = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term",
+        "df",
         (
-            (F.lit(n_docs) - F.count(F.lit(1)).cast("double") + F.lit(0.5))
-            / (F.count(F.lit(1)).cast("double") + F.lit(0.5))
-        ).alias("idf")
+            (F.lit(n_docs) - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ).alias("idf"),
+        F.xxhash64("term").alias("tid"),
     )
     # w is read by four branches (norms, prefix index, both verify
     # sides) and norms by three — checkpoint both so the scan/explode/
-    # shuffle prelude runs once; both are doc- or (doc,term)-bounded
-    w = tf.join(idf, "term").select(
-        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
-    ).localCheckpoint(eager=True)
+    # shuffle prelude runs once; both are doc- or (doc,term)-bounded.
+    #
+    # Round-13 optimization (guide §2.6 idle capacity): AQE coalesces
+    # the small pre-checkpoint shuffle to ONE partition (116k rows at
+    # sf0.1), and the broadcast joins below PRESERVE that layout — so
+    # the row-amplifying candidate join (56M rows) and shared-term
+    # explosion (284M rows) were running as single-task stages with 31
+    # cores idle (measured: 70s for the explosion alone). A keyed
+    # repartition to defaultParallelism (scale-adaptive, no constant)
+    # before the checkpoint costs one tiny exchange of the 116k-row
+    # table and restores full-width map stages downstream.
+    n_par = spark.sparkContext.defaultParallelism
+    w = tf.join(F.broadcast(tdict), "term").select(
+        "doc_id", "term", "tid", "df",
+        (F.col("tf") * F.col("idf")).alias("w"),
+    ).repartition(n_par, "doc_id").localCheckpoint(eager=True)
+    # vocabulary-bounded collision gate for the int term ids (one tiny
+    # job off the checkpoint; a collision would merge two terms' join
+    # groups, so it must be loud, not probabilistic)
+    n_terms = w.select("term").distinct().count()
+    n_tids = w.select("tid").distinct().count()
+    if n_terms != n_tids:
+        raise ValueError(
+            "q_tfidf_cosine_pairs: xxhash64 term-id collision "
+            f"({n_terms} terms -> {n_tids} ids); use string keys"
+        )
     # r13 decimal-sum migration: rare-term IDF odds scale with corpus
     # size (w ~ N), so w*w sums are data-scaled — pico-unit form
     # (per-row domain 1e12 covers w^2 through ~sf1e4)
@@ -3700,12 +3734,17 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical — the filter only prunes pairs it can prove away.
     from pyspark.sql import Window as W
 
+    # df rides the w checkpoint (joined from the dictionary), so the
+    # prefix ranking needs no extra df join; the (df, term) order is
+    # unchanged — the term string stays ONLY in this vocabulary-light
+    # window, never in the hot joins
     u_norm = w.join(F.broadcast(norms), "doc_id").select(
         "doc_id",
         "term",
+        "tid",
+        "df",
         (F.col("w") / F.col("nrm")).alias("u"),
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rank_w = W.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("term")
     )
@@ -3713,26 +3752,30 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_w.rowsBetween(W.unboundedPreceding, -1)
     )
     prefix = (
-        u_norm.join(F.broadcast(df_t), "term")
+        u_norm
         .withColumn("head_prev", F.coalesce(head_prev, F.lit(0.0)))
         .filter(F.col("head_prev") < F.lit(0.1 + 1e-6))
-        .select(F.col("doc_id").alias("b"), "term")
+        .select(F.col("doc_id").alias("b"), "tid")
     )
+    # the distinct's own exchange is AQE-coalesced to a few partitions
+    # (12.2M pairs ≈ 200MB), which would leave the 284M-row verify
+    # explosion below on 2-3 tasks — same idle-capacity fix as w above
     cand = (
-        w.select(F.col("doc_id").alias("a"), "term")
-        .join(F.broadcast(prefix), "term")
+        w.select(F.col("doc_id").alias("a"), "tid")
+        .join(F.broadcast(prefix), "tid")
         .filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"),
             F.greatest("a", "b").alias("b"),
         )
+        .repartition(n_par, "a", "b")
         .distinct()
     )
     wa = w.select(
-        F.col("doc_id").alias("a"), "term", F.col("w").alias("wa")
+        F.col("doc_id").alias("a"), "tid", F.col("w").alias("wa")
     )
     wb = w.select(
-        F.col("doc_id").alias("b"), "term", F.col("w").alias("wb")
+        F.col("doc_id").alias("b"), "tid", F.col("w").alias("wb")
     )
     # both verify sides BROADCAST (the (doc,term,w) table is ~100k
     # rows at sf0.1): the candidate explosion to shared-term rows and
@@ -3769,7 +3812,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra boundary pairs (survivors == output rows, DuckDB-probed).
     dots_d = (
         cand.join(F.broadcast(wa), "a")
-        .join(F.broadcast(wb), ["b", "term"])
+        .join(F.broadcast(wb), ["b", "tid"])
         .groupBy("a", "b")
         .agg(
             F.sum(F.col("wa") * F.col("wb")).alias("dot_d"),
@@ -3799,7 +3842,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dots = (
         surv.join(F.broadcast(wa), "a")
-        .join(F.broadcast(wb), ["b", "term"])
+        .join(F.broadcast(wb), ["b", "tid"])
         .groupBy("a", "b")
         .agg(dsum12(F.col("wa") * F.col("wb")).alias("dot"))
     )
