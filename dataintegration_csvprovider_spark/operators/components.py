@@ -47,16 +47,25 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u, connect every strictly-larger neighbor to the
-    minimum of u's closed neighborhood."""
+    minimum of u's closed neighborhood.
+
+    Round-13 optimization (guide §2.4 remove shuffles outright): the
+    output needs NO canon pass — every emitted edge is already
+    canonical and loop-free (v > u >= m, so hi=v > lo=m), and
+    duplicate rows are harmless to the following small-star (its
+    neighborhood min is duplicate-insensitive and its own canon
+    dedups before the checksum). Dropping the intermediate distinct
+    removes one full shuffle per contraction round; the per-round edge
+    SET (checksum, convergence, labels) is unchanged."""
     d = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
     w = Window.partitionBy("u")
     m = F.least(F.min("v").over(w), F.col("u"))
-    return _canon(
+    return (
         d.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
     )
 
 

@@ -3265,7 +3265,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     corpus = _planted_twin_corpus(spark, sf_dir)
-    blocked = embedding_near_dup_pairs(corpus, threshold=0.9, n_probe=2)
+    # round-13: checkpoint the (tiny) blocked pair set — the gate's
+    # .first() and the components contraction otherwise each re-run the
+    # whole IVF train/assign/score pipeline (guide §5 caching: reused
+    # AND expensive to recompute)
+    blocked = embedding_near_dup_pairs(
+        corpus, threshold=0.9, n_probe=2
+    ).localCheckpoint(eager=True)
     # bounded collect: the gate is ONE row of two booleans
     gate = _planted_pair_gate(corpus, blocked).first()
     labels = connected_components(
@@ -7681,8 +7687,16 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id") >= 10_000_000, F.col("id") - 10_000_000
     ).otherwise(F.col("id"))
 
-    def metrics(ranked: DataFrame) -> tuple[int, int, int, int]:
-        red_row = (
+    # Round-13 optimization (guide §5 — the driver should orchestrate,
+    # not ping-pong): the old metrics() ran TWO .first() actions per
+    # (corpus, ranker) cell — 12 sequential driver round-trip jobs over
+    # tiny ranked tables. Each cell's aggregates are now built lazily
+    # (the 1-row × 1-row crossJoin is the same bounded pattern as
+    # q_dedup_incremental's count gates), unioned, and collected in ONE
+    # job. Every aggregate expression is unchanged, so every count in
+    # the output is unchanged.
+    def metrics_df(variant: str, ranker: str, ranked: DataFrame) -> DataFrame:
+        red = (
             ranked.filter(F.col("r") <= 5)
             .withColumn("cluster", cluster)
             .groupBy("query_id")
@@ -7692,7 +7706,6 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("d")
             )
             .agg(F.sum("d").alias("red"))
-            .first()
         )
         best = (
             ranked.withColumn("cluster", cluster)
@@ -7704,23 +7717,43 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("br") <= 1).cast("int")).alias("h1"),
             F.sum((F.col("br") <= 3).cast("int")).alias("h3"),
             F.sum((F.col("br") <= 5).cast("int")).alias("h5"),
-        ).first()
-        return (
-            int(h["h1"] or 0),
-            int(h["h3"] or 0),
-            int(h["h5"] or 0),
-            int(red_row["red"] or 0),
+        )
+        return h.crossJoin(red).select(
+            F.lit(variant).alias("variant"),
+            F.lit(ranker).alias("ranker"),
+            "h1",
+            "h3",
+            "h5",
+            "red",
         )
 
     n_q = queries.count()
-    rows = []
+    cells = []
+    mdfs = []
     for variant, c in (("raw", raw), ("dedup", base)):
         lr = lex_rank(c).localCheckpoint(eager=True)
         dr = den_rank(c).localCheckpoint(eager=True)
         fr = fus_rank(dr, lr)
         for ranker, ranked in (("bm25", lr), ("dense", dr), ("rrf", fr)):
-            h1, h3, h5, red = metrics(ranked)
-            rows.append((variant, ranker, n_q, h1, h3, h5, red, gate_ok))
+            cells.append((variant, ranker))
+            mdfs.append(metrics_df(variant, ranker, ranked))
+    import functools
+
+    allm = functools.reduce(lambda x, y: x.unionByName(y), mdfs)
+    got = {(r["variant"], r["ranker"]): r for r in allm.collect()}
+    rows = [
+        (
+            variant,
+            ranker,
+            n_q,
+            int(got[(variant, ranker)]["h1"] or 0),
+            int(got[(variant, ranker)]["h3"] or 0),
+            int(got[(variant, ranker)]["h5"] or 0),
+            int(got[(variant, ranker)]["red"] or 0),
+            gate_ok,
+        )
+        for variant, ranker in cells
+    ]
     return spark.createDataFrame(
         rows,
         "corpus string, ranker string, n_queries bigint, "
