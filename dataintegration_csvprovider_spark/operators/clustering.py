@@ -102,6 +102,35 @@ def kmeans(
     ``history``: per-iteration dicts with ``inertia`` (total squared
     distance under the centroids that produced the assignment).
     """
+    assigned, history = _kmeans_full(df, vec_col, id_col, k, n_iter)
+    return assigned.select("id", "cluster", "sq_dist"), history
+
+
+def _kmeans_full(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+) -> tuple[DataFrame, list[dict]]:
+    """:func:`kmeans`, but the returned assignment keeps the widened
+    ``v array<double>`` column — callers that aggregate over the vectors
+    (e.g. the IVF centroid refinement) read it straight off the
+    assignment instead of re-scanning the source and re-attaching
+    vectors with an id-keyed shuffle join.
+
+    Per iteration this runs ONE action, not two: the per-dimension
+    centroid means and the inertia ride the same (cluster, dim)
+    aggregation — the inertia total is the exact decimal sum of the
+    per-cluster partials carried on the dim-0 rows (decimal addition is
+    associative, so the value is bit-equal to the old single global
+    sum). The final iteration skips the centroid update entirely (the
+    updated centroids were computed and discarded — the returned
+    assignment is against the PRE-update centroids). Net: n_iter
+    assignment passes over the data instead of 2·n_iter.
+    """
+    from decimal import Decimal
+
     pts = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -114,28 +143,43 @@ def kmeans(
 
     history: list[dict] = []
     assigned = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         assigned = _assign_clusters_arrow(pts, centroids)
-        inertia = assigned.agg(
-            F.sum(F.col("sq_dist").cast(DEC)).cast("double").alias("i")
-        ).first()["i"]
-        history.append({"inertia": float(inertia)})
+        if it == n_iter - 1:
+            # last round: the centroid update would be dead work
+            inertia = assigned.agg(
+                F.sum(F.col("sq_dist").cast(DEC)).cast("double").alias("i")
+            ).first()["i"]
+            history.append({"inertia": float(inertia)})
+            break
 
         upd = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            assigned.select(
+                "cluster", "sq_dist", F.posexplode("v").alias("dim", "x")
+            )
             .groupBy("cluster", "dim")
             .agg(
                 (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1)))
-                .alias("m")
+                .alias("m"),
+                # every point's sq_dist appears exactly once across the
+                # dim-0 groups; summing those decimal partials in the
+                # driver reproduces the old global decimal sum exactly
+                F.sum(
+                    F.when(F.col("dim") == 0, F.col("sq_dist")).cast(DEC)
+                ).alias("pi"),
             )
             .collect()
         )
+        inertia_dec = sum(
+            (r["pi"] for r in upd if r["pi"] is not None), Decimal(0)
+        )
+        history.append({"inertia": float(inertia_dec)})
         new_centroids = [list(c) for c in centroids]
         for r in upd:
             new_centroids[r.cluster][r.dim] = float(r.m)
         centroids = new_centroids
 
-    return assigned.select("id", "cluster", "sq_dist"), history
+    return assigned, history
 
 
 def grouped_linear_fit(

@@ -570,22 +570,21 @@ def trained_ivf_centroids(
     trained centers balance partition sizes, so a fixed ``n_probe``
     scans a predictable data fraction with better recall than seed
     vectors."""
-    from .clustering import kmeans
+    from .clustering import _kmeans_full
 
-    assigned, _ = kmeans(
+    # r13 (guide §2.4): the assignment already carries the widened
+    # vector — aggregating straight off it removes the old source
+    # re-scan + id-keyed shuffle join that only re-attached identical
+    # values (the Arrow round trip is bit-exact for float64)
+    assigned, _ = _kmeans_full(
         _with_valid_vectors(df, vec_col),
         vec_col=vec_col,
         id_col=id_col,
         k=k,
         n_iter=n_iter,
     )
-    pts = _with_valid_vectors(df, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    joined = assigned.select("id", "cluster").join(pts, "id")
     per_dim = (
-        joined.select("cluster", F.posexplode("v").alias("dim", "x"))
+        assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
         .groupBy("cluster", "dim")
         .agg(
             # r13: data-scaled component mean — 128-bit micros sum
