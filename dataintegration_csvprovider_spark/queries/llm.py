@@ -7596,9 +7596,11 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup corpus is structural (originals), VERIFIED: the IVF-blocked
     # pair set must equal the planted twin set exactly
     rawv = raw.select(F.col("id").alias("vec_id"), "embedding")
-    blocked = embedding_near_dup_pairs(rawv, threshold=0.9, n_probe=2)
-    g = _planted_pair_gate(rawv, blocked).first()
-    gate_ok = bool(g["pair_recall_ok"] and g["pair_exact_ok"])
+
+    def run_gate() -> bool:
+        blocked = embedding_near_dup_pairs(rawv, threshold=0.9, n_probe=2)
+        g = _planted_pair_gate(rawv, blocked).first()
+        return bool(g["pair_recall_ok"] and g["pair_exact_ok"])
 
     def lex_rank(c: DataFrame) -> DataFrame:
         stats = c.select(
@@ -7727,12 +7729,36 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "red",
         )
 
+    # Round-13 (guide §2.6 — overlap independent jobs): the gate's IVF
+    # pipeline and the four per-(variant) rank materializations are
+    # independent job chains that were running back-to-back, each
+    # leaving most of the cores idle between its small sequential
+    # actions. A 3-thread pool lets the scheduler back-fill; every job
+    # computes exactly what it did serially (values unchanged).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     n_q = queries.count()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_gate = pool.submit(inheritable_thread_target(run_gate))
+        rank_f = {
+            (variant, kind): pool.submit(
+                inheritable_thread_target(
+                    lambda fn=fn, c=c: fn(c).localCheckpoint(eager=True)
+                )
+            )
+            for variant, c in (("raw", raw), ("dedup", base))
+            for kind, fn in (("lex", lex_rank), ("den", den_rank))
+        }
+        gate_ok = f_gate.result()
+        ranks = {k: f.result() for k, f in rank_f.items()}
+
     cells = []
     mdfs = []
-    for variant, c in (("raw", raw), ("dedup", base)):
-        lr = lex_rank(c).localCheckpoint(eager=True)
-        dr = den_rank(c).localCheckpoint(eager=True)
+    for variant in ("raw", "dedup"):
+        lr = ranks[(variant, "lex")]
+        dr = ranks[(variant, "den")]
         fr = fus_rank(dr, lr)
         for ranker, ranked in (("bm25", lr), ("dense", dr), ("rrf", fr)):
             cells.append((variant, ranker))
