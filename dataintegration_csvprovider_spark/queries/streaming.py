@@ -2660,14 +2660,48 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise  # only the injected crash is expected
 
     try:
-        for k, (name, mt) in enumerate(
-            (("a.parquet", 1_000_000_000),
-             ("b.parquet", 1_000_010_000))
-        ):
-            write_slice(k, name, mt)
-        run_stream(roots[0], crash_in_batch=1)
-        run_stream(roots[0], crash_in_batch=None)
-        run_stream(roots[1], crash_in_batch=None)
+        # Round-13 (guide §2.6 — overlap independent jobs). Three
+        # overlaps, none touching the commit protocol:
+        # 1. the two slice writes are independent jobs (identical file
+        #    bytes either way — each job is unchanged);
+        # 2. the control run (own root, listing protocol) shares nothing
+        #    with the crash->restart chain (its root + manifest ledgers)
+        #    except the read-only stage files, so it streams
+        #    concurrently; the crash->restart pair stays strictly
+        #    sequential (same checkpoint + ledgers);
+        # 3. the per-root final ledger reads are independent.
+        # `skipped` appends stay correct: the control run never skips
+        # (fresh root, no re-delivery), so only the restart run writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(
+                inheritable_thread_target(
+                    lambda: write_slice(0, "a.parquet", 1_000_000_000)
+                )
+            )
+            fb = pool.submit(
+                inheritable_thread_target(
+                    lambda: write_slice(1, "b.parquet", 1_000_010_000)
+                )
+            )
+            fa.result(), fb.result()
+            # read the stage schema once, before both streams race
+            stage_schema.append(spark.read.parquet(stage).schema)
+
+            def crash_then_restart() -> None:
+                run_stream(roots[0], crash_in_batch=1)
+                run_stream(roots[0], crash_in_batch=None)
+
+            fc = pool.submit(inheritable_thread_target(crash_then_restart))
+            fctrl = pool.submit(
+                inheritable_thread_target(
+                    lambda: run_stream(roots[1], crash_in_batch=None)
+                )
+            )
+            fc.result(), fctrl.result()
 
         finals = {}
         for tag, root in (("crash", roots[0]), ("ctrl", roots[1])):
