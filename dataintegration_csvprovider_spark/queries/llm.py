@@ -3740,6 +3740,166 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical — the filter only prunes pairs it can prove away.
     from pyspark.sql import Window as W
 
+    # Round-13 optimization (guide §1.2 — fix the algorithm in the
+    # regime where it is wrong): this fixture class is the documented
+    # adversarial case for the AllPairs prefix filter — the tiny
+    # uniform vocabulary makes 12.2M of 12.5M possible pairs survive
+    # as candidates at sf0.1, and the double pre-prune then explodes
+    # to ~250M shared-term join rows (the measured ~30s wall). In
+    # that DENSE regime (box-gated exactly like operators/dedup.py's
+    # _dense_jaccard_pairs: the weight matrix must broadcast
+    # comfortably, the pairwise work must stay bounded) the pre-prune
+    # is a blocked float64 matmul over the broadcast (docs × vocab)
+    # weight matrix instead: pairwise double dots and shared-term
+    # counts come out of two BLAS block passes, and the SAME
+    # soundness argument holds — every product is positive, so the
+    # summed dot's relative error is <= (n_t+1)·2⁻⁵³ for ANY
+    # summation order, BLAS included. Survivors feed the UNCHANGED
+    # exact-decimal verification, so the output is bit-identical: the
+    # pre-prune only drops pairs it can PROVE the exact filter would
+    # drop. Outside the box (real Zipfian corpora) the prefix path
+    # below runs unchanged.
+    if (
+        n_docs <= _TFIDF_DENSE_MAX_DOCS
+        and n_docs * n_terms <= _TFIDF_DENSE_MAX_CELLS
+        and n_docs * n_docs * n_terms <= _TFIDF_DENSE_MAX_MULS
+    ):
+        surv = _tfidf_dense_prune_survivors(spark, w, norms)
+    else:
+        surv = _tfidf_prefix_prune_survivors(spark, w, norms, n_par)
+    dots = (
+        surv.join(F.broadcast(wa_frame(w)), "a")
+        .join(F.broadcast(wb_frame(w)), ["b", "tid"])
+        .groupBy("a", "b")
+        .agg(dsum12(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    # cosine is REPORTED at 9-decimal precision: the decimal-cast
+    # rounding mode at exact dyadic midpoints (HALF_UP vs HALF_EVEN)
+    # differs between engines by design, producing ~1-ulp divergence on
+    # a handful of the millions of accumulated products; rounding far
+    # above that noise floor makes the full value-hash deterministic
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+    return (
+        dots.join(
+            F.broadcast(norms.select(
+                F.col("doc_id").alias("a"), F.col("nrm").alias("na")
+            )),
+            "a",
+        )
+        .join(
+            F.broadcast(norms.select(
+                F.col("doc_id").alias("b"), F.col("nrm").alias("nb")
+            )),
+            "b",
+        )
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+#: dense-regime box for the tf-idf pre-prune, the same three-way gate as
+#: operators/dedup.py's DENSE_MAX_*: the float64 weight matrix must
+#: broadcast comfortably (cells × 8 B — 48M cells = 384 MB) and the
+#: blocked-matmul work (docs² × vocab multiply-adds, ×2 for the
+#: shared-term count pass) must stay a few seconds across a node.
+_TFIDF_DENSE_MAX_DOCS = 120_000
+_TFIDF_DENSE_MAX_CELLS = 48_000_000
+_TFIDF_DENSE_MAX_MULS = 2_500_000_000_000
+
+
+def wa_frame(w: DataFrame) -> DataFrame:
+    return w.select(F.col("doc_id").alias("a"), "tid", F.col("w").alias("wa"))
+
+
+def wb_frame(w: DataFrame) -> DataFrame:
+    return w.select(F.col("doc_id").alias("b"), "tid", F.col("w").alias("wb"))
+
+
+def _tfidf_dense_prune_survivors(
+    spark: SparkSession, w: DataFrame, norms: DataFrame
+) -> DataFrame:
+    """Sound candidate survivors for the 0.9-cosine tf-idf pair filter,
+    dense regime: blocked float64 matmul of the broadcast weight matrix.
+
+    SOUNDNESS (no pair the exact path would emit is dropped): with all
+    products positive, |dot_blas − dot_true| <= (n_t+1)·2⁻⁵³·dot_true
+    and dot_true <= na·nb (Cauchy–Schwarz), while the exact path's only
+    other deviation is the per-product 12-dp quantization
+    (n_t·5e-13 absolute in dot units). The output keeps pairs with
+    round9(cos) >= 0.9, i.e. cos >= 0.9 − 5e-10, so keeping every pair
+    with dot_blas >= na·nb·(0.9 − 5e-10 − (n_t+8)·2⁻⁵³) − n_t·5e-13
+    (the +8 swallows the comparison's own few-ulp arithmetic) can only
+    drop pairs the exact filter provably drops. Survivor sets may
+    differ from the join-path pre-prune at the margin; outputs cannot.
+
+    Driver collect and broadcast are bounded by the _TFIDF_DENSE_MAX_*
+    box (<= cells rows collected, <= 8·cells bytes broadcast)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = w.schema["doc_id"].dataType.simpleString()
+    out_schema = f"a {id_type}, b {id_type}"
+    rows = w.select("doc_id", "tid", "w").collect()  # bounded: <= box cells
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = sorted({r["doc_id"] for r in rows})
+    idix = {d: i for i, d in enumerate(ids)}
+    tix = {t: j for j, t in enumerate(sorted({r["tid"] for r in rows}))}
+    n, v = len(ids), len(tix)
+    Wm = np.zeros((n, v), dtype=np.float64)
+    for r in rows:
+        Wm[idix[r["doc_id"]], tix[r["tid"]]] = r["w"]
+    nrm = np.ones(n, dtype=np.float64)
+    for r in norms.collect():  # one row per doc — bounded with the box
+        i = idix.get(r["doc_id"])
+        if i is not None:
+            nrm[i] = r["nrm"]
+    bc = spark.sparkContext.broadcast((ids, Wm, nrm))
+    # per-task block: cap the unpacked block slice at ~32 MB of float64
+    block = max(128, min(2048, 4_000_000 // max(v, 1)))
+    nb = -(-n // block)
+    tasks = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    eps = 2.0 ** -53
+
+    def score(batches):
+        ids_b, W_b, nrm_b = bc.value
+        idarr = np.asarray(ids_b)
+        nz = W_b != 0.0
+        for pdf in batches:
+            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+                ra = slice(bi * block, min((bi + 1) * block, n))
+                rb = slice(bj * block, min((bj + 1) * block, n))
+                dot = W_b[ra] @ W_b[rb].T
+                # shared-term counts: float32 matmul of indicators is
+                # exact for counts < 2^24 (vocab is far below that)
+                nt = (
+                    nz[ra].astype(np.float32) @ nz[rb].astype(np.float32).T
+                ).astype(np.float64)
+                nanb = nrm_b[ra][:, None] * nrm_b[rb][None, :]
+                keep = dot >= nanb * (0.9 - 5e-10 - (nt + 8.0) * eps) - nt * 5e-13
+                if bi == bj:
+                    keep &= np.triu(np.ones(keep.shape, dtype=bool), k=1)
+                if keep.any():
+                    ai, bix = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {"a": idarr[ra][ai], "b": idarr[rb][bix]}
+                    )
+
+    par = spark.sparkContext.defaultParallelism
+    tasks_df = spark.createDataFrame(tasks, "bi int, bj int").repartition(
+        min(len(tasks), par * 2)
+    )
+    return tasks_df.mapInPandas(score, out_schema)
+
+
+def _tfidf_prefix_prune_survivors(
+    spark: SparkSession, w: DataFrame, norms: DataFrame, n_par: int
+) -> DataFrame:
+    """The open-scale survivor path (AllPairs prefix candidates + the
+    native-double join pre-prune) — unchanged from the pre-dense-box
+    form; see the inline soundness notes."""
+    from pyspark.sql import Window as W
+
     # df rides the w checkpoint (joined from the dictionary), so the
     # prefix ranking needs no extra df join; the (df, term) order is
     # unchanged — the term string stays ONLY in this vocabulary-light
@@ -3825,7 +3985,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_t"),
         )
     )
-    surv = (
+    return (
         dots_d.join(
             F.broadcast(norms.select(
                 F.col("doc_id").alias("a"), F.col("nrm").alias("na")
@@ -3845,34 +4005,6 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na") * F.col("nb"))
         )
         .select("a", "b")
-    )
-    dots = (
-        surv.join(F.broadcast(wa), "a")
-        .join(F.broadcast(wb), ["b", "tid"])
-        .groupBy("a", "b")
-        .agg(dsum12(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    # cosine is REPORTED at 9-decimal precision: the decimal-cast
-    # rounding mode at exact dyadic midpoints (HALF_UP vs HALF_EVEN)
-    # differs between engines by design, producing ~1-ulp divergence on
-    # a handful of the millions of accumulated products; rounding far
-    # above that noise floor makes the full value-hash deterministic
-    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
-    return (
-        dots.join(
-            F.broadcast(norms.select(
-                F.col("doc_id").alias("a"), F.col("nrm").alias("na")
-            )),
-            "a",
-        )
-        .join(
-            F.broadcast(norms.select(
-                F.col("doc_id").alias("b"), F.col("nrm").alias("nb")
-            )),
-            "b",
-        )
-        .select("a", "b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.9)
     )
 
 
