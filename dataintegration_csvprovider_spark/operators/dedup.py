@@ -850,58 +850,49 @@ def ngram_jaccard_pairs(
     ).withColumn("set_size", F.size("grams"))
 
     if method == "auto":
-        # Two cheap stats passes decide the strategy. NOT persisted: the
-        # gram sets recompute in ~1/10th the time the block cache takes to
-        # encode nested string arrays (measured at sf0.1: 4.5 s persist vs
-        # 0.5 s/recompute), and the dense path only needs two more passes.
-        # The doc count is the UNFILTERED input count — parquet answers it
-        # from footer metadata without a scan, and an upper bound is
-        # exactly what a conservative dense-regime gate needs.
+        # Round-13 (guide §1.2 — don't compute things twice): ONE stats
+        # pass decides the strategy. The old auto path ran a capped
+        # vocabulary distinct+collect (dense probe) and then, outside
+        # the dense box, a SECOND full gram aggregation for Σdf². Both
+        # stats now ride one aggregation — vocabulary size and the
+        # exact inverted-index join size Σdf² from the same per-gram df
+        # pass, one row to the driver. `_choose_jaccard_method`'s dense
+        # box tests n·v <= CELLS ∧ n²·v <= MULS ∧ n <= DOCS — exactly
+        # the conditions the old capped fetch encoded — so the method
+        # chosen (and therefore every result) is unchanged; the dense
+        # path re-derives the vocab LIST itself (its collect is bounded
+        # by the box it just passed). NOT persisted: the gram sets
+        # recompute in ~1/10th the time the block cache takes to encode
+        # nested string arrays (measured at sf0.1: 4.5 s persist vs
+        # 0.5 s/recompute). The doc count is the UNFILTERED input count
+        # — parquet answers it from footer metadata without a scan, and
+        # an upper bound is exactly what a conservative dense-regime
+        # gate needs.
         n_docs = df.count()
-        vocab = None
-        if n_docs <= DENSE_MAX_DOCS and n_docs > 0:
-            # collect the vocabulary ONLY up to the dense bound (+1 row
-            # as the over-limit sentinel) — the driver fetch stays capped
-            # even when the corpus vocabulary is web-scale
-            v_cap = min(
-                DENSE_MAX_CELLS // n_docs,
-                DENSE_MAX_MULS // (n_docs * n_docs),
-            )
-            rows = (
-                grams.select(F.explode("grams").alias("gram"))
-                .distinct()
-                .limit(int(v_cap) + 1)
-                .collect()
-            )
-            if (
-                len(rows) <= v_cap
-                and _choose_jaccard_method(n_docs, len(rows)) == "dense"
-            ):
-                vocab = sorted(r["gram"] for r in rows)
-        if vocab is not None:
-            return _dense_jaccard_pairs(grams, threshold, vocab=vocab)
-        # outside the dense box: one more cheap aggregation gives the
-        # EXACT inverted-index join size Σdf²; bounded ⇒ index beats the
-        # prefix path's candidate-verify machinery (measured 4.7× at the
-        # 10× uniform-vocabulary probe), unbounded ⇒ Zipfian rare tail
-        # exists and prefix is the only non-quadratic plan
-        sum_df2 = int(
-            (
+        if n_docs == 0:
+            method = "prefix"
+            sum_df2 = 0
+        else:
+            stats = (
                 grams.select(F.explode("grams").alias("gram"))
                 .groupBy("gram")
                 .agg(F.count(F.lit(1)).alias("df"))
-                .agg(F.sum(F.col("df") * F.col("df")).alias("w"))
-                .collect()[0]["w"]
+                .agg(
+                    F.count(F.lit(1)).alias("v"),
+                    F.sum(F.col("df") * F.col("df")).alias("w"),
+                )
+                .collect()[0]
             )
-            or 0
-        )
-        method = _choose_jaccard_method(
-            n_docs,
-            0,
-            sum_df2=sum_df2,
-            parallelism=df.sparkSession.sparkContext.defaultParallelism,
-            skip_dense=True,
-        )
+            n_vocab = int(stats["v"] or 0)
+            sum_df2 = int(stats["w"] or 0)
+            method = _choose_jaccard_method(
+                n_docs,
+                n_vocab,
+                sum_df2=sum_df2,
+                parallelism=df.sparkSession.sparkContext.defaultParallelism,
+            )
+            if method == "dense":
+                return _dense_jaccard_pairs(grams, threshold)
     else:
         sum_df2 = None
 

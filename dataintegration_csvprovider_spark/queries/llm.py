@@ -3708,9 +3708,13 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(n_par, "doc_id").localCheckpoint(eager=True)
     # vocabulary-bounded collision gate for the int term ids (one tiny
     # job off the checkpoint; a collision would merge two terms' join
-    # groups, so it must be loud, not probabilistic)
-    n_terms = w.select("term").distinct().count()
-    n_tids = w.select("tid").distinct().count()
+    # groups, so it must be loud, not probabilistic) — both distinct
+    # counts ride ONE aggregate (r13: was two separate jobs)
+    gate_row = w.agg(
+        F.countDistinct("term").alias("nt"),
+        F.countDistinct("tid").alias("ni"),
+    ).first()
+    n_terms, n_tids = int(gate_row["nt"]), int(gate_row["ni"])
     if n_terms != n_tids:
         raise ValueError(
             "q_tfidf_cosine_pairs: xxhash64 term-id collision "
@@ -7693,15 +7697,6 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("xdup "), F.col("text")).alias("text"),
         halved(F.pmod(F.col("id"), F.lit(64))).alias("embedding"),
     )
-    raw = base.unionByName(twins).localCheckpoint(eager=True)
-    queries = (
-        base.filter(F.col("id") % 20 == 0)
-        .select(
-            F.col("id").alias("query_id"),
-            halved(F.pmod(F.col("id") + 7, F.lit(64))).alias("query_vec"),
-        )
-        .localCheckpoint(eager=True)
-    )
     # query terms = the 3 RAREST distinct words of the query doc by
     # BASE-corpus df (rarity makes the lexical signal informative —
     # first-k words are stopword-dominated and reduce fusion to noise);
@@ -7716,14 +7711,43 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("bdf")
     )
     wq = Window.partitionBy("id").orderBy("bdf", "term")
-    qt = (
-        base_toks.filter(F.col("id") % 20 == 0)
-        .join(base_df, "term")
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 3)
-        .select(F.col("id").alias("query_id"), "term")
-        .localCheckpoint(eager=True)
-    )
+    # r13 (guide §2.6): the three prelude checkpoints depend only on
+    # base and not on each other — materialize them concurrently
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_raw = _pool.submit(
+            inheritable_thread_target(
+                lambda: base.unionByName(twins).localCheckpoint(eager=True)
+            )
+        )
+        _f_queries = _pool.submit(
+            inheritable_thread_target(
+                lambda: base.filter(F.col("id") % 20 == 0)
+                .select(
+                    F.col("id").alias("query_id"),
+                    halved(F.pmod(F.col("id") + 7, F.lit(64))).alias(
+                        "query_vec"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        )
+        _f_qt = _pool.submit(
+            inheritable_thread_target(
+                lambda: base_toks.filter(F.col("id") % 20 == 0)
+                .join(base_df, "term")
+                .withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= 3)
+                .select(F.col("id").alias("query_id"), "term")
+                .localCheckpoint(eager=True)
+            )
+        )
+        raw = _f_raw.result()
+        queries = _f_queries.result()
+        qt = _f_qt.result()
 
     # dedup corpus is structural (originals), VERIFIED: the IVF-blocked
     # pair set must equal the planted twin set exactly
