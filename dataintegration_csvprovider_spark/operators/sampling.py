@@ -372,19 +372,23 @@ def prototype_prune(
     per = ex.groupBy(bucket_col, "__pos").agg(
         dsum12(F.col("__v").cast("double")).alias("__s")
     )
+    # r13 follow-up (guide §7.3 — driver analysis time is real cost):
+    # the d-column max/when pivot put >1s of each invocation into
+    # Catalyst analysis of the ~3d-expression tree. ONE map_from_entries
+    # aggregate + d trivial key lookups carries the identical per-pos
+    # sums (exact lookup by pos — no ordering assumption).
     piv = per.groupBy(bucket_col).agg(
-        *[
-            F.max(F.when(F.col("__pos") == i, F.col("__s"))).alias(
-                f"__ps{i}"
-            )
-            for i in range(d)
-        ]
+        F.map_from_entries(
+            F.collect_list(F.struct("__pos", "__s"))
+        ).alias("__m")
     )
     cent = cnt.join(piv, bucket_col, "left").select(
         bucket_col,
         "__n",
         *[
-            F.round(F.col(f"__ps{i}") / F.col("__n"), 9).alias(f"__c{i}")
+            F.round(F.col("__m")[F.lit(i)] / F.col("__n"), 9).alias(
+                f"__c{i}"
+            )
             for i in range(d)
         ],
     )

@@ -1392,18 +1392,23 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ex.groupBy("label", "pos").agg(
         dsum(F.col("v").cast("double")).alias("s")
     )
+    # r13 follow-up (guide §7.3 — driver analysis time is real cost):
+    # the 64-column max/when pivot put ~1.1s of every invocation into
+    # Catalyst analysis of the 192-expression tree. ONE map_from_entries
+    # aggregate + 64 trivial key lookups carries the identical per-pos
+    # sums (exact lookup by pos — no ordering assumption), with the
+    # same flat c0..c63 output schema.
     piv = per.groupBy("label").agg(
-        *[
-            F.max(F.when(F.col("pos") == i, F.col("s"))).alias(f"__s{i}")
-            for i in range(_DIM)
-        ]
+        F.map_from_entries(F.collect_list(F.struct("pos", "s"))).alias(
+            "__m"
+        )
     )
     agg = cnt.join(piv, "label", "left")
     return agg.select(
         "label",
         "n",
         *[
-            (F.col(f"__s{i}") / F.col("n")).cast("double").alias(f"c{i}")
+            (F.col("__m")[F.lit(i)] / F.col("n")).cast("double").alias(f"c{i}")
             for i in range(_DIM)
         ],
     )
