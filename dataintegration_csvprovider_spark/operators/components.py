@@ -117,13 +117,17 @@ def connected_components_stats(
     small constant, vs n rounds for naive min-label propagation on a
     chain. Returns (labels, n_rounds) where n_rounds counts contraction
     rounds EXECUTED including the fixpoint-confirming one."""
+    # r13 (guide §1.2 — one action per round, not two): the checkpoint
+    # is LAZY; the checksum action both materializes the round's edge
+    # set and truncates its lineage in the same job. Eager + separate
+    # checksum was two jobs per contraction round for the same work.
     e = _canon(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sig = _checksum(e)
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         new_sig = _checksum(e)
         if new_sig == sig:
