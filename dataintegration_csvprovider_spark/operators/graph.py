@@ -9,10 +9,13 @@ canonical iterative-join workload: each iteration is
 
 Scale shape: one shuffle per iteration (the groupBy on dst; the edge join
 shuffles on src, and both reuse the same keys across iterations so AQE
-sees stable partitioning). Lineage is truncated every iteration with an
-eager ``localCheckpoint`` — without it the plan doubles per iteration and
+sees stable partitioning). Lineage is truncated every few iterations with
+a ``localCheckpoint`` — without it the plan doubles per iteration and
 the 10th job replans 2^10 joins (the classic iterative-Spark trap;
 checkpointing is the fix SURVEY.md §7 calls out for iterative dedup too).
+The checkpoints are LAZY (r13, guide §1.2): each flattens the logical
+plan immediately, but materialization rides the consumer's one action
+instead of paying a separate job per truncation point.
 
 Determinism (so a SQL oracle can replay it bit-for-bit): per-edge
 contributions are computed in IEEE double (identical across engines),
@@ -68,7 +71,7 @@ def pagerank(
         # compounds with plan depth; checkpointing every step would pay a
         # full materialization job per iteration instead
         if (i + 1) % 3 == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -132,7 +135,7 @@ def pagerank_nano(
                 "rank_n"
             ),
         )
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=False)
     for i in range(iterations):
         contribs = (
             e.join(ranks, e.src == F.col("node"))
@@ -161,7 +164,7 @@ def pagerank_nano(
                 .alias("rank_n"),
             )
         if (i + 1) % 3 == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -179,8 +182,9 @@ def bfs_levels(
     Frontier expansion, one equi-join shuffle per level; visited set
     grows monotonically and the frontier is anti-joined against it so a
     node is settled exactly once (BFS guarantees first touch = shortest
-    distance). Frontiers are eagerly checkpointed — same iterative-join
-    lineage discipline as PageRank above. Terminates at the first empty
+    distance). Frontiers are lazily checkpointed — same iterative-join
+    lineage discipline as PageRank above (the per-level reachability
+    probe materializes the frontier in the same job). Terminates at the first empty
     frontier, so the round count is the graph's eccentricity bound, not
     max_depth.
 
@@ -200,7 +204,7 @@ def bfs_levels(
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     converged = False
@@ -211,12 +215,12 @@ def bfs_levels(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.limit(1).count() == 0:
             converged = True
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     if not converged and not allow_partial:
         # One more expansion probe: the loop may have ended exactly at the
@@ -288,5 +292,5 @@ def personalized_pagerank(
             )
         )
         if (i + 1) % 3 == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
