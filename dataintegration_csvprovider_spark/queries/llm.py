@@ -3276,7 +3276,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND expensive to recompute)
     blocked = embedding_near_dup_pairs(
         corpus, threshold=0.9, n_probe=2
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # bounded collect: the gate is ONE row of two booleans
     gate = _planted_pair_gate(corpus, blocked).first()
     labels = connected_components(
@@ -3710,11 +3710,11 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(F.broadcast(tdict), "term").select(
         "doc_id", "term", "tid", "df",
         (F.col("tf") * F.col("idf")).alias("w"),
-    ).repartition(n_par, "doc_id").localCheckpoint(eager=True)
-    # vocabulary-bounded collision gate for the int term ids (one tiny
-    # job off the checkpoint; a collision would merge two terms' join
-    # groups, so it must be loud, not probabilistic) — both distinct
-    # counts ride ONE aggregate (r13: was two separate jobs)
+    ).repartition(n_par, "doc_id").localCheckpoint(eager=False)
+    # vocabulary-bounded collision gate for the int term ids (a
+    # collision would merge two terms' join groups, so it must be loud,
+    # not probabilistic) — both distinct counts ride ONE aggregate,
+    # which also materializes the LAZY w checkpoint (one job total)
     gate_row = w.agg(
         F.countDistinct("term").alias("nt"),
         F.countDistinct("tid").alias("ni"),
@@ -3728,9 +3728,11 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 decimal-sum migration: rare-term IDF odds scale with corpus
     # size (w ~ N), so w*w sums are data-scaled — pico-unit form
     # (per-row domain 1e12 covers w^2 through ~sf1e4)
+    # lazy: the first consumer (dense prune's collect, or the prefix
+    # path's u_norm join action) materializes it
     norms = w.groupBy("doc_id").agg(
         F.sqrt(dsum12(F.col("w") * F.col("w"))).alias("nrm")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Candidate generation is the AllPairs prefix filter (Bayardo,
     # Ma & Srikant, WWW'07): on UNIT vectors, rank each doc's terms
     # rarest-first (ascending df — a deterministic global order) and
