@@ -7726,12 +7726,12 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=3) as _pool:
         _f_raw = _pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: base.unionByName(twins).localCheckpoint(eager=True)
             )
         )
         _f_queries = _pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: base.filter(F.col("id") % 20 == 0)
                 .select(
                     F.col("id").alias("query_id"),
@@ -7743,7 +7743,7 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         _f_qt = _pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: base_toks.filter(F.col("id") % 20 == 0)
                 .join(base_df, "term")
                 .withColumn("rn", F.row_number().over(wq))
@@ -7904,10 +7904,10 @@ def q_hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_q = queries.count()
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_gate = pool.submit(inheritable_thread_target(run_gate))
+        f_gate = pool.submit(inheritable_thread_target(spark)(run_gate))
         rank_f = {
             (variant, kind): pool.submit(
-                inheritable_thread_target(
+                inheritable_thread_target(spark)(
                     lambda fn=fn, c=c: fn(c).localCheckpoint(eager=True)
                 )
             )

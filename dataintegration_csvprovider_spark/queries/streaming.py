@@ -2678,12 +2678,12 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             fa = pool.submit(
-                inheritable_thread_target(
+                inheritable_thread_target(spark)(
                     lambda: write_slice(0, "a.parquet", 1_000_000_000)
                 )
             )
             fb = pool.submit(
-                inheritable_thread_target(
+                inheritable_thread_target(spark)(
                     lambda: write_slice(1, "b.parquet", 1_000_010_000)
                 )
             )
@@ -2695,9 +2695,9 @@ def q_stream_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 run_stream(roots[0], crash_in_batch=1)
                 run_stream(roots[0], crash_in_batch=None)
 
-            fc = pool.submit(inheritable_thread_target(crash_then_restart))
+            fc = pool.submit(inheritable_thread_target(spark)(crash_then_restart))
             fctrl = pool.submit(
-                inheritable_thread_target(
+                inheritable_thread_target(spark)(
                     lambda: run_stream(roots[1], crash_in_batch=None)
                 )
             )
