@@ -1563,7 +1563,7 @@ def q_curation_policy_picker(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(
         docs, threshold=0.5, base_hash="md5"
-    ).select("a", "b").localCheckpoint(eager=True)  # reused 2x
+    ).select("a", "b").localCheckpoint(eager=False)  # reused 2x
     t = docs.select(
         "doc_id",
         "lang",
@@ -2304,7 +2304,7 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a_delta = assign_ivf_partitions(
         _with_valid_vectors(delta, "embedding"), frozen
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     inc = probe(frozen, a_snap.unionByName(a_delta))
     ret = probe(
         retrained,
@@ -3162,7 +3162,7 @@ def _planted_twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(x),
         ).alias("embedding"),
     )
-    return s0.unionByName(twins).localCheckpoint(eager=True)
+    return s0.unionByName(twins).localCheckpoint(eager=False)
 
 
 def _planted_pair_gate(corpus: DataFrame, blocked: DataFrame) -> DataFrame:
@@ -4878,7 +4878,7 @@ def q_artifact_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # IVF centroids: save/load + identical pair set through the
         # snapshot path
-        cents = trained_ivf_centroids(emb, k=16).localCheckpoint(eager=True)
+        cents = trained_ivf_centroids(emb, k=16).localCheckpoint(eager=False)
         back_c = load_centroids(spark, save_centroids(cents, f"{d}/cent"))
         same_cents = (
             cents.orderBy("centroid_id").collect()
@@ -5899,7 +5899,7 @@ def _qc_features(
                 / n_tok
             ).alias("x4"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -7094,7 +7094,7 @@ def q_bm25_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     keep = labels.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id"
     )
@@ -7105,8 +7105,8 @@ def q_bm25_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             10
         ).select("doc_id")
 
-    raw_top = topk(_bm25_scores_docs(docs)).localCheckpoint(eager=True)
-    dd_top = topk(_bm25_scores_docs(dd)).localCheckpoint(eager=True)
+    raw_top = topk(_bm25_scores_docs(docs)).localCheckpoint(eager=False)
+    dd_top = topk(_bm25_scores_docs(dd)).localCheckpoint(eager=False)
 
     def metrics(top: DataFrame) -> tuple[int, int]:
         row = top.join(labels, "doc_id").agg(
@@ -7400,7 +7400,7 @@ def q_semdedup_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.coalesce("component", "vec_id").alias("cluster"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dd = lab.filter(F.col("vec_id") == F.col("cluster"))
     queries = dd.filter(
@@ -8048,7 +8048,7 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") <= max(_APC_PROBES))
         .select("vec_id", "centroid_id", "rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cell = assign.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"), "centroid_id"
@@ -8072,7 +8072,7 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("r") <= 10)
         .select("query_id", F.col("vec_id").alias("cand_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     probes = assign.join(
         queries.select(F.col("query_id")),
@@ -8088,7 +8088,7 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cand_id") != F.col("query_id"))
             .select("query_id", "cand_id")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_cand = cands.count()
         n_hit = exact10.join(
