@@ -430,7 +430,45 @@ def main() -> None:
         # drained by then); BASELINE.md's adjudication rule keys off
         # this block.
         payload["solo_probe"] = _solo_probe(spark, sf_dir, fns, timings)
+    else:
+        # r13: load1 alone is a blind spot — this (virtualized) host
+        # shows 2-4x whole-suite modes at load1 < 0.1 (same tree,
+        # min-of-2: q_curation_pipeline 4.2s one sitting, 15.7s the
+        # next, both "contended: false"; immediate min-of-3 solo
+        # probes read 5.8s). If any >=0.5s query rose >= 2x over the
+        # prior artifact despite the clean load flag, self-adjudicate
+        # the same way so the evidence rides the artifact.
+        ratio = _max_riser_ratio(timings)
+        if ratio >= 2.0:
+            print(
+                f"WARN: clean-load run with a {ratio:.2f}x riser vs the "
+                "prior artifact — probing (suspected host-level "
+                "slow mode; see BASELINE.md adjudication rule)",
+                file=sys.stderr,
+            )
+            payload["solo_probe"] = _solo_probe(
+                spark, sf_dir, fns, timings
+            )
     print(json.dumps(payload))
+
+
+def _max_riser_ratio(timings: dict, prior: dict | None = None) -> float:
+    """Largest timings/prior ratio among queries whose prior reading is
+    >= 0.5s (sub-second names live in documented fixed-overhead jitter).
+    0.0 when no prior artifact exists. Pure given ``prior`` — unit-
+    testable without Spark."""
+    if prior is None:
+        import glob as _glob
+
+        _, prior = _load_prior_bench(
+            sorted(_glob.glob(str(REPO / "BENCH_r*.json")))
+        )
+    best = 0.0
+    for name, t in timings.items():
+        p = prior.get(name)
+        if isinstance(p, (int, float)) and p >= 0.5:
+            best = max(best, t / p)
+    return best
 
 
 def _load_prior_bench(paths) -> tuple[str | None, dict]:

@@ -101,3 +101,14 @@ def test_real_recorded_driver_artifact():
     assert all(
         isinstance(v, (int, float)) for v in queries.values()
     )
+
+
+def test_max_riser_ratio_pure():
+    from bench import _max_riser_ratio
+
+    prior = {"a": 1.0, "b": 0.2, "c": 2.0}
+    # b is sub-second in the prior artifact -> excluded from the gate
+    assert _max_riser_ratio({"a": 2.5, "b": 5.0, "c": 2.0}, prior) == 2.5
+    assert _max_riser_ratio({"a": 1.0, "c": 1.9}, prior) == 1.0
+    # no prior entries above the floor -> 0.0
+    assert _max_riser_ratio({"b": 9.9}, {"b": 0.2}) == 0.0
