@@ -223,6 +223,21 @@ HEAVY = (
 )
 
 
+#: canonical driver-recorded artifacts ONLY (r14, ADVICE fix): the old
+#: ``BENCH_r*.json`` glob sorted variant artifacts AFTER the canonical
+#: one (``BENCH_r13_c8.json`` — an 8-core config run — beat
+#: ``BENCH_r13.json``), so riser ratios were computed against a
+#: different-configuration baseline. Two digits exactly: every driver
+#: artifact is rNN.
+_CANON_BENCH_GLOB = "BENCH_r[0-9][0-9].json"
+
+
+def _canon_bench_paths() -> list:
+    import glob as _glob
+
+    return sorted(_glob.glob(str(REPO / _CANON_BENCH_GLOB)))
+
+
 def _force(df) -> int:
     """Execute the full plan. ``noop`` write forces materialization of
     every output row without collecting to the driver."""
@@ -394,10 +409,7 @@ def main() -> None:
 
     ambient_end = _ambient()
     contended = ambient_start["load1"] > CONTENDED_LOAD1
-    import glob as _glob
-    prior_file, _prior_queries = _load_prior_bench(
-        sorted(_glob.glob(str(REPO / "BENCH_r*.json")))
-    )
+    prior_file, _prior_queries = _load_prior_bench(_canon_bench_paths())
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -429,7 +441,9 @@ def main() -> None:
         # run LAST (the transient load that tripped the flag has often
         # drained by then); BASELINE.md's adjudication rule keys off
         # this block.
-        payload["solo_probe"] = _solo_probe(spark, sf_dir, fns, timings)
+        payload["solo_probe"] = _solo_probe(
+            spark, sf_dir, fns, timings, prior_file, _prior_queries
+        )
     else:
         # r13: load1 alone is a blind spot — this (virtualized) host
         # shows 2-4x whole-suite modes at load1 < 0.1 (same tree,
@@ -438,7 +452,7 @@ def main() -> None:
         # probes read 5.8s). If any >=0.5s query rose >= 2x over the
         # prior artifact despite the clean load flag, self-adjudicate
         # the same way so the evidence rides the artifact.
-        ratio = _max_riser_ratio(timings)
+        ratio = _max_riser_ratio(timings, _prior_queries)
         if ratio >= 2.0:
             print(
                 f"WARN: clean-load run with a {ratio:.2f}x riser vs the "
@@ -447,7 +461,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             payload["solo_probe"] = _solo_probe(
-                spark, sf_dir, fns, timings
+                spark, sf_dir, fns, timings, prior_file, _prior_queries
             )
     print(json.dumps(payload))
 
@@ -456,13 +470,10 @@ def _max_riser_ratio(timings: dict, prior: dict | None = None) -> float:
     """Largest timings/prior ratio among queries whose prior reading is
     >= 0.5s (sub-second names live in documented fixed-overhead jitter).
     0.0 when no prior artifact exists. Pure given ``prior`` — unit-
-    testable without Spark."""
+    testable without Spark. ``main()`` always passes the prior it
+    already loaded (r14: no re-glob, canonical artifacts only)."""
     if prior is None:
-        import glob as _glob
-
-        _, prior = _load_prior_bench(
-            sorted(_glob.glob(str(REPO / "BENCH_r*.json")))
-        )
+        _, prior = _load_prior_bench(_canon_bench_paths())
     best = 0.0
     for name, t in timings.items():
         p = prior.get(name)
@@ -496,11 +507,11 @@ def _load_prior_bench(paths) -> tuple[str | None, dict]:
     return None, {}
 
 
-def _solo_probe(spark, sf_dir, fns, timings) -> dict:
-    import glob
-
-    benches = sorted(glob.glob(str(REPO / "BENCH_r*.json")))
-    prior_file, prior = _load_prior_bench(benches)
+def _solo_probe(
+    spark, sf_dir, fns, timings, prior_file=None, prior=None
+) -> dict:
+    if prior is None:
+        prior_file, prior = _load_prior_bench(_canon_bench_paths())
     if not prior:
         return {}
     common = [

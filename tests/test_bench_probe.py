@@ -103,6 +103,25 @@ def test_real_recorded_driver_artifact():
     )
 
 
+def test_canonical_glob_excludes_variant_artifacts(tmp_path):
+    """r14 ADVICE fix: the prior-bench lookup must never pick a variant
+    artifact (e.g. the 8-core ``BENCH_r13_c8.json``) over the canonical
+    round artifact — the riser self-adjudication would otherwise ratio
+    against a different-configuration baseline."""
+    import fnmatch
+
+    from bench import _CANON_BENCH_GLOB
+
+    assert fnmatch.fnmatch("BENCH_r13.json", _CANON_BENCH_GLOB)
+    assert fnmatch.fnmatch("BENCH_r02.json", _CANON_BENCH_GLOB)
+    assert not fnmatch.fnmatch("BENCH_r13_c8.json", _CANON_BENCH_GLOB)
+    assert not fnmatch.fnmatch("BENCH_r13_extra.json", _CANON_BENCH_GLOB)
+    # and the repo's own canonical artifacts all match
+    canon = [p.name for p in REPO.glob(_CANON_BENCH_GLOB)]
+    assert "BENCH_r13.json" in canon
+    assert "BENCH_r13_c8.json" not in canon
+
+
 def test_max_riser_ratio_pure():
     from bench import _max_riser_ratio
 
