@@ -569,60 +569,71 @@ def dsum(col: Column) -> Column:
     of the native long fast path into per-row BigDecimal adds —
     measured 1.8-2.5x slower on the TPC-H shapes (q1 4-column agg
     2.20s vs 1.23s at sf0.1). The exact 128-bit total is instead
-    reconstructed from TWO native long sums: each micros value m is
-    split as m = (m >> 31)*2^31 + (m & (2^31-1)) — floor shift and
-    low-bits mask, exact for negatives in two's complement — and the
-    two components are summed as plain longs (whole-stage-codegen
-    native). PROVABLY no wrap while the group has < 4e9 summed rows:
-    sum(lo) <= 4e9 * (2^31-1) < 2^63, and |m| < 1e18 (the DECIMAL(18,6)
-    per-row domain) gives sum|hi| <= 4e9 * 4.66e8 < 2^63. The group-
-    level reconstruction hi*2^31 + lo runs on DECIMAL(38,0) (one op
-    per GROUP, not per row), and a COUNT guard raises a loud error on
-    any group at >= 4e9 rows instead of ever returning a wrapped
-    value. In range the integer total — and therefore the ONE
-    int->double conversion and ONE IEEE division — is bit-identical
-    to both the r12 long form and the DECIMAL(38,0) form (probed: 0
-    diffs on the sf0.1 per-key and negative-mix shapes). Per-row
-    domain is bounded by the DECIMAL(18,6) input cast itself
-    (|value| < 1e12)."""
+    reconstructed from native long sums of a digit decomposition of
+    each micros value m — floor shifts and low-bits masks, exact for
+    negatives in two's complement — summed as plain longs
+    (whole-stage-codegen native). The group-level reconstruction
+    runs on DECIMAL(38,0) (one op per GROUP, not per row), so the
+    integer total — and therefore the ONE int->double conversion and
+    ONE IEEE division — is bit-identical to both the r12 long form
+    and the DECIMAL(38,0) form (probed: 0 diffs on the sf0.1 per-key
+    and negative-mix shapes). Per-row domain is bounded by the
+    DECIMAL(18,6) input cast itself (|value| < 1e12).
+
+    Round-14 (r13 verdict item 2 — scale safety): the r13 form split
+    m into TWO components and guarded with COUNT < 4e9 +
+    ``raise_error`` — which ABORTS exactly the jobs the engine is
+    for (a 100 TB global sum is ~1e12 rows). The split is now FOUR
+    components (three 16-bit unsigned digits + the signed high part),
+    which removes the guard entirely: sum(digit) <= N*(2^16-1) and
+    sum|hi| <= N*ceil(1e18/2^48) = N*3553, so no component can wrap a
+    signed 64-bit accumulator until a single group holds N >= 2^63 /
+    (2^16-1) ~= 1.4e14 rows — beyond 10 PB in ONE group at 100-byte
+    rows, >1000x past the 100 TB design point (document, don't
+    guard: the r13 raise path fired at realistic scale; the wide
+    residual risk is off the design envelope, and a deployment past
+    it swaps in the DECIMAL(38,0)-per-row accumulator form). Four
+    codegen'd long sums replace two sums + one count: same aggregate
+    buffer count as the guarded form, no conditional, no raise in
+    the plan."""
     m = (col.cast(DEC) * F.lit(1_000_000)).cast("long")
-    lo = F.sum(m.bitwiseAND(F.lit(2147483647)))
-    hi = F.sum(F.shiftright(m, 31))
-    micros = hi.cast("decimal(38,0)") * F.lit(2_147_483_648) + lo.cast(
-        "decimal(38,0)"
+    mask = F.lit(65535)
+    s0 = F.sum(m.bitwiseAND(mask))
+    s1 = F.sum(F.shiftright(m, 16).bitwiseAND(mask))
+    s2 = F.sum(F.shiftright(m, 32).bitwiseAND(mask))
+    s3 = F.sum(F.shiftright(m, 48))
+    micros = (
+        s3.cast("decimal(38,0)") * F.lit(281_474_976_710_656)
+        + s2.cast("decimal(38,0)") * F.lit(4_294_967_296)
+        + s1.cast("decimal(38,0)") * F.lit(65_536)
+        + s0.cast("decimal(38,0)")
     )
-    val = (micros.cast("double") / F.lit(1_000_000.0)).cast("double")
-    return F.when(F.count(m) < F.lit(4_000_000_000), val).otherwise(
-        F.raise_error(
-            F.lit("dsum: split-sum guard — group exceeds 4e9 rows; "
-                  "widen to the decimal(38,0) accumulator form")
-        ).cast("double")
-    )
+    return (micros.cast("double") / F.lit(1_000_000.0)).cast("double")
 
 
 def davg(col: Column) -> Column:
     """Order-independent mean: exact micro-unit integer sum, then
     int->double, /1e6, /count — the identical IEEE op sequence in both
     engines (see :func:`dsum` for why decimal->double casts can't
-    appear anywhere on this path, and for the r13-optimization
-    split-sum accumulator: two native long sums reconstructed to the
-    exact DECIMAL(38,0) total per group, loud COUNT guard at 4e9
-    rows)."""
+    appear anywhere on this path, and for the r14 guard-free split:
+    four native long digit sums reconstructed to the exact
+    DECIMAL(38,0) total per group — wrap-free to ~1.4e14 rows per
+    group, no raise path)."""
     m = (col.cast(DEC) * F.lit(1_000_000)).cast("long")
-    lo = F.sum(m.bitwiseAND(F.lit(2147483647)))
-    hi = F.sum(F.shiftright(m, 31))
-    micros = hi.cast("decimal(38,0)") * F.lit(2_147_483_648) + lo.cast(
-        "decimal(38,0)"
+    mask = F.lit(65535)
+    s0 = F.sum(m.bitwiseAND(mask))
+    s1 = F.sum(F.shiftright(m, 16).bitwiseAND(mask))
+    s2 = F.sum(F.shiftright(m, 32).bitwiseAND(mask))
+    s3 = F.sum(F.shiftright(m, 48))
+    micros = (
+        s3.cast("decimal(38,0)") * F.lit(281_474_976_710_656)
+        + s2.cast("decimal(38,0)") * F.lit(4_294_967_296)
+        + s1.cast("decimal(38,0)") * F.lit(65_536)
+        + s0.cast("decimal(38,0)")
     )
-    val = (
+    return (
         micros.cast("double") / F.lit(1_000_000.0) / F.count(col)
     ).cast("double")
-    return F.when(F.count(m) < F.lit(4_000_000_000), val).otherwise(
-        F.raise_error(
-            F.lit("davg: split-sum guard — group exceeds 4e9 rows; "
-                  "widen to the decimal(38,0) accumulator form")
-        ).cast("double")
-    )
 
 
 def sql_dsum(expr: str) -> str:
