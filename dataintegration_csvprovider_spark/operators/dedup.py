@@ -639,6 +639,12 @@ DENSE_MAX_MULS = 2_000_000_000_000
 #: the measured 30× probe (Σdf² ≈ 1.93e9 on 32 cores).
 INDEX_WORK_PER_CORE = 64_000_000
 
+#: absolute row cap on the auto selector's (gram, df) driver fetch —
+#: ~a hundred MB of strings at the cap. Only binding under
+#: DENSE_MAX_CELLS / DENSE_MAX_FETCH = 128 docs (tiny-corpus corner,
+#: where every strategy is fast and exact)
+DENSE_MAX_FETCH = 4_000_000
+
 #: target rows per reduce task for the Σdf² pair aggregation — achieved
 #: via AQE's initialPartitionNum (session.py), NOT an explicit
 #: repartition (which would defeat map-side partial aggregation; see the
@@ -850,29 +856,29 @@ def ngram_jaccard_pairs(
     ).withColumn("set_size", F.size("grams"))
 
     if method == "auto":
-        # Round-13 (guide §1.2 — don't compute things twice): ONE stats
-        # pass decides the strategy. The old auto path ran a capped
-        # vocabulary distinct+collect (dense probe) and then, outside
-        # the dense box, a SECOND full gram aggregation for Σdf². Both
-        # stats now ride one aggregation — vocabulary size and the
-        # exact inverted-index join size Σdf² from the same per-gram df
-        # pass, one row to the driver. `_choose_jaccard_method`'s dense
-        # box tests n·v <= CELLS ∧ n²·v <= MULS ∧ n <= DOCS — exactly
-        # the conditions the old capped fetch encoded — so the method
-        # chosen (and therefore every result) is unchanged; the dense
-        # path re-derives the vocab LIST itself (its collect is bounded
-        # by the box it just passed). NOT persisted: the gram sets
-        # recompute in ~1/10th the time the block cache takes to encode
-        # nested string arrays (measured at sf0.1: 4.5 s persist vs
-        # 0.5 s/recompute). The doc count is the UNFILTERED input count
-        # — parquet answers it from footer metadata without a scan, and
-        # an upper bound is exactly what a conservative dense-regime
-        # gate needs.
+        # Round-14 (guide §1.2 — don't compute things twice, in EITHER
+        # regime): the r13 "one-pass" fold computed (v, Σdf²) in one
+        # stats aggregation but then let the dense branch re-derive the
+        # vocab LIST with a THIRD full gram pass (+~0.7 s at sf0.1 —
+        # the one clean-load regression the r13 verdict left
+        # unadjudicated). Small corpora (n_docs <= DENSE_MAX_DOCS, the
+        # only regime where dense is reachable) now collect the capped
+        # per-gram (gram, df) rows in ONE gram pass: the rows give the
+        # exact vocabulary size AND Σdf² AND the vocab list the dense
+        # packer needs — two gram passes total incl. the pack, the r12
+        # count, with the r13 selector's exact Σdf² gate kept. Large
+        # corpora (the 100 TB path) keep the r13 single streaming
+        # stats pass — no capped fetch, no driver list. NOT persisted:
+        # the gram sets recompute in ~1/10th the time the block cache
+        # takes to encode nested string arrays (measured at sf0.1:
+        # 4.5 s persist vs 0.5 s/recompute). The doc count is the
+        # UNFILTERED input count — parquet answers it from footer
+        # metadata without a scan, and an upper bound is exactly what
+        # a conservative dense-regime gate needs.
         n_docs = df.count()
-        if n_docs == 0:
-            method = "prefix"
-            sum_df2 = 0
-        else:
+        par = df.sparkSession.sparkContext.defaultParallelism
+
+        def _full_stats(skip_dense: bool) -> str:
             stats = (
                 grams.select(F.explode("grams").alias("gram"))
                 .groupBy("gram")
@@ -883,18 +889,52 @@ def ngram_jaccard_pairs(
                 )
                 .collect()[0]
             )
-            n_vocab = int(stats["v"] or 0)
-            sum_df2 = int(stats["w"] or 0)
-            method = _choose_jaccard_method(
+            return _choose_jaccard_method(
                 n_docs,
-                n_vocab,
-                sum_df2=sum_df2,
-                parallelism=df.sparkSession.sparkContext.defaultParallelism,
+                int(stats["v"] or 0),
+                sum_df2=int(stats["w"] or 0),
+                parallelism=par,
+                skip_dense=skip_dense,
             )
-            if method == "dense":
-                return _dense_jaccard_pairs(grams, threshold)
-    else:
-        sum_df2 = None
+
+        if n_docs == 0:
+            method = "prefix"
+        elif n_docs <= DENSE_MAX_DOCS:
+            # capped driver fetch: v_cap rows is at most DENSE_MAX_FETCH
+            # (~a hundred MB) and within the dense box at most
+            # CELLS/n_docs; the +1 sentinel row detects overflow
+            v_cap = min(
+                DENSE_MAX_CELLS // n_docs,
+                DENSE_MAX_MULS // (n_docs * n_docs),
+                DENSE_MAX_FETCH,
+            )
+            rows = (
+                grams.select(F.explode("grams").alias("gram"))
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .limit(int(v_cap) + 1)
+                .collect()
+            )
+            if len(rows) <= v_cap:
+                # the fetch holds the WHOLE vocabulary: v and Σdf² are
+                # exact, and the dense packer gets its vocab for free
+                sum_df2 = sum(int(r["df"]) ** 2 for r in rows)
+                method = _choose_jaccard_method(
+                    n_docs, len(rows), sum_df2=sum_df2, parallelism=par
+                )
+                if method == "dense":
+                    return _dense_jaccard_pairs(
+                        grams,
+                        threshold,
+                        vocab=sorted(r["gram"] for r in rows),
+                    )
+            else:
+                # vocabulary overflows the dense box (or the fetch cap,
+                # possible only under ~CELLS/FETCH = 128 docs — any
+                # strategy is fast there and all are exact)
+                method = _full_stats(skip_dense=True)
+        else:
+            method = _full_stats(skip_dense=False)
 
     if method == "dense":
         return _dense_jaccard_pairs(grams, threshold)
