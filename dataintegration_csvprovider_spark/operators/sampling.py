@@ -382,7 +382,12 @@ def prototype_prune(
             F.collect_list(F.struct("__pos", "__s"))
         ).alias("__m")
     )
-    cent = cnt.join(piv, bucket_col, "left").select(
+    # r14 (ADVICE): null-safe cnt/piv join — a null bucket must match
+    # itself across the two aggregates (see q_embedding_centroid)
+    piv = piv.withColumnRenamed(bucket_col, "__pbk")
+    cent = cnt.join(
+        piv, F.col(bucket_col).eqNullSafe(F.col("__pbk")), "left"
+    ).select(
         bucket_col,
         "__n",
         *[

@@ -1403,7 +1403,16 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__m"
         )
     )
-    agg = cnt.join(piv, "label", "left")
+    # r14 (ADVICE): NULL-SAFE join — a null label groups fine in each
+    # aggregate but a plain equi-join would drop the match, silently
+    # nulling that group's centroid where the single-aggregate form
+    # (and the SQL oracle's GROUP BY) produced values. Latent with the
+    # fixture's non-null int labels; eqNullSafe keeps the 'every value
+    # unchanged' claim for nullable keys.
+    piv = piv.withColumnRenamed("label", "__plabel")
+    agg = cnt.join(
+        piv, F.col("label").eqNullSafe(F.col("__plabel")), "left"
+    )
     return agg.select(
         "label",
         "n",
@@ -3810,11 +3819,13 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: dense-regime box for the tf-idf pre-prune, the same three-way gate as
 #: operators/dedup.py's DENSE_MAX_*: the float64 weight matrix must
-#: broadcast comfortably (cells × 8 B — 48M cells = 384 MB) and the
-#: blocked-matmul work (docs² × vocab multiply-adds, ×2 for the
-#: shared-term count pass) must stay a few seconds across a node.
+#: broadcast comfortably (cells × 8 B — 16M cells = 128 MB; r14 shrank
+#: the cap from 48M per r13 verdict item 5, sizing the driver-side
+#: Arrow frame + matrix to a fixed budget) and the blocked-matmul work
+#: (docs² × vocab multiply-adds, ×2 for the shared-term count pass)
+#: must stay a few seconds across a node.
 _TFIDF_DENSE_MAX_DOCS = 120_000
-_TFIDF_DENSE_MAX_CELLS = 48_000_000
+_TFIDF_DENSE_MAX_CELLS = 16_000_000
 _TFIDF_DENSE_MAX_MULS = 2_500_000_000_000
 
 
@@ -3843,28 +3854,44 @@ def _tfidf_dense_prune_survivors(
     drop pairs the exact filter provably drops. Survivor sets may
     differ from the join-path pre-prune at the margin; outputs cannot.
 
-    Driver collect and broadcast are bounded by the _TFIDF_DENSE_MAX_*
-    box (<= cells rows collected, <= 8·cells bytes broadcast)."""
+    Driver transfer and broadcast are bounded by the _TFIDF_DENSE_MAX_*
+    box (<= cells rows, <= 8·cells bytes broadcast). Round-14 (r13
+    verdict item 5): the (doc, tid, w) rows cross as ONE Arrow frame
+    (``toPandas``; columnar, no per-row Python ``Row`` objects) and the
+    weight matrix is built by vectorized scatter — the old
+    ``collect()`` materialized O(cells) boxed Rows on the driver, which
+    at the old 48M-cell cap was multiple GB of Python objects for a
+    384 MB matrix. The cells cap drops 48M -> 16M (128 MB matrix,
+    ~0.4 GB transient Arrow frame — a driver-memory budget, not a
+    heap gamble); corpora between the caps now take the open-scale
+    prefix path, which is equally exact (both pre-prunes feed the
+    same exact-decimal verification)."""
     import numpy as np
     import pandas as pd
 
     id_type = w.schema["doc_id"].dataType.simpleString()
     out_schema = f"a {id_type}, b {id_type}"
-    rows = w.select("doc_id", "tid", "w").collect()  # bounded: <= box cells
-    if not rows:
+    pdf = w.select("doc_id", "tid", "w").toPandas()  # Arrow, <= box cells
+    if pdf.empty:
         return spark.createDataFrame([], out_schema)
-    ids = sorted({r["doc_id"] for r in rows})
-    idix = {d: i for i, d in enumerate(ids)}
-    tix = {t: j for j, t in enumerate(sorted({r["tid"] for r in rows}))}
-    n, v = len(ids), len(tix)
+    doc_arr = pdf["doc_id"].to_numpy()
+    tid_arr = pdf["tid"].to_numpy()
+    ids_arr = np.unique(doc_arr)
+    tids_u = np.unique(tid_arr)
+    n, v = len(ids_arr), len(tids_u)
     Wm = np.zeros((n, v), dtype=np.float64)
-    for r in rows:
-        Wm[idix[r["doc_id"]], tix[r["tid"]]] = r["w"]
+    Wm[
+        np.searchsorted(ids_arr, doc_arr),
+        np.searchsorted(tids_u, tid_arr),
+    ] = pdf["w"].to_numpy()
+    ids = ids_arr.tolist()
+    idix = {d: i for i, d in enumerate(ids)}
     nrm = np.ones(n, dtype=np.float64)
-    for r in norms.collect():  # one row per doc — bounded with the box
-        i = idix.get(r["doc_id"])
+    npdf = norms.toPandas()  # one row per doc — bounded with the box
+    for d, x in zip(npdf["doc_id"].to_numpy(), npdf["nrm"].to_numpy()):
+        i = idix.get(d)
         if i is not None:
-            nrm[i] = r["nrm"]
+            nrm[i] = x
     bc = spark.sparkContext.broadcast((ids, Wm, nrm))
     # per-task block: cap the unpacked block slice at ~32 MB of float64
     block = max(128, min(2048, 4_000_000 // max(v, 1)))
@@ -3981,12 +4008,17 @@ def _tfidf_prefix_prune_survivors(
     # only other deviation is the per-product 12-dp quantization,
     # |round12(p) - p| <= 5e-13 per shared term. With the EXACT norms
     # (same checkpointed table both paths) the per-pair error bound is
-    #   |cos_d - cos_exact| <= 1e-12 + n_t*5e-13/(na*nb),
-    # computed per pair from the shared-term count n_t. The output
-    # condition round(cos,9) >= 0.9 means cos_exact >= 0.9 - 5e-10, so
-    # pruning at  cos_d >= 0.9 - 5e-10 - bound  can only drop pairs
-    # the exact filter would drop too. At sf0.1 the margin admits zero
-    # extra boundary pairs (survivors == output rows, DuckDB-probed).
+    #   |cos_d - cos_exact| <= (n_t+8)*2^-53 + n_t*5e-13/(na*nb),
+    # computed per pair from the shared-term count n_t (r14, ADVICE:
+    # the old fixed 1e-12 slack only covered (n_t+1)*2^-53 while
+    # n_t < ~9000 — pairs of very long documents past that could be
+    # wrongly pruned; the per-pair form mirrors the dense path's keep
+    # bound and is sound for ANY n_t, the +8 swallowing the
+    # comparison's own few-ulp arithmetic). The output condition
+    # round(cos,9) >= 0.9 means cos_exact >= 0.9 - 5e-10, so pruning
+    # at  cos_d >= 0.9 - 5e-10 - bound  can only drop pairs the exact
+    # filter would drop too; survivors feed the unchanged exact-
+    # decimal verification, so the output is identical either way.
     dots_d = (
         cand.join(F.broadcast(wa), "a")
         .join(F.broadcast(wb), ["b", "tid"])
@@ -4011,7 +4043,9 @@ def _tfidf_prefix_prune_survivors(
         )
         .filter(
             F.col("dot_d") / (F.col("na") * F.col("nb"))
-            >= F.lit(0.9 - 5e-10 - 1e-12)
+            >= F.lit(0.9 - 5e-10)
+            - (F.col("n_t").cast("double") + F.lit(8.0))
+            * F.lit(2.0 ** -53)
             - F.col("n_t").cast("double") * F.lit(5e-13)
             / (F.col("na") * F.col("nb"))
         )
