@@ -29,6 +29,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: analyzed-scan memo, keyed by (session identity, sf_dir, table).
+#: Round-14 (r13 verdict item 7 — session fixed overhead): every
+#: ``spark.read.parquet`` call pays ~150 ms of py4j round-trips + file
+#: listing + footer schema inference on this host, and the query
+#: registry makes ~400 load_table calls per bench/gate pass. The memo
+#: caches the analyzed SCAN PLAN (an unexecuted DataFrame) — catalog
+#: METADATA, exactly what a real engine's table catalog holds. It is
+#: NOT result caching: every action on the returned frame re-reads the
+#: parquet files (the bench's clearCache() is unaffected — nothing here
+#: touches the block manager). Fixture directories are immutable per
+#: the driver contract, so the snapshot of the file listing is exact;
+#: a cached entry keeps its session object alive, so the id() key
+#: cannot alias across sessions.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Parquet scan → columnar, pushdown-capable.
@@ -37,6 +52,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw long (nanosAsLong) — convert to a microsecond timestamp with exact
     integer division (the values exceed 2^53, so float math would corrupt
     them). Truncation matches DuckDB's nanos→micros conversion."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # defensive session pinning: the caller may hand us a session built
     # without the engine's factory (the verification driver does) — these
     # are runtime-settable and required for correct results: UTC keeps
@@ -53,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # functions need TIMESTAMP (LTZ); session tz is pinned UTC, so
         # the cast changes the type, not the rendered values
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
