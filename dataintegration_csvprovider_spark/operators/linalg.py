@@ -61,6 +61,36 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     if len(dims) > 1:
         raise ValueError(f"ragged embedding column: lengths {sorted(dims)}")
 
+    # r13 decimal-sum migration: component sums are data-scaled, so
+    # they ride the pico-unit 128-bit form (same 12-dp per-row
+    # quantization as the old DECIMAL(28,12) accumulator); the /n
+    # divisions stay in double (IEEE-exact both engines).
+    #
+    # Round-14 (r13 verdict item 8, guide §1.2 — the centroid-family
+    # treatment): the old single aggregation computed THREE dsum12
+    # decimal pipelines per O(n·d²) exploded row, and two of them (sx,
+    # sy) were redundant d²/2-fold — group (i,j)'s sx is Σ_rows x_i,
+    # independent of j, so the same d per-dimension totals were
+    # re-summed ~d/2 times each through the expensive per-row decimal
+    # quantize. Now: (a) the d component sums ride ONE O(n·d) explode
+    # (same dsum12 accumulator over the same multiset of quantized
+    # values — order-independent, so the totals are bit-identical to
+    # the old per-group sx/sy), broadcast-joined back onto the product
+    # table (d rows, never null keys); (b) the O(n·d²) explode keeps
+    # only the product sum — one decimal pipeline per row instead of
+    # three; (c) the pair generator emits ONLY the upper triangle via
+    # ``slice`` (j = i + offset) instead of generating all d² rows and
+    # filtering half away. Per-(i,j) n stays a per-group COUNT (native
+    # long): every non-null vector yields exactly one row per kept
+    # (i,j) in both forms, so n, means, and cov are all unchanged —
+    # oracle hash verified at sf0.01/sf0.1.
+    from ..queries.registry import dsum12
+
+    comp = (
+        vecs.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(dsum12(F.col("x").cast("double")).alias("s"))
+    )
     xi = vecs.select(
         F.posexplode("v").alias("i", "x"),
         F.col("v").alias("vv"),
@@ -68,20 +98,21 @@ def covariance_exact(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     pairs = xi.select(
         "i",
         F.col("x").cast("double").alias("x"),
-        F.posexplode("vv").alias("j", "y"),
-    ).filter(F.col("j") >= F.col("i"))
-    # r13 decimal-sum migration: component sums are data-scaled, so
-    # they ride the pico-unit 128-bit form (same 12-dp per-row
-    # quantization as the old DECIMAL(28,12) accumulator); the /n
-    # divisions stay in double (IEEE-exact both engines)
-    from ..queries.registry import dsum12
-
-    sums = pairs.groupBy("i", "j").agg(
+        F.posexplode(
+            F.slice(F.col("vv"), F.col("i") + F.lit(1), F.size("vv"))
+        ).alias("dj", "y"),
+    )
+    sums = pairs.groupBy(
+        "i", (F.col("i") + F.col("dj")).alias("j")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
-        dsum12(F.col("x")).alias("sx"),
-        dsum12(F.col("y").cast("double")).alias("sy"),
         dsum12(F.col("x") * F.col("y").cast("double")).alias("sxy"),
     )
+    si = comp.select(F.col("i").alias("__ci"), F.col("s").alias("sx"))
+    sj = comp.select(F.col("i").alias("__cj"), F.col("s").alias("sy"))
+    sums = sums.join(
+        F.broadcast(si), F.col("i") == F.col("__ci")
+    ).join(F.broadcast(sj), F.col("j") == F.col("__cj"))
     mx = F.col("sx") / F.col("n")
     my = F.col("sy") / F.col("n")
     return sums.select(

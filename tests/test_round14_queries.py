@@ -63,6 +63,71 @@ def test_dsum_davg_no_raise_path_in_plan(spark):
     assert "raise_error" not in plan, plan
 
 
+def test_tfidf_blocked_prune_output_identical(spark):
+    """r13 verdict item 4: the executor-side blocked-matmul pre-prune
+    (dense-shaped corpora above the driver box) must yield the same
+    FINAL query output as the driver-dense path — survivor sets may
+    differ at the float margin (different BLAS orders), outputs cannot
+    (both feed the unchanged exact-decimal verification)."""
+    import dataintegration_csvprovider_spark.queries.llm as llm
+
+    sf = "/root/testdata/sf0.01"
+    base = sorted(map(tuple, llm.q_tfidf_cosine_pairs(spark, sf).collect()))
+    saved = llm._TFIDF_DENSE_MAX_CELLS
+    try:
+        llm._TFIDF_DENSE_MAX_CELLS = 0  # force the blocked branch
+        blocked = sorted(
+            map(tuple, llm.q_tfidf_cosine_pairs(spark, sf).collect())
+        )
+    finally:
+        llm._TFIDF_DENSE_MAX_CELLS = saved
+    assert base and base == blocked
+
+
+def test_covariance_exact_component_reuse_bit_identical(spark):
+    """r13 verdict item 8: the r14 covariance rewrite derives per-group
+    component sums from ONE shared per-dimension aggregation
+    (broadcast-joined back) and generates only the upper triangle via
+    slice. Both must be bit-identical to the three-pipelines-per-pair
+    form: same dsum12 accumulator over the same multiset of quantized
+    values. Reference: exact Decimal arithmetic with the contract's op
+    sequence (12-dp quantize, int128 sum, one int->double, /n in
+    double)."""
+    from dataintegration_csvprovider_spark.operators.linalg import (
+        covariance_exact,
+    )
+
+    vecs = [
+        [1.5, -2.25, 0.000001],
+        [-0.75, 4.125, 1000.5],
+        [3.0, 0.0, -999.25],
+        None,  # NULL vector must be ignored
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    got = {
+        (r["i"], r["j"]): r
+        for r in covariance_exact(df, "v").collect()
+    }
+    live = [v for v in vecs if v is not None]
+    n = len(live)
+    q = lambda x: Decimal(repr(x)).quantize(Decimal("1e-12"))  # noqa: E731
+
+    def s(vals):
+        return float(sum(int(q(v) * 10**12) for v in vals)) / 1e12
+
+    assert len(got) == 6  # upper triangle of d=3
+    for i in range(3):
+        for j in range(i, 3):
+            r = got[(i, j)]
+            mi = s(v[i] for v in live) / n
+            mj = s(v[j] for v in live) / n
+            cov = s(v[i] * v[j] for v in live) / n - mi * mj
+            assert r["n"] == n
+            assert r["mean_i"] == mi, (i, j, r["mean_i"], mi)
+            assert r["mean_j"] == mj, (i, j, r["mean_j"], mj)
+            assert r["cov"] == cov, (i, j, r["cov"], cov)
+
+
 def test_davg_matches_exact_mean(spark):
     from dataintegration_csvprovider_spark.queries.registry import davg
 
