@@ -3785,6 +3785,20 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         and n_docs * n_docs * n_terms <= _TFIDF_DENSE_MAX_MULS
     ):
         surv = _tfidf_dense_prune_survivors(spark, w, norms)
+    elif (
+        # r14 (r13 verdict item 4): dense-SHAPED but above the driver
+        # box — small vocabulary defeats the AllPairs prefix filter
+        # (~every pair survives as a candidate and the shared-term
+        # explosion dominates), so run the blocked matmul pre-prune
+        # executor-side instead. Same keep bound, same exact verify —
+        # outputs identical (equivalence-probed against the prefix
+        # path at sf1). Real Zipfian corpora have vocab >> docs·cells
+        # bounds and keep taking the prefix path below.
+        n_docs <= _TFIDF_DENSE_MAX_DOCS
+        and n_docs * n_terms <= _TFIDF_BLOCK_MAX_CELLS
+        and n_docs * n_docs * n_terms <= _TFIDF_DENSE_MAX_MULS
+    ):
+        surv = _tfidf_blocked_prune_survivors(spark, w, norms)
     else:
         surv = _tfidf_prefix_prune_survivors(spark, w, norms, n_par)
     dots = (
@@ -3827,6 +3841,19 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_DENSE_MAX_DOCS = 120_000
 _TFIDF_DENSE_MAX_CELLS = 16_000_000
 _TFIDF_DENSE_MAX_MULS = 2_500_000_000_000
+
+#: executor-side blocked-matmul regime (r14, r13 verdict item 4): dense-
+#: SHAPED corpora above the driver box — small vocabulary, so the
+#: AllPairs prefix filter admits ~every pair and the shared-term
+#: explosion is the dominator (measured: the sf1 fixture, 50k docs x
+#: 620 terms = 31M cells, runs the prefix path in 604 s; the blocked
+#: path replaces its tens of billions of join rows with ~B² dgemm
+#: block-pair tasks). The matrix NEVER exists on the driver: per-block
+#: slices are packed executor-side (applyInPandas) and shuffled to the
+#: block-pair tasks — driver transfers are O(n_docs + vocab) (sorted
+#: ids + norms + tids). The cells cap is an EXECUTOR budget: 128M
+#: cells = 1 GB of total matrix shuffled ~B times as <= 32 MB blobs.
+_TFIDF_BLOCK_MAX_CELLS = 128_000_000
 
 
 def wa_frame(w: DataFrame) -> DataFrame:
@@ -3928,6 +3955,126 @@ def _tfidf_dense_prune_survivors(
         min(len(tasks), par * 2)
     )
     return tasks_df.mapInPandas(score, out_schema)
+
+
+def _tfidf_blocked_prune_survivors(
+    spark: SparkSession, w: DataFrame, norms: DataFrame
+) -> DataFrame:
+    """Executor-side blocked-matmul pre-prune for dense-shaped corpora
+    ABOVE the driver box (r14, r13 verdict item 4 + §2 of the guide:
+    replace the shared-term join explosion with block work, and never
+    materialize O(cells) on the driver).
+
+    Same mathematics as :func:`_tfidf_dense_prune_survivors` — float64
+    block dots, exact float32 indicator-matmul shared-term counts, the
+    identical per-pair keep bound — so the SAME soundness argument
+    holds for any BLAS summation order (all products positive), and
+    survivors feed the unchanged exact-decimal verification: outputs
+    are identical whichever pre-prune ran. Differences are purely
+    physical: (a) per-block (rows x vocab) float64 slices are packed
+    executor-side by applyInPandas over a broadcast-joined block id —
+    the driver only ever holds the sorted doc-id / tid vocabularies
+    and the per-doc norms (O(n_docs + vocab) bytes); (b) block PAIRS
+    are formed by two shuffle joins of the tiny (B rows, fat blobs)
+    block table against the B(B+1)/2 pair index, one pair per
+    partition, and scored with one dgemm + one indicator dgemm each."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = w.schema["doc_id"].dataType.simpleString()
+    out_schema = f"a {id_type}, b {id_type}"
+    npdf = norms.select("doc_id", "nrm").toPandas()  # one row per doc
+    if npdf.empty:
+        return spark.createDataFrame([], out_schema)
+    order = np.argsort(npdf["doc_id"].to_numpy())
+    ids_arr = npdf["doc_id"].to_numpy()[order]
+    nrm = npdf["nrm"].to_numpy().astype(np.float64)[order]
+    tids_u = np.sort(
+        w.select("tid").distinct().toPandas()["tid"].to_numpy()
+    )
+    n, v = len(ids_arr), len(tids_u)
+    # same per-task slice budget as the driver path: ~32 MB of float64
+    block = max(128, min(4096, 4_000_000 // max(v, 1)))
+    nb = -(-n // block)
+    bc = spark.sparkContext.broadcast((ids_arr, tids_u, nrm, block, n, v))
+
+    # block assignment rides a broadcast-joined (doc_id, bi) map — n
+    # tiny rows, Arrow-created; deterministic (rank in the sorted ids)
+    bmap = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ids_arr, "bi": (np.arange(n) // block).astype("int32")}
+        )
+    )
+
+    def pack(key, pdf):
+        ids_b, tids_b, _, blk, n_b, v_b = bc.value
+        bi = int(key[0])
+        r0 = bi * blk
+        rows = (
+            np.searchsorted(ids_b, pdf["doc_id"].to_numpy()) - r0
+        )
+        cols = np.searchsorted(tids_b, pdf["tid"].to_numpy())
+        m = np.zeros((min((bi + 1) * blk, n_b) - r0, v_b), dtype=np.float64)
+        m[rows, cols] = pdf["w"].to_numpy()
+        return pd.DataFrame({"bi": [bi], "m": [m.reshape(-1)]})
+
+    blocks = (
+        w.select("doc_id", "tid", "w")
+        .join(F.broadcast(bmap), "doc_id")
+        .groupBy("bi")
+        .applyInPandas(pack, "bi int, m array<double>")
+    )
+    pairs = spark.createDataFrame(
+        [(bi, bj) for bi in range(nb) for bj in range(bi, nb)],
+        "bi int, bj int",
+    )
+    joined = (
+        pairs.join(blocks.withColumnRenamed("m", "ma"), "bi")
+        .join(
+            blocks.withColumnRenamed("m", "mb").withColumnRenamed(
+                "bi", "bj"
+            ),
+            "bj",
+        )
+        # one fat row per partition: each row carries two block blobs,
+        # so batching several into one Arrow batch would multiply task
+        # memory for no win
+        .repartition(nb * (nb + 1) // 2)
+    )
+    eps = 2.0 ** -53
+
+    def score(batches):
+        ids_b, _, nrm_b, blk, n_b, v_b = bc.value
+        for pdf in batches:
+            for bi, bj, ma, mb in zip(
+                pdf["bi"], pdf["bj"], pdf["ma"], pdf["mb"]
+            ):
+                A = np.asarray(ma, dtype=np.float64).reshape(-1, v_b)
+                B = np.asarray(mb, dtype=np.float64).reshape(-1, v_b)
+                ra = slice(bi * blk, bi * blk + A.shape[0])
+                rb = slice(bj * blk, bj * blk + B.shape[0])
+                dot = A @ B.T
+                nt = (
+                    (A != 0.0).astype(np.float32)
+                    @ (B != 0.0).astype(np.float32).T
+                ).astype(np.float64)
+                nanb = nrm_b[ra][:, None] * nrm_b[rb][None, :]
+                keep = (
+                    dot >= nanb * (0.9 - 5e-10 - (nt + 8.0) * eps)
+                    - nt * 5e-13
+                )
+                if bi == bj:
+                    keep &= np.triu(np.ones(keep.shape, dtype=bool), k=1)
+                if keep.any():
+                    ai, bix = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "a": ids_b[ra][ai],
+                            "b": ids_b[rb][bix],
+                        }
+                    )
+
+    return joined.mapInPandas(score, out_schema)
 
 
 def _tfidf_prefix_prune_survivors(
