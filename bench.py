@@ -223,6 +223,148 @@ HEAVY = (
 )
 
 
+#: Round-14 (r13 verdict item 6): the 8-vs-32-core scaling comparison
+#: was UNINFORMATIVE at sf0.1 — every headline query is per-job
+#: fixed-overhead bound (~0.2-0.5 s session constant vs <1 s compute),
+#: so all core-count ratios read ~1 and the probe could not answer the
+#: question it exists for. This block times COMPUTE-DOMINATED jobs:
+#: each reads the same sf parquet inputs and blows them up in-memory by
+#: $SPARK_GRAFT_SCALE_MULT (default 16) deterministic key-offset
+#: replicas INSIDE the timed region — no caching, no staged data, the
+#: replicate-explode is part of the measured plan — sizing the work to
+#: ~4-15 s at 32 cores so executor compute dominates the session
+#: constant. The driver's lower-core rerun of this same bench then
+#: yields honest parallel-scaling ratios on these entries (a parallel
+#: job should read ~core-ratio; a serial one ~1). Recorded as a
+#: SEPARATE block ("scaling") so the round-over-round comparison on
+#: "queries" is untouched; min-of-2 like the headline set.
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "64"))
+
+
+def _replicate(df, mult: int, key_cols: tuple = ()):
+    """Deterministic k-fold in-memory blowup: each replica offsets the
+    named key columns by 10M·k, preserving per-key row counts (join
+    fan-out and window partition sizes stay constant while the total
+    volume scales k-fold). Pure plan-side — computed fresh inside every
+    timed run.
+
+    The base is first repartitioned to defaultParallelism: the sf0.1
+    fixture files are single-split (< maxPartitionBytes), so without it
+    the whole explode+partial-aggregate map side runs in ONE task and
+    the block measures nothing but single-core throughput at every
+    core count (measured: scale_agg 13.8 s at local[32] vs 10.9 s at
+    local[8]). At real scale inputs have many splits and this shuffle
+    of the SMALL base (pre-explode) models that; it is ~2% of the
+    job."""
+    from pyspark.sql import functions as SF
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    out = df.select(
+        "*",
+        SF.explode(
+            SF.array(*[SF.lit(i) for i in range(mult)])
+        ).alias("__rep"),
+    )
+    for c in key_cols:
+        out = out.withColumn(
+            c, SF.col(c) + SF.col("__rep").cast("long") * SF.lit(10_000_000)
+        )
+    return out.drop("__rep")
+
+
+def _scale_agg(spark, sf_dir):
+    """q1-shape exact-decimal aggregation over mult x lineitem: the
+    codegen'd dsum/davg digit-split pipelines are the engine's hottest
+    per-row path; scaling is pure map-side compute + a 4-group shuffle."""
+    from pyspark.sql import functions as SF
+
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.queries.registry import davg, dsum
+
+    li = _replicate(load_table(spark, sf_dir, "lineitem"), SCALE_MULT)
+    disc = SF.col("l_extendedprice") * (1 - SF.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(SF.col("l_quantity")).alias("sum_qty"),
+        dsum(SF.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        davg(SF.col("l_discount")).alias("avg_disc"),
+        SF.count(SF.lit(1)).alias("n"),
+    )
+
+
+def _scale_join(spark, sf_dir):
+    """mult x lineitem JOIN mult x orders on the replica-offset orderkey
+    (per-key fan-out constant), aggregated by priority: shuffle-join
+    scaling — the path most sensitive to reduce-side parallelism."""
+    from pyspark.sql import functions as SF
+
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.queries.registry import dsum
+
+    li = _replicate(
+        load_table(spark, sf_dir, "lineitem"), SCALE_MULT, ("l_orderkey",)
+    )
+    od = _replicate(
+        load_table(spark, sf_dir, "orders"), SCALE_MULT, ("o_orderkey",)
+    )
+    return (
+        li.join(od, SF.col("l_orderkey") == SF.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(SF.col("l_extendedprice")).alias("rev"),
+            SF.count(SF.lit(1)).alias("n"),
+        )
+    )
+
+
+def _scale_window(spark, sf_dir):
+    """Per-user running exact sum over mult x events (replica-offset
+    user_id: mult x more window partitions of the original size) —
+    sort+window scaling."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from dataintegration_csvprovider_spark.catalog import load_table
+    from dataintegration_csvprovider_spark.queries.registry import dsum_win
+
+    ev = _replicate(
+        load_table(spark, sf_dir, "events"), SCALE_MULT * 2, ("user_id",)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = ev.select(
+        "user_id", dsum_win(SF.col("value"), w).alias("running")
+    )
+    return run.groupBy("user_id").agg(SF.max("running").alias("peak"))
+
+
+def _scale_text(spark, sf_dir):
+    """Token document-frequency aggregation over mult x documents —
+    explode + wide-key aggregation, the text-pipeline scaling shape."""
+    from pyspark.sql import functions as SF
+
+    from dataintegration_csvprovider_spark.catalog import load_table
+
+    docs = _replicate(
+        load_table(spark, sf_dir, "documents"), SCALE_MULT * 8
+    )
+    toks = docs.select(
+        SF.explode(SF.split(SF.lower(SF.col("text")), r"\s+")).alias("tok")
+    )
+    df_tab = toks.groupBy("tok").agg(SF.count(SF.lit(1)).alias("df"))
+    return df_tab.agg(
+        SF.count(SF.lit(1)).alias("v"),
+        SF.sum(SF.col("df") * SF.col("df")).alias("sum_df2"),
+    )
+
+
+SCALING = {
+    f"scale_agg_x{SCALE_MULT}": _scale_agg,
+    f"scale_join_x{SCALE_MULT}": _scale_join,
+    f"scale_window_x{SCALE_MULT * 2}": _scale_window,
+    f"scale_text_x{SCALE_MULT * 8}": _scale_text,
+}
+
+
 #: canonical driver-recorded artifacts ONLY (r14, ADVICE fix): the old
 #: ``BENCH_r*.json`` glob sorted variant artifacts AFTER the canonical
 #: one (``BENCH_r13_c8.json`` — an 8-core config run — beat
@@ -407,6 +549,21 @@ def main() -> None:
             gc.collect()
         heavy[name] = round(hbest, 3)
 
+    # compute-dominated scaling block (r13 verdict item 6): same
+    # min-of-2 methodology; recorded separately from "queries" so the
+    # round-over-round headline comparison is untouched
+    scaling: dict[str, float] = {}
+    for name, fn in SCALING.items():
+        sbest = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            el = time.time() - t0
+            sbest = el if sbest is None else min(sbest, el)
+            gc.collect()
+        scaling[name] = round(sbest, 3)
+
     ambient_end = _ambient()
     contended = ambient_start["load1"] > CONTENDED_LOAD1
     prior_file, _prior_queries = _load_prior_bench(_canon_bench_paths())
@@ -417,6 +574,8 @@ def main() -> None:
         "queries": timings,
         "heavy": heavy,
         "heavy_total": round(sum(heavy.values()), 3),
+        "scaling": scaling,
+        "scale_mult": SCALE_MULT,
         "sf": sf,
         "ambient_start": ambient_start,
         "ambient_end": ambient_end,
