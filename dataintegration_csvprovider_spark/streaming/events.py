@@ -196,10 +196,23 @@ def run_to_completion(
     if output_mode == "append":
         import tempfile
 
+        # sink-width repartition (guide §6 — coalesce on write): without
+        # it every state-store partition writes its own tiny file (33
+        # files for ~95k session rows at sf0.1; commit + read-back
+        # listing cost ~1 s). A REPARTITION — a real exchange, so the
+        # stateful operators keep their required shuffle-partition
+        # count — funnels the emitted rows into cores/8 sink tasks.
+        # Scale-adaptive (a fraction of cluster width, no constant);
+        # measured min-of-3 at sf0.1: session_append 3.6 -> 2.3 s,
+        # spread 3.6-4.3 -> 2.3-2.6 s.
+        k = max(
+            1, stream_df.sparkSession.sparkContext.defaultParallelism // 8
+        )
         out_dir = tempfile.mkdtemp(prefix="stream_sink_")
         ck_dir = tempfile.mkdtemp(prefix="stream_sink_ck_")
         q = (
-            stream_df.writeStream.format("parquet")
+            stream_df.repartition(k)
+            .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ck_dir)
             .outputMode("append")
